@@ -3,8 +3,15 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine lives in ``nyc_taxi_etl_dashboard_spark/`` (reference:
+1slem/1slem-nyc-taxi-etl-dashboard; the leading '1' is dropped because
+Python identifiers cannot start with a digit). Query name prefixes map
+to SURVEY.md §2 operator ids (pipe_=P5-P8/F3-F9 pipeline, a*=§2.4
+aggregations, w*=§2.5 windows, j*=§2.3 joins, u*/d*=§2.7-2.8,
+s*=§2.1 sources, e*=events/streaming-batch, t*/dd*=NEW text/dedup,
+v*=NEW similarity).
 """
 
 from __future__ import annotations
@@ -13,26 +20,48 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
+
+def _pin(spark: SparkSession) -> SparkSession:
+    from nyc_taxi_etl_dashboard_spark.session import pin_session
+
+    return pin_session(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full extract→transform pipeline (join, metric
+    derivation, first-match anomaly classification, split) reduced to its
+    run-report aggregates. Exercises scan→join→classify→agg end-to-end."""
+    from nyc_taxi_etl_dashboard_spark.plans.pipeline import q_report_stats
+
+    return q_report_stats(_pin(spark), SF_SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from nyc_taxi_etl_dashboard_spark.plans import dashboard, pipeline
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for module in (pipeline, dashboard):
+        registry.update(module.QUERIES)
+
+    def pinned(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_pin(spark), sf_dir)
+
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: pinned(fn) for name, fn in registry.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (omitted => driver
+    records a weaker rows-only check; see individual QUERIES docstrings)."""
+    from nyc_taxi_etl_dashboard_spark.plans import dashboard, pipeline
+
+    sql: dict[str, str] = {}
+    for module in (pipeline, dashboard):
+        sql.update(module.ORACLES)
+    return sql

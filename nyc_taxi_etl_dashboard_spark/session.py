@@ -1,0 +1,85 @@
+"""SparkSession factory.
+
+The reference is a single-threaded pandas pipeline (see
+``reference:Scripts_ETL/extract.py:35-36``); here the equivalent surface is
+a SparkSession configured for deterministic semantics (UTC timestamps,
+en-US day names — the reference pins these implicitly by running pandas on
+one machine) and for scale (AQE on, skew-join handling, sane shuffle
+partitioning).
+
+Scale posture (100 TB / 1000-executor notes)
+--------------------------------------------
+- ``spark.sql.adaptive.enabled``: runtime coalescing of shuffle
+  partitions + skew-join splitting; mandatory at scale, harmless locally.
+- ``spark.sql.shuffle.partitions``: locally 2x cores; on a real cluster
+  this should be ~2-3x total executor cores or left to AQE's
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
+- ``spark.sql.files.maxPartitionBytes`` stays at the 128m default: at
+  100 TB that yields ~800k scan tasks, which is the right granularity for
+  dynamic allocation; raise to 256m if the driver chokes on task count.
+- Timestamps: the reference strips timezones (``extract.py:44``); we pin
+  the session to UTC so TimestampType behaves as NTZ everywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "nyc-taxi-etl-dashboard-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's semantic pins."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_CPUS))
+    jvm_opts = "-Duser.timezone=UTC -Duser.language=en -Duser.country=US"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.extraJavaOptions", jvm_opts)
+        .config("spark.executor.extraJavaOptions", jvm_opts)
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable semantic pins to an externally-built session.
+
+    Query entry points call this so results are deterministic even when the
+    harness (not :func:`get_spark`) constructed the session: UTC timestamps
+    and AQE on. Static confs (locale JVM opts) cannot be changed here; day
+    name extraction uses locale-independent formatting instead (see
+    ``functions.day_name``).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Spark 4 defaults ANSI on (division by zero raises); the reference's
+    # pandas semantics are coercive (x/0 -> inf, unparseable -> NaT) and the
+    # DuckDB oracle yields NULL on x/0 — non-ANSI Spark matches both
+    # (x/0 -> NULL, failed casts -> NULL). Pin it off for parity.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:  # pragma: no cover - conf may be static in some builds
+        pass
+    return spark

@@ -1,0 +1,93 @@
+"""Readers (SURVEY §2.1 S1-S3, S10, S12; CSV per README.md:24).
+
+All readers return lazy DataFrames; Catalyst's ColumnPruning /
+PushDownPredicate rules move ``select``/``filter`` issued downstream into
+the physical scan (verify with ``df.explain``: ``ReadSchema`` /
+``PushedFilters``). This replaces the reference's eager
+``pq.read_table(...).to_pandas()`` full materialization
+(``extract.py:35-36``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: tables the test harness provides at /root/testdata/sf*/ (TESTDATA.md)
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy Parquet scan of one synthetic table (S1-S3)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register the synthetic tables as temp views for ``spark.sql`` use."""
+    for name in names or TABLE_NAMES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV source (doc-only in the reference, README.md:24,34,37).
+
+    An explicit schema avoids the double-pass inference scan — at 100 TB
+    schema inference alone would read the whole dataset once.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC scan (S10, ``load.py:150-152``).
+
+    The reference reads whole dims with ``pd.read_sql``. Here small dims
+    read single-partition (then get broadcast at join time); large tables
+    must pass ``partition_column`` + bounds so the read parallelizes —
+    a single-partition JDBC scan is a scale bug.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()

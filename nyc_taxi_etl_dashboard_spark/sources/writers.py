@@ -1,0 +1,123 @@
+"""Sinks (SURVEY §2.1 S4-S9, S11).
+
+Covers the reference's snappy Parquet sinks (``extract.py:61-66``,
+``transform.py:118-121``), the timestamped anomaly side-output
+(``transform.py:124-127``), the JSON run report (``transform.py:143-144``),
+the JDBC append fact sink (``load.py:204-221``) and the
+``ON CONFLICT DO NOTHING`` dim upsert (``load.py:121-123``), which has no
+native ``df.write.jdbc`` equivalent and becomes a left-anti join + append.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Snappy Parquet sink (S4/S5; snappy is Spark's default codec).
+
+    ``partition_by`` replaces the reference's Postgres btree indexes
+    (``load.py:62-67``): partitioning on a date column gives partition
+    pruning for the dashboard's date-sliced queries, which is the only
+    index-like structure plain Parquet offers. At 100 TB, partition on a
+    low-cardinality date key (e.g. pickup date => ~365 partitions/year),
+    never on a high-cardinality id.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_parquet_timestamped(df: DataFrame, directory: str, prefix: str) -> str:
+    """Timestamped side-output file, ``{prefix}_%Y%m%d_%H%M%S.parquet``
+    (S6, ``transform.py:124-127``). Returns the path written."""
+    stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+    path = f"{directory}/{prefix}_{stamp}.parquet"
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (doc-only alternate target, README.md:34,37)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json_report(report: dict, path: str) -> None:
+    """JSON run-report sink (S7, ``transform.py:143-144``).
+
+    Driver-side by design: the report is a handful of scalar aggregates;
+    collecting a 1-row aggregate to the driver is the correct pattern
+    (collecting anything larger is not).
+    """
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(report, fh, indent=4, ensure_ascii=False, default=str)
+
+
+def write_jdbc_append(
+    df: DataFrame, url: str, table: str, properties: dict[str, str] | None = None
+) -> None:
+    """JDBC append sink (S8, ``load.py:204-221``).
+
+    Each Spark partition opens one connection and streams inserts; size
+    partitions (`df.repartition(n)`) to the DB's connection budget.
+    """
+    df.write.jdbc(url=url, table=table, mode="append", properties=properties or {})
+
+
+def write_jdbc_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Insert-if-absent (S9): Spark equivalent of Postgres
+    ``ON CONFLICT DO NOTHING`` (``load.py:121-123,134-136,144-146``).
+
+    Reads existing keys, left-anti joins new rows against them, appends
+    the remainder. Not transactional across the read+write (the reference
+    runs inside one DB transaction, ``load.py:110``); for exactly-once
+    semantics use a Delta/Iceberg ``MERGE INTO`` instead — this JDBC path
+    exists for Postgres parity.
+    """
+    from .readers import read_jdbc
+
+    existing = read_jdbc(spark, url, table, properties).select(*key_cols)
+    fresh = df.join(existing, on=key_cols, how="left_anti")
+    write_jdbc_append(fresh, url, table, properties)
+
+
+def create_star_schema_sql() -> list[str]:
+    """DDL for a Spark-managed star schema (S11, mirrors ``load.py:19-59``).
+
+    Postgres ``SERIAL`` surrogate keys don't distribute; the engine mints
+    keys itself (see ``operators.star``) so the DDL declares plain BIGINT
+    key columns. ``CHECK`` constraints become validation filters at write
+    time (Spark SQL tables don't enforce CHECK).
+    """
+    return [
+        """CREATE TABLE IF NOT EXISTS dim_time (
+            time_pk BIGINT, datetime TIMESTAMP, hour SMALLINT,
+            day_of_week STRING, time_period STRING) USING PARQUET""",
+        """CREATE TABLE IF NOT EXISTS dim_location (
+            location_pk BIGINT, location_id INT, borough STRING) USING PARQUET""",
+        """CREATE TABLE IF NOT EXISTS dim_payment (
+            payment_pk BIGINT, payment_type STRING) USING PARQUET""",
+        """CREATE TABLE IF NOT EXISTS fact_trips (
+            trip_id BIGINT, time_pk BIGINT, pickup_loc_pk BIGINT,
+            dropoff_loc_pk BIGINT, payment_pk BIGINT,
+            passenger_count SMALLINT, trip_distance DECIMAL(8,2),
+            fare_amount DECIMAL(8,2), total_amount DECIMAL(8,2),
+            duration_min DECIMAL(8,2), avg_speed DECIMAL(8,2))
+            USING PARQUET""",
+    ]
