@@ -1,0 +1,190 @@
+"""Deduplication operators (reference D1-D3 + NEW fuzzy-dedup surface
+for training-data pipelines: MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale design
+------------
+- Exact dedup is a hash aggregate — one shuffle on the dedup key.
+- Pairwise Jaccard is NEVER computed all-pairs: an inverted shingle
+  index (explode → self-join on shingle → group by pair) touches only
+  pairs sharing ≥1 shingle; candidate count is bounded by shingle
+  frequency, so hot shingles are capped (see ``max_shingle_freq``) the
+  way web-dedup pipelines drop stop-shingles.
+- MinHash LSH: signatures are narrow per-row expressions; banding turns
+  near-dup search into an equi-join on (band, band-hash) — the classic
+  shuffle-friendly formulation (one shuffle to bucket, one to verify).
+- SimHash gives a 1-word sketch per doc; hamming-ball probing is an
+  equi-join on rotated prefixes (not implemented here; sketch column is
+  the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import POLY_MOD
+from .text import with_shingles
+
+#: deterministic MinHash permutation parameters h_i(x) = (a_i*x + b_i) % P
+MINHASH_PRIME = POLY_MOD
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [(2 * i + 3, 5 * i + 7) for i in range(num_hashes)]
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """D1: ``drop_duplicates(subset=...)`` (``transform.py:171``).
+    Arbitrary survivor per key — cheapest form (map-side partial dedup
+    then one shuffle)."""
+    return df.dropDuplicates(cols)
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """D1 deterministic variant: pandas keep='first' needs an explicit
+    tiebreaker in a distributed engine (SURVEY §5.3 parity trap) —
+    row_number over (key, tiebreaker order), keep rank 1."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _tv_sql(var: str) -> str:
+    """token_value as SQL text (see functions.token_value)."""
+    return f"(ascii({var}) * 10007 + ascii(reverse({var})) * 101 + length({var}))"
+
+
+def minhash_signature(num_hashes: int, shingle_col: str = "shingle") -> Column:
+    """MinHash signature as an array<bigint> column expression.
+
+    h_i(doc) = min over shingles of (a_i * token_value(s) + b_i) % P —
+    per-row, shuffle-free, codegen'd. Empty shingle arrays get P (an
+    impossible hash) so signatures stay total.
+    """
+    parts = []
+    for a, b in minhash_params(num_hashes):
+        parts.append(
+            f"coalesce(array_min(transform({shingle_col}, s -> ({a} * {_tv_sql('s')} + {b}) % {MINHASH_PRIME})), {MINHASH_PRIME})"
+        )
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def simhash32(token_col: str = "__t") -> Column:
+    """32-bit SimHash sketch: bit b is the sign of the sum over tokens of
+    ±1 depending on bit b of a per-token hash. One BIGINT per document."""
+    tv = _tv_sql("t")
+    per_bit = (
+        f"aggregate({token_col}, 0, (s, t) -> s + "
+        f"(CASE WHEN ((({tv} * (2 * b + 1)) % 2147483647) & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    return F.expr(
+        "aggregate(sequence(0, 31), cast(0 as bigint), "
+        f"(acc, b) -> acc + (CASE WHEN {per_bit} > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END))"
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    explode(distinct shingles) → self-equi-join on shingle → per-pair
+    common count → jaccard = common / (|A| + |B| - common). Pairs sharing
+    no shingle are never materialized. ``max_shingle_freq`` drops
+    stop-shingles (document-frequency cap) — at corpus scale this is the
+    knob that keeps the candidate join bounded.
+    """
+    sh = with_shingles(df.select(id_col, text_col), text_col, k)
+    sh = sh.select(id_col, F.array_size("shingle").alias("n_sh"), "shingle")
+    inv = sh.select(id_col, "n_sh", F.explode("shingle").alias("sh"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        keep = freq.filter(F.col("df_") <= max_shingle_freq).select("sh")
+        inv = inv.join(F.broadcast(keep), "sh")
+    a = inv.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
+    )
+    b = inv.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), F.col("sh")
+    )
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding + exact verification.
+
+    1. signature: array<bigint>[num_hashes] per doc (narrow, no shuffle)
+    2. banding: explode into ``bands`` rows keyed by (band_id, hash of
+       the band's rows); equi-join groups collisions — candidate pairs
+       (one shuffle on the band key)
+    3. exact verify: recompute true shingle Jaccard on candidates only
+       (guards LSH false positives; with 8 bands × 4 rows the miss
+       probability at j≥0.9 is <2e-4, and everything is deterministic).
+
+    At 100 TB step 2 is the only wide operation and its key cardinality
+    (docs × bands) shards evenly — this is the canonical distributed
+    near-dup shape (cf. Spark MLlib MinHashLSH, same strategy).
+    """
+    rows_per_band = num_hashes // bands
+    sh = with_shingles(df.select(id_col, text_col), text_col, k)
+    sig = sh.withColumn("sig", minhash_signature(num_hashes))
+    banded = sig.select(
+        id_col,
+        "shingle",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, 'key', hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))))"
+            )
+        ).alias("bk"),
+    ).select(id_col, "shingle", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("shingle").alias("sh_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.withColumn(
+        "jaccard",
+        F.array_size(F.array_intersect("sh_a", "sh_b"))
+        / (
+            F.array_size("sh_a")
+            + F.array_size("sh_b")
+            - F.array_size(F.array_intersect("sh_a", "sh_b"))
+        ),
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

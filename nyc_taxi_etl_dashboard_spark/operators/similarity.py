@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (NEW surface: ANN for
+training-data pipelines; embeddings are ``array<float>``).
+
+Design: brute-force cosine top-k is the correctness baseline (broadcast
+the query set, fold the dot product JVM-side); the scale path is
+random-hyperplane LSH bucketing, which turns top-k into a bucket
+equi-join + local top-k. Vector math uses Catalyst higher-order
+functions (``zip_with`` + ``aggregate``) — sequential left-folds, so
+results are bit-deterministic and oracle-comparable; no Python crosses
+the row boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ as a sequential double fold (deterministic order)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    sq = F.transform(ca, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Broadcast-nested-loop join (queries are small by construction) +
+    ranking window partitioned by query — the fold runs inside the join
+    stage, so the corpus is scanned exactly once regardless of |queries|.
+    Excludes self-matches. At 100 TB use :func:`rhp_bucket` first and
+    brute-force only within buckets.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def rhp_signature(vec_col: str = "embedding", n_planes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane LSH sketch: bit p = sign(v · h_p), hyperplanes
+    derived deterministically from (p, dimension index) via a hash-based
+    pseudo-random ±1 weight — no stored model, reproducible cluster-wide.
+    """
+    per_plane = (
+        f"aggregate(transform(sequence(0, {dim - 1}), j -> "
+        f"cast(embedding_d[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), (acc, p) -> "
+        f"acc + (CASE WHEN {per_plane} > 0 THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))"
+    ).alias("rhp_sig")
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN scale path: bucket corpus and queries by RHP signature, then
+    exact cosine top-k *within* matching buckets (single-probe).
+
+    Trades recall for a bucket equi-join instead of a full cross
+    product; multi-probe (flipping low-confidence bits) raises recall at
+    known cost. Returned neighbors are exact-scored; only candidate
+    generation is approximate.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding_d"),
+    ).withColumn("sig", rhp_signature(n_planes=n_planes, dim=dim))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding_d"),
+    ).withColumn("sig", rhp_signature(n_planes=n_planes, dim=dim))
+    q = q.select("query_id", F.col("embedding_d").alias("q_vec"), "sig")
+    c = c.select("neighbor_id", F.col("embedding_d").alias("c_vec"), "sig")
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def centroids_by_label(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-label centroid via posexplode + grouped avg — the standard
+    distributed mean-vector shape (shuffle keyed on (label, dim), counts
+    bounded by |labels|·dim)."""
+    exploded = df.select(
+        label_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val")
+    )
+    return (
+        exploded.groupBy(label_col, "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy(label_col)
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "mean_val"))).alias("pairs"))
+        .select(
+            label_col,
+            F.expr("transform(pairs, p -> p.mean_val)").alias("centroid"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Text-analysis operators for training-data pipelines (NEW surface,
+SURVEY §7.1 step 7 — no counterpart in the reference).
+
+Everything is Catalyst higher-order functions over a token array —
+JVM-side, codegen'd, shuffle-free. No Python UDFs: at 100 TB a
+row-at-a-time Python tokenizer would dominate the job; these expressions
+run inside the scan stage.
+
+Portable-hash note: token/shingle hashes use ``functions.token_value``
+(first/last code point + length) rather than xxhash64, so DuckDB oracles
+can reproduce signatures exactly. Swap ``token_value`` for ``F.xxhash64``
+in production for better dispersion — the operator shapes are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny English stopword set for the lang-id heuristic; the synthetic
+#: corpus vocabulary is English-ish so this is a demonstration contract
+EN_STOPWORDS = ("the", "a")
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.array_size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.array_size(F.array_distinct(tokens(text)))
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """k-gram shingles (word-level), the MinHash/Jaccard unit.
+
+    ``transform(sequence(0, size-k), i -> tokens[i] .. tokens[i+k-1])``;
+    documents shorter than k yield an empty array (guarded explicitly —
+    Spark's ``sequence(0, -1)`` would count DOWN, not produce empty).
+    """
+    joined = " || ' ' || ".join(f"__t[i + {j}]" for j in range(k))
+    return F.expr(
+        f"CASE WHEN array_size(__t) >= {k} THEN "
+        f"transform(sequence(0, array_size(__t) - {k}), i -> {joined}) "
+        "ELSE array() END"
+    )
+
+
+def with_shingles(df, text_col: str = "text", k: int = 3, out: str = "shingle"):
+    """Attach a distinct-shingle array column (helper binding the __t
+    token array the :func:`shingles` expression expects)."""
+    return (
+        df.withColumn("__t", tokens(text_col))
+        .withColumn(out, F.array_distinct(shingles(F.col("__t"), k)))
+        .drop("__t")
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Share of tokens that are stopwords — the quality/lang-id feature."""
+    toks = tokens(text)
+    matches = F.filter(toks, lambda t: t.isin(*stopwords))
+    return F.array_size(matches) / F.array_size(toks)
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature bank: length, lexical diversity, stopword
+    share, mean token length. Compose into a score downstream; keeping
+    them separate makes thresholds tunable without replanning."""
+    toks = tokens(text)
+    n = F.array_size(toks)
+    return {
+        "n_tokens": n,
+        "distinct_ratio": F.array_size(F.array_distinct(toks)) / n,
+        "stopword_ratio": stopword_ratio(text),
+        "mean_token_len": F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("bigint"), lambda a, x: a + x
+        )
+        / n,
+    }
+
+
+def langid_en_heuristic(text: Column | str, threshold: float = 0.04) -> Column:
+    """n-gram-free lang-id demonstration: English iff the stopword share
+    clears a threshold. Real corpora swap in per-language stopword/char
+    n-gram profiles scored the same way (argmax over a small map —
+    still pure column expressions)."""
+    return F.when(stopword_ratio(text) >= threshold, "en").otherwise("other")

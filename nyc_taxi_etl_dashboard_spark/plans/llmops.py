@@ -1,0 +1,316 @@
+"""LLM-data-pipeline queries (NEW surface, SURVEY §7.1 step 7): text
+analysis, exact/fuzzy dedup, similarity search, multimodal plumbing —
+over the ``documents`` and ``embeddings`` fixtures.
+
+Oracle notes: signatures/hashes use the portable ``token_value`` hash so
+DuckDB can reproduce them bit-for-bat; per-row ratios are IEEE-exact in
+both engines; only cross-row double aggregations are rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import POLY_BASE, POLY_MOD, poly_fingerprint, token_value
+from ..operators import multimodal
+from ..operators.dedup import (
+    MINHASH_PRIME,
+    dedup_keep_first,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_params,
+    minhash_signature,
+    simhash32,
+)
+from ..operators.similarity import centroids_by_label, knn_bruteforce, knn_lsh, l2_norm
+from ..operators.text import (
+    langid_en_heuristic,
+    quality_features,
+    tokens,
+    with_shingles,
+)
+from ..sources import read_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc counts, length stats, source
+    coverage — the first-look census any corpus pipeline runs."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.array_size(tokens("text"))), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality feature bank (length, lexical diversity,
+    stopword share, mean token length) — pure row-wise expressions."""
+    d = _docs(spark, sf_dir)
+    feats = quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["distinct_ratio"].alias("distinct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint (rolling polynomial hash) —
+    the cheap exact-dup/content-drift sketch."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", poly_fingerprint(tokens("text")).alias("fingerprint"))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword-share thresholding)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", langid_en_heuristic("text").alias("lang_pred"))
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 deterministic: one survivor per (lang, source), lowest doc_id
+    wins (pandas keep='first' needs an explicit tiebreaker distributed)."""
+    d = _docs(spark, sf_dir)
+    return dedup_keep_first(d, ["lang", "source"], ["doc_id"]).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (k=3) Jaccard near-dup pairs ≥0.5 via inverted shingle
+    index — never materializes non-overlapping pairs."""
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hash MinHash signature per document (portable permutation
+    hashes => oracle-checkable bit-for-bit)."""
+    sh = with_shingles(_docs(spark, sf_dir).select("doc_id", "text"))
+    sig = sh.withColumn("sig", minhash_signature(8))
+    cols = [F.col("sig")[i].alias(f"h{i}") for i in range(8)]
+    return sig.select("doc_id", *cols)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding (32 hashes, 8 bands) + exact verification at
+    jaccard ≥0.8. Oracle is the exhaustive pair scan — they agree when
+    LSH recall is total (deterministic hashes: miss prob <2e-4 at j≥0.9,
+    and fixed for a fixed dataset)."""
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document."""
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("__t"))
+    return d.select("doc_id", simhash32().alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms — the vector-math smoke check (sequential fold ⇒
+    bit-deterministic, no rounding needed)."""
+    return _embs(spark, sf_dir).select("vec_id", l2_norm("embedding").alias("l2"))
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 3) — brute-force
+    baseline: broadcast queries, fold dot products in the scan stage."""
+    e = _embs(spark, sf_dir)
+    return knn_bruteforce(e, e.filter(F.col("vec_id") < 3), k=5)
+
+
+def q_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norms (posexplode + grouped mean — the
+    distributed mean-vector shape). Cross-row double sums => rounded."""
+    e = _embs(spark, sf_dir)
+    cent = centroids_by_label(e)
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        cent.join(counts, "label")
+        .select("label", "n_vecs", F.round(l2_norm("centroid"), 6).alias("centroid_l2"))
+    )
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane bucketing then exact in-bucket
+    top-k. Approximate candidate generation => rows-only check (no
+    oracle); the pytest invariant asserts in-bucket results ⊆ exact
+    results with equal scores."""
+    e = _embs(spark, sf_dir)
+    return knn_lsh(e, e.filter(F.col("vec_id") < 3), k=5)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via Arrow-batched mapInPandas
+    (decode stubbed — container has no codecs; the Spark plumbing is
+    real). Features are deterministic so the oracle reproduces them."""
+    d = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.extract_media_features(d)
+
+
+QUERIES = {
+    "t1_lang_profile": q_lang_profile,
+    "t2_quality_features": q_quality_features,
+    "t3_fingerprints": q_fingerprints,
+    "t4_langid": q_langid,
+    "dd1_dedup_keep_first": q_dedup_keep_first,
+    "dd2_jaccard_pairs": q_jaccard_pairs,
+    "dd3_minhash_signatures": q_minhash_signatures,
+    "dd4_lsh_pairs": q_lsh_pairs,
+    "dd5_simhash": q_simhash,
+    "v1_embedding_norms": q_embedding_norms,
+    "v2_knn_bruteforce": q_knn_bruteforce,
+    "v3_centroid_norms": q_centroid_norms,
+    "v4_knn_lsh": q_knn_lsh,
+    "mm1_media_features": q_media_features,
+}
+
+# -- oracle SQL ------------------------------------------------------------
+
+_TV = "(ascii({v}) * 10007 + ascii(reverse({v})) * 101 + length({v}))"
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, text, list_distinct(
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+    ELSE [] END) AS shingle
+  FROM toks)"""
+
+_MINHASH_COLS = ", ".join(
+    f"coalesce(list_min(list_transform(shingle, s -> ({a} * {_TV.format(v='s')} + {b}) % {MINHASH_PRIME})), {MINHASH_PRIME}) AS h{i}"
+    for i, (a, b) in enumerate(minhash_params(8))
+)
+
+_JACCARD_PAIRS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.shingle, b.shingle)) * 1.0
+         / (len(a.shingle) + len(b.shingle) - len(list_intersect(a.shingle, b.shingle))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingle, b.shingle)) * 1.0
+        / (len(a.shingle) + len(b.shingle) - len(list_intersect(a.shingle, b.shingle))) >= {thr}"""
+
+_SIMHASH_PER_BIT = (
+    "list_reduce(list_prepend(0, list_transform(t, tok -> "
+    f"CASE WHEN ((({_TV.format(v='tok')} * (2 * b + 1)) % 2147483647) & 1) = 1 THEN 1 ELSE -1 END)), "
+    "(s, x) -> s + x)"
+)
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(64), "
+    "i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))), (acc, x) -> acc + x)"
+)
+
+ORACLES = {
+    "t1_lang_profile": """
+SELECT lang, count(*) AS n_docs,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang""",
+    "t2_quality_features": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+       len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) AS stopword_ratio,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) * 1.0 / len(toks) AS mean_token_len
+FROM t""",
+    "t3_fingerprints": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(toks, tok -> CAST({_TV.format(v='tok')} AS BIGINT))),
+         (acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD}) AS fingerprint
+FROM t""",
+    "t4_langid": """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) >= 0.04
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM t""",
+    "dd1_dedup_keep_first": """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1""",
+    "dd2_jaccard_pairs": f"WITH {_SHINGLES_CTE} {_JACCARD_PAIRS.format(thr=0.5)}",
+    "dd3_minhash_signatures": f"WITH {_SHINGLES_CTE} SELECT doc_id, {_MINHASH_COLS} FROM sh",
+    "dd4_lsh_pairs": f"WITH {_SHINGLES_CTE} {_JACCARD_PAIRS.format(thr=0.8)}",
+    "dd5_simhash": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32),
+         b -> CASE WHEN {_SIMHASH_PER_BIT} > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+         (acc, x) -> acc + x) AS simhash
+FROM t""",
+    "v1_embedding_norms": """
+SELECT vec_id,
+       sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         (acc, x) -> acc + x)) AS l2
+FROM embeddings""",
+    "v2_knn_bruteforce": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qv', b='cv')}
+           / (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored) WHERE rnk <= 5""",
+    "v3_centroid_norms": """
+WITH m AS (
+  SELECT label, i, avg(CAST(embedding[i+1] AS DOUBLE)) AS mean_val
+  FROM embeddings CROSS JOIN range(64) r(i)
+  GROUP BY label, i),
+n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+SELECT m.label, n.n_vecs, round(sqrt(sum(mean_val * mean_val)), 6) AS centroid_l2
+FROM m JOIN n ON m.label = n.label
+GROUP BY m.label, n.n_vecs""",
+    # v4_knn_lsh: intentionally no oracle (approximate candidate set);
+    # invariants asserted in tests/test_llmops.py instead
+    "mm1_media_features": f"""
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+       CAST(ascii(text[1:1]) AS INTEGER) AS first_byte,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(least(length(text), 64)), i -> CAST(ascii(text[i+1:i+1]) AS BIGINT))),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS content_hash
+FROM documents""",
+}

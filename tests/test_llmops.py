@@ -1,0 +1,79 @@
+"""Invariant tests for the approximate operators that have no SQL
+oracle (LSH ANN), plus unit checks on dedup/text/multimodal semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_knn_lsh_subset_of_exact(spark, sf_dir):
+    """In-bucket ANN results must be a subset of the exact scored pairs:
+    same (query, neighbor) keys score identically in the exact top-k
+    ranking universe."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import knn_bruteforce, knn_lsh
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3)
+    exact = knn_bruteforce(e, queries, k=500)  # effectively all-scored
+    approx = knn_lsh(e, queries, k=5)
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    ap = approx.collect()
+    assert len(ap) > 0, "LSH buckets produced no candidates"
+    for r in ap:
+        assert (r.query_id, r.neighbor_id) in ex
+        assert abs(ex[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+
+
+def test_lsh_pairs_subset_of_exact_jaccard(spark, sf_dir):
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(d, threshold=0.8).collect()
+    }
+    lsh = minhash_lsh_pairs(d, threshold=0.8).collect()
+    assert len(lsh) > 0, "expected planted near-duplicates at >=0.8"
+    for r in lsh:
+        assert (r.id_a, r.id_b) in exact
+        assert abs(exact[(r.id_a, r.id_b)] - r.jaccard) < 1e-12
+
+
+def test_dedup_keep_first_deterministic(spark, sf_dir):
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import dedup_keep_first
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    out1 = sorted(r.doc_id for r in dedup_keep_first(d, ["lang"], ["doc_id"]).collect())
+    out2 = sorted(r.doc_id for r in dedup_keep_first(d, ["lang"], ["doc_id"]).collect())
+    assert out1 == out2
+    mins = {
+        r.lang: r.m
+        for r in d.groupBy("lang").agg(F.min("doc_id").alias("m")).collect()
+    }
+    assert sorted(mins.values()) == out1
+
+
+def test_frame_sample_stub_raises(spark, sf_dir):
+    from nyc_taxi_etl_dashboard_spark.operators import multimodal
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    d = multimodal.attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample_stub(d)
+
+
+def test_media_features_batch_shape(spark, sf_dir):
+    """mapInPandas plumbing: output schema is the declared contract and
+    content hash is stable across runs."""
+    from nyc_taxi_etl_dashboard_spark.operators import multimodal
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    d = multimodal.attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    out = multimodal.extract_media_features(d)
+    assert out.schema == multimodal.MEDIA_FEATURES_SCHEMA
+    row = out.orderBy("doc_id").first()
+    assert row.byte_len > 0 and row.content_hash >= 0
