@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ...}.
+
+Comparable (BASELINE.md): the reference's single transform run moves 2M
+rows in 6.654 s ≈ 300k rows/s single-threaded pandas; the engine target
+is ≥150k rows/s through the full derive+classify+split pipeline at
+sf0.1. ``pipe_transform_rps`` in the JSON reports our rows/s on that
+exact shape (scan → join → derive → classify → split → both branches
+materialized).
+
+Each query executes to completion via the noop sink (forces full
+computation, no collect/IO skew); timings are wall-clock per query after
+a shared session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    # reference-parity pipeline + dashboard
+    "pipe_valid_rows",
+    "pipe_anomaly_breakdown",
+    "pipe_report_stats",
+    "a10_daily_avg_revenue",
+    "a13_revenue_by_payment",
+    "a17_calendar_rollup",
+    "w1_top3_locations_per_period",
+    "st4_fact_resolved",
+    "j1_star_flatten_revenue",
+    # events
+    "e2_tumbling_counts",
+    "e3_sessionize",
+    # LLM-pipeline ops
+    "t3_fingerprints",
+    "dd2_jaccard_pairs",
+    "dd4_lsh_pairs",
+    "dd5_simhash",
+    "v2_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from nyc_taxi_etl_dashboard_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+
+    # warm up the JVM/codegen paths once (excluded from timings)
+    queries["a6_total_trips"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    # rows/s through the full transform pipeline (BASELINE.md comparable):
+    # one classification pass, both branches consumed
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_dashboard_spark.plans.pipeline import transform
+
+    start = time.perf_counter()
+    valid, anomalies = transform(spark, sf_dir, persist=True)
+    n_rows = valid.count() + anomalies.count()
+    pipeline_sec = time.perf_counter() - start
+    timings["pipe_transform_full"] = round(pipeline_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "pipe_transform_rows": n_rows,
+                "pipe_transform_rps": round(n_rows / pipeline_sec),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import POLY_MOD
+from . import scale_out
 from .text import with_shingles
 
 #: deterministic MinHash permutation parameters h_i(x) = (a_i*x + b_i) % P
@@ -57,17 +58,27 @@ def _tv_sql(var: str) -> str:
     return f"(ascii({var}) * 10007 + ascii(reverse({var})) * 101 + length({var}))"
 
 
-def minhash_signature(num_hashes: int, shingle_col: str = "shingle") -> Column:
+def minhash_signature(
+    num_hashes: int, shingle_col: str = "shingle", portable: bool = True
+) -> Column:
     """MinHash signature as an array<bigint> column expression.
 
-    h_i(doc) = min over shingles of (a_i * token_value(s) + b_i) % P —
+    h_i(doc) = min over shingles of (a_i * hash(s) + b_i) % P —
     per-row, shuffle-free, codegen'd. Empty shingle arrays get P (an
     impossible hash) so signatures stay total.
+
+    ``portable=True`` uses the weak-but-engine-portable ``token_value``
+    hash (oracle-comparable bit-for-bit; fine for signature parity
+    demos). ``portable=False`` uses ``xxhash64`` — the production
+    choice: ``token_value``'s tiny codomain (~2k values on a small
+    vocabulary) makes unrelated shingles collide, which inflates LSH
+    buckets quadratically.
     """
+    base = _tv_sql("s") if portable else "xxhash64(s)"
     parts = []
     for a, b in minhash_params(num_hashes):
         parts.append(
-            f"coalesce(array_min(transform({shingle_col}, s -> ({a} * {_tv_sql('s')} + {b}) % {MINHASH_PRIME})), {MINHASH_PRIME})"
+            f"coalesce(array_min(transform({shingle_col}, s -> abs(({a} * {base} + {b}) % {MINHASH_PRIME}))), {MINHASH_PRIME})"
         )
     return F.expr("array(" + ", ".join(parts) + ")")
 
@@ -102,9 +113,11 @@ def jaccard_pairs(
     stop-shingles (document-frequency cap) — at corpus scale this is the
     knob that keeps the candidate join bounded.
     """
-    sh = with_shingles(df.select(id_col, text_col), text_col, k)
+    sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k)
     sh = sh.select(id_col, F.array_size("shingle").alias("n_sh"), "shingle")
-    inv = sh.select(id_col, "n_sh", F.explode("shingle").alias("sh"))
+    # persist: the self-join consumes the index twice; without this each
+    # side re-parses and re-shingles the corpus
+    inv = sh.select(id_col, "n_sh", F.explode("shingle").alias("sh")).persist()
     if max_shingle_freq is not None:
         freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         keep = freq.filter(F.col("df_") <= max_shingle_freq).select("sh")
@@ -154,37 +167,37 @@ def minhash_lsh_pairs(
     near-dup shape (cf. Spark MLlib MinHashLSH, same strategy).
     """
     rows_per_band = num_hashes // bands
-    sh = with_shingles(df.select(id_col, text_col), text_col, k)
-    sig = sh.withColumn("sig", minhash_signature(num_hashes))
+    sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k).persist()
+    sig = sh.withColumn("sig", minhash_signature(num_hashes, portable=False))
+    # slim band table: (id, band, key) only — never shuffle the shingle
+    # arrays with the bucketing join (they'd be duplicated x bands)
     banded = sig.select(
         id_col,
-        "shingle",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
                 f"named_struct('band', b, 'key', hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band}))))"
             )
         ).alias("bk"),
-    ).select(id_col, "shingle", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"), "band", "key"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("shingle").alias("sh_b"), "band", "key"
-    )
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
     cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.withColumn(
-        "jaccard",
-        F.array_size(F.array_intersect("sh_a", "sh_b"))
-        / (
-            F.array_size("sh_a")
-            + F.array_size("sh_b")
-            - F.array_size(F.array_intersect("sh_a", "sh_b"))
-        ),
+    # fetch shingle arrays only for surviving candidates, then verify
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("sh_b"))
+    common = F.array_size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            common / (F.array_size("sh_a") + F.array_size("sh_b") - common),
+        )
     )
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

@@ -1,0 +1,129 @@
+"""Event-stream queries, batch form (oracle-checkable twins of the
+streaming operators in ``streaming.events``; the streaming versions add
+watermarks/state but compute the same answers on a drained input).
+
+Covers the NEW JSON/data-plane functions the reference lacks
+(SURVEY §2.9 note): ``get_json_object`` over ``events.props``,
+event-time windowing, gap-based sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events")
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props payload (semi-structured
+    columns are first-class: parse → typed column, pushable)."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event_type — batch twin of
+    ``streaming.windowed_counts`` (same groupBy(window) plan minus the
+    watermark)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) in pure batch SQL:
+    lag → new-session flag → running sum = session id → per-session agg.
+    Batch twin of ``streaming.session_counts`` (session_window)."""
+    e = _events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_sec = 1800
+    with_prev = e.withColumn("prev_ts", F.lag("ts").over(order))
+    flagged = with_prev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("prev_ts").cast("timestamp").cast("double")
+                > gap_sec
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+def q_event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type mix pivoted wide — the engagement-funnel
+    census (conditional counts stay one pass, no joins)."""
+    e = _events(spark, sf_dir)
+    agg = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return e.groupBy("user_id").agg(*agg)
+
+
+QUERIES = {
+    "e1_json_extract": q_json_extract,
+    "e2_tumbling_counts": q_tumbling_counts,
+    "e3_sessionize": q_sessionize,
+    "e4_event_type_funnel": q_event_type_funnel,
+}
+
+ORACLES = {
+    "e1_json_extract": """
+SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events""",
+    "e2_tumbling_counts": """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2""",
+    "e3_sessionize": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM s GROUP BY user_id, session_id""",
+    "e4_event_type_funnel": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events GROUP BY user_id""",
+}

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import POLY_BASE, POLY_MOD, poly_fingerprint, token_value
-from ..operators import multimodal
+from ..operators import multimodal, scale_out
 from ..operators.dedup import (
     MINHASH_PRIME,
     dedup_keep_first,
@@ -34,11 +34,12 @@ from ..sources import read_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "documents")
+    # single-file fixture => scale_out for the CPU-bound text operators
+    return scale_out(read_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "embeddings")
+    return scale_out(read_table(spark, sf_dir, "embeddings"))
 
 
 # --------------------------------------------------------------------------

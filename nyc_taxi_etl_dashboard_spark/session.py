@@ -46,6 +46,7 @@ def get_spark(
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -78,8 +79,14 @@ def pin_session(spark: SparkSession) -> SparkSession:
     # DuckDB oracle yields NULL on x/0 — non-ANSI Spark matches both
     # (x/0 -> NULL, failed casts -> NULL). Pin it off for parity.
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    except Exception:  # pragma: no cover - conf may be static in some builds
-        pass
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        # events.parquet stores TIMESTAMP(NANOS) which Spark rejects
+        # outright; read the raw int64 and convert (sources.readers)
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in some builds
+            pass
     return spark

@@ -29,8 +29,21 @@ TABLE_NAMES = [
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy Parquet scan of one synthetic table (S1-S3)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Lazy Parquet scan of one synthetic table (S1-S3).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects as a timestamp; with ``spark.sql.legacy.parquet.nanosAsLong``
+    (pinned in the session) it arrives as raw int64 nanos and is
+    converted here via integer division — ``ts div 1000`` stays in
+    bigint (a double would lose precision past 2^53 ns) and floors like
+    other engines' ns→µs truncation.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

@@ -1,0 +1,19 @@
+"""Structured Streaming surface (NEW, SURVEY §2.10 — the reference is
+strictly batch; its anomaly accumulator and upsert-shaped dim loads are
+the 'incremental-shaped' pieces this module generalizes)."""
+
+from .events import (
+    anomaly_split_sink,
+    dedup_within_watermark,
+    read_events_stream,
+    session_counts,
+    windowed_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "windowed_counts",
+    "session_counts",
+    "dedup_within_watermark",
+    "anomaly_split_sink",
+]

@@ -1,0 +1,151 @@
+"""Structured Streaming contract tests (no SQL oracle possible — these
+assert streaming results equal their batch twins, plus watermark/dedup
+semantics the engine defines)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    """Stream input dir seeded with the events table re-encoded to
+    microsecond timestamps (raw fixture is TIMESTAMP(NANOS), which no
+    Spark schema can declare; production streams read Spark-written
+    files anyway)."""
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    staging = tmp_path / "staging"
+    read_table(spark, sf_dir, "events").coalesce(1).write.parquet(str(staging))
+    dst = tmp_path / "events_stream"
+    dst.mkdir()
+    shutil.copy(next(staging.glob("part-*.parquet")), dst / "part-000.parquet")
+    return str(dst)
+
+
+def _drain(writer, spark, name):
+    q = writer.format("memory").queryName(name).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
+    from nyc_taxi_etl_dashboard_spark.plans.events import q_tumbling_counts
+    from nyc_taxi_etl_dashboard_spark.streaming import read_events_stream, windowed_counts
+
+    stream = windowed_counts(read_events_stream(spark, events_dir))
+    got = _drain(stream.writeStream.outputMode("complete"), spark, "wc")
+    got = got.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+    want = q_tumbling_counts(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_counts_match_batch_sessionize(spark, sf_dir, events_dir):
+    from nyc_taxi_etl_dashboard_spark.plans.events import q_sessionize
+    from nyc_taxi_etl_dashboard_spark.streaming import read_events_stream, session_counts
+
+    stream = session_counts(read_events_stream(spark, events_dir))
+    got = _drain(stream.writeStream.outputMode("complete"), spark, "sc")
+    got_rows = sorted(
+        (r.user_id, r.session_start.strftime("%Y-%m-%d %H:%M:%S"), r.n_events)
+        for r in got.collect()
+    )
+    want_rows = sorted(
+        (r.user_id, r.session_start, r.n_events) for r in q_sessionize(spark, sf_dir).collect()
+    )
+    assert got_rows == want_rows
+
+
+def test_dedup_within_watermark(spark, events_dir, tmp_path):
+    from nyc_taxi_etl_dashboard_spark.streaming import dedup_within_watermark, read_events_stream
+
+    # plant duplicates: second file repeats the first file's rows
+    shutil.copy(f"{events_dir}/part-000.parquet", f"{events_dir}/part-001.parquet")
+    stream = dedup_within_watermark(read_events_stream(spark, events_dir))
+    got = _drain(stream.writeStream.outputMode("append"), spark, "dd")
+    n_unique = spark.read.parquet(f"{events_dir}/part-000.parquet").count()
+    assert got.count() == n_unique
+
+
+def test_anomaly_split_sink(spark, sf_dir, events_dir, tmp_path):
+    from nyc_taxi_etl_dashboard_spark.streaming import anomaly_split_sink, read_events_stream
+
+    valid_p = str(tmp_path / "valid")
+    anom_p = str(tmp_path / "anomalies")
+    ckpt = str(tmp_path / "ckpt")
+    q = anomaly_split_sink(
+        read_events_stream(spark, events_dir), valid_p, anom_p, ckpt, value_max=150.0
+    ).start()
+    q.awaitTermination(120)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_total = batch.count()
+    n_anom_expected = batch.filter(
+        (F.col("value") <= 0) | (F.col("value") > 150.0) | F.col("ts").isNull()
+    ).count()
+    valid = spark.read.parquet(valid_p)
+    anom = spark.read.parquet(anom_p)
+    assert valid.count() + anom.count() == n_total
+    assert anom.count() == n_anom_expected
+    assert "rejection_reason" in anom.columns
+    assert "rejection_reason" not in valid.columns
+
+
+def test_late_rows_dropped_by_watermark(spark, events_dir, tmp_path):
+    """Engine contract for late data: once the watermark has PROPAGATED
+    (Spark applies the late-event filter with one micro-batch of lag —
+    the filter uses the previous batch's watermark), rows older than the
+    delay are dropped. Batch 1's late row slips through (wm not yet
+    applied), batch 2's identical-lateness row must be dropped."""
+    from nyc_taxi_etl_dashboard_spark.streaming import windowed_counts
+    from nyc_taxi_etl_dashboard_spark.streaming.events import EVENTS_SCHEMA
+
+    base = spark.read.parquet(f"{events_dir}/part-000.parquet")
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    for i in (1, 2):
+        late = spark.createDataFrame(
+            [
+                (
+                    999990 + i,
+                    max_ts.replace(year=max_ts.year - i),
+                    1,
+                    f"late_type_{i}",
+                    1.0,
+                    "{}",
+                )
+            ],
+            schema=EVENTS_SCHEMA,
+        )
+        late_dir = tmp_path / f"late{i}"
+        late.coalesce(1).write.parquet(str(late_dir))
+        # names sort after part-000 => maxFilesPerTrigger=1 gives each its
+        # own later micro-batch
+        shutil.copy(next(late_dir.glob("part-*.parquet")), f"{events_dir}/part-00{i}.parquet")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    q = (
+        windowed_counts(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("late_wc")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    got = spark.table("late_wc")
+    assert got.filter(F.col("event_type") == "late_type_2").count() == 0
+    assert dropped >= 1
