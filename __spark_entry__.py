@@ -40,10 +40,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from nyc_taxi_etl_dashboard_spark.plans import dashboard, events, llmops, pipeline, star
+    from nyc_taxi_etl_dashboard_spark.plans import analytics_ext, dashboard, events, llmops, pipeline, star
 
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for module in (pipeline, dashboard, star, llmops, events):
+    for module in (pipeline, dashboard, star, llmops, events, analytics_ext):
         registry.update(module.QUERIES)
 
     def pinned(fn):
@@ -59,9 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted => driver
     records a weaker rows-only check; see individual QUERIES docstrings)."""
-    from nyc_taxi_etl_dashboard_spark.plans import dashboard, events, llmops, pipeline, star
+    from nyc_taxi_etl_dashboard_spark.plans import analytics_ext, dashboard, events, llmops, pipeline, star
 
     sql: dict[str, str] = {}
-    for module in (pipeline, dashboard, star, llmops, events):
+    for module in (pipeline, dashboard, star, llmops, events, analytics_ext):
         sql.update(module.ORACLES)
     return sql

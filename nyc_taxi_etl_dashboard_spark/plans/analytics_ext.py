@@ -1,0 +1,228 @@
+"""Extended analytics surface (SURVEY §2.5-§2.7 completions): set
+operations, cube/grouping-sets, ranking/offset/frame windows, bounded
+top-k, distinct-count variants.
+
+The reference has only union+distinct (U1/U2, ``transform.py:69``,
+``load.py:127-130``) and an implicit desc sort (O1); Spark gives the
+rest free — these queries pin their semantics against the oracle so the
+engine's surface is complete, not just present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: vertical concat (``pd.concat``, ``transform.py:69``) —
+    accumulate two slices with duplicates preserved."""
+    o = read_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_orderstatus")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return hi.unionByName(urgent)
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: customers that bought in BOTH halves of the calendar year
+    (INTERSECT — distinct semantics)."""
+    o = read_table(spark, sf_dir, "orders")
+    h1 = o.filter(F.month("o_orderdate") <= 6).select("o_custkey")
+    h2 = o.filter(F.month("o_orderdate") > 6).select("o_custkey")
+    return h1.intersect(h2)
+
+
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: EXCEPT ALL — multiset difference (every H1 purchase row
+    minus one per H2 purchase row, multiplicity preserved)."""
+    o = read_table(spark, sf_dir, "orders")
+    h1 = o.filter(F.month("o_orderdate") <= 6).select("o_custkey")
+    h2 = o.filter(F.month("o_orderdate") > 6).select("o_custkey")
+    return h1.exceptAll(h2)
+
+
+def q_cube_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 note: CUBE over (orderstatus × returnflag) — all 4 grouping
+    sets incl. both marginals and the grand total."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.cube("o_orderstatus", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (flag)) — the two marginals
+    only, with grouping() flags to disambiguate the NULLs."""
+    spark_ = spark
+    read_table(spark_, sf_dir, "lineitem").createOrReplaceTempView("_li")
+    read_table(spark_, sf_dir, "orders").createOrReplaceTempView("_o")
+    return spark_.sql(
+        """
+        SELECT o_orderstatus, l_returnflag,
+               grouping(o_orderstatus) AS g_status,
+               grouping(l_returnflag) AS g_flag,
+               count(*) AS n
+        FROM _li JOIN _o ON l_orderkey = o_orderkey
+        GROUP BY GROUPING SETS ((o_orderstatus), (l_returnflag))
+        """
+    )
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregations (multi-column, one pass)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB cardinality estimator
+    (exact distinct shuffles every key; the sketch is one pass, mergeable,
+    fixed memory). Sketch internals are engine-specific => rows-only
+    check; the pytest invariant bounds its error against the exact count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame window: 7-row trailing mean of daily revenue (ROWS BETWEEN
+    6 PRECEDING AND CURRENT ROW) — the dashboard smoothing primitive."""
+    li = read_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        F.col("d").cast("string").alias("d"),
+        "rev",
+        F.round(F.avg("rev").over(w), 4).alias("rev_ma7"),
+    )
+
+
+def q_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank vs row_number under ties (suppliers ranked by
+    line count within nation)."""
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    j = per_supp.join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("n_lines"), F.asc("s_suppkey"))
+    return j.select(
+        "s_nationkey",
+        "s_suppkey",
+        "n_lines",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+def q_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset windows: per-customer order-value deltas (lag/lead over
+    event time) — the change-detection primitive."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+            "delta_prev"
+        ),
+        F.round(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias(
+            "delta_next"
+        ),
+    )
+
+
+def q_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: global bounded top-k with deterministic tiebreak — Spark
+    executes ORDER BY + LIMIT as TakeOrderedAndProject (per-partition
+    top-k then k-way driver merge), never a full global sort."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+QUERIES = {
+    "u1_union_all": q_union_all,
+    "u3_intersect": q_intersect,
+    "u4_except_all": q_except_all,
+    "a18_cube_status_flag": q_cube_status_flag,
+    "a19_grouping_sets": q_grouping_sets,
+    "a20_distinct_counts": q_distinct_counts,
+    "a21_approx_distinct": q_approx_distinct,
+    "w3_moving_avg": q_moving_avg,
+    "w4_rank_variants": q_rank_variants,
+    "w5_lag_lead_delta": q_lag_lead_delta,
+    "o2_top10_orders": q_top10_orders,
+}
+
+ORACLES = {
+    "u1_union_all": """
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000
+UNION ALL
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    "u3_intersect": """
+SELECT o_custkey FROM orders WHERE month(o_orderdate) <= 6
+INTERSECT
+SELECT o_custkey FROM orders WHERE month(o_orderdate) > 6""",
+    "u4_except_all": """
+SELECT o_custkey FROM orders WHERE month(o_orderdate) <= 6
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE month(o_orderdate) > 6""",
+    "a18_cube_status_flag": """
+SELECT o_orderstatus, l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY CUBE (o_orderstatus, l_returnflag)""",
+    "a19_grouping_sets": """
+SELECT o_orderstatus, l_returnflag,
+       grouping(o_orderstatus) AS g_status,
+       grouping(l_returnflag) AS g_flag,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY GROUPING SETS ((o_orderstatus), (l_returnflag))""",
+    "a20_distinct_counts": """
+SELECT count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+FROM lineitem""",
+    # a21_approx_distinct: rows-only (HLL sketches are engine-specific)
+    "w3_moving_avg": """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, round(sum(l_extendedprice), 2) AS rev
+  FROM lineitem GROUP BY 1)
+SELECT CAST(d AS VARCHAR) AS d, rev,
+       round(avg(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rev_ma7
+FROM daily""",
+    "w4_rank_variants": """
+WITH per_supp AS (
+  SELECT l_suppkey, count(*) AS n_lines FROM lineitem GROUP BY l_suppkey)
+SELECT s_nationkey, s_suppkey, n_lines,
+       rank() OVER w AS rnk, dense_rank() OVER w AS drnk, row_number() OVER w AS rn
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY n_lines DESC, s_suppkey)""",
+    "w5_lag_lead_delta": """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+       round(lead(o_totalprice) OVER w - o_totalprice, 2) AS delta_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "o2_top10_orders": """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+}

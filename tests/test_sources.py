@@ -1,0 +1,88 @@
+"""IO layer tests: CSV round-trip with explicit schema, partitioned
+parquet writes + partition pruning, timestamped side-output, JSON
+report, approx-distinct error bound."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+
+def test_csv_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
+    from nyc_taxi_etl_dashboard_spark.sources import read_csv, read_table, write_csv
+
+    nation = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_csv(nation, path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """S4 + the index replacement (SURVEY §4.1): date-partitioned writes
+    give partition pruning — the scan of one partition must read only
+    that directory."""
+    from nyc_taxi_etl_dashboard_spark.sources import read_table, write_parquet
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=["o_year"])
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1995)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    want = orders.filter(F.col("o_year") == 1995).count()
+    assert back.count() == want
+    assert "PartitionFilters: [isnotnull(o_year" in plan or "o_year#" in plan
+
+
+def test_timestamped_side_output(spark, sf_dir, tmp_path):
+    from nyc_taxi_etl_dashboard_spark.sources import read_table, write_parquet_timestamped
+
+    nation = read_table(spark, sf_dir, "nation")
+    path = write_parquet_timestamped(nation, str(tmp_path), "anomalies")
+    assert "anomalies_" in path
+    assert spark.read.parquet(path).count() == 25
+
+
+def test_json_report_sink(tmp_path):
+    from nyc_taxi_etl_dashboard_spark.sources import write_json_report
+
+    path = str(tmp_path / "report.json")
+    write_json_report({"total": 100, "rate": "10.60%"}, path)
+    assert json.load(open(path)) == {"total": 100, "rate": "10.60%"}
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """a21 invariant: HLL++ at rsd=0.02 stays within 5x the target rsd
+    of the exact cardinality (generous, deterministic bound)."""
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(F.approx_count_distinct("l_partkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.10
+
+
+def test_star_schema_ddl_runs(spark, tmp_path):
+    """S11: the managed-table DDL parses and creates queryable tables."""
+    from nyc_taxi_etl_dashboard_spark.sources.writers import create_star_schema_sql
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS ddl_test LOCATION '{tmp_path / 'wh'}'")
+    spark.catalog.setCurrentDatabase("ddl_test")
+    try:
+        for ddl in create_star_schema_sql():
+            spark.sql(ddl)
+        assert spark.sql("SELECT * FROM fact_trips").count() == 0
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE ddl_test CASCADE")
