@@ -143,3 +143,56 @@ def centroids_by_label(
             F.expr("transform(pairs, p -> p.mean_val)").alias("centroid"),
         )
     )
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN with label centroids as the coarse quantizer.
+
+    Production IVF trains cells with k-means; here the per-label
+    centroids serve as deterministic 'pretrained' cells. Every vector is
+    assigned to its nearest cell (argmax cosine against the broadcast
+    centroid table), queries probe their own cell only (nprobe=1) and
+    brute-force within it. The centroid table is tiny (cells x dim) —
+    collected once, broadcast everywhere; the corpus is scanned once for
+    assignment and once per probe join.
+    """
+    cents = centroids_by_label(corpus, label_col=label_col, vec_col=vec_col)
+    cells = cents.select(
+        F.col(label_col).alias("cell"), F.col("centroid").alias("cell_vec")
+    )
+
+    def assign(df: DataFrame, idc: str, out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cells)).withColumn(
+            "cell_cos", cosine(vec_col, "cell_vec")
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("cell_cos"), F.asc("cell"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(F.col(idc).alias(out), F.col(vec_col), F.col("cell"))
+        )
+
+    c = assign(corpus.select(id_col, vec_col), id_col, "neighbor_id").select(
+        "neighbor_id", F.col(vec_col).alias("c_vec"), "cell"
+    )
+    q = assign(queries.select(id_col, vec_col), id_col, "query_id").select(
+        "query_id", F.col(vec_col).alias("q_vec"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -249,3 +249,25 @@ SELECT order_key, line_number,
        count(*) OVER (PARTITION BY CAST(pickup_ts AS DATE)) AS trips_that_day
 FROM valid""",
 }
+
+
+def q_sliced_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: slicer-filtered visual — trips per day under a (year,
+    time_period) slicer context, the Power BI left-rail filters
+    (README.md:41,66). Date predicates push into the scan; on a
+    date-partitioned warehouse table this becomes partition pruning."""
+    v = _valid(spark, sf_dir)
+    return (
+        v.filter((F.year("pickup_ts") == 1997) & (F.col("time_period") == "Matin"))
+        .groupBy(F.to_date("pickup_ts").cast("string").alias("pickup_date"))
+        .agg(F.count(F.lit(1)).alias("n_trips"), F.round(F.sum("total_amount"), 2).alias("revenue"))
+    )
+
+
+QUERIES["p9_sliced_trips"] = q_sliced_trips
+ORACLES["p9_sliced_trips"] = f"""{_V}
+SELECT CAST(CAST(pickup_ts AS DATE) AS VARCHAR) AS pickup_date,
+       count(*) AS n_trips, round(sum(total_amount), 2) AS revenue
+FROM valid
+WHERE year(pickup_ts) = 1997 AND time_period = 'Matin'
+GROUP BY 1"""

