@@ -1,0 +1,99 @@
+"""The Pandas-UDF escape hatch (SURVEY §2.11): for semantics the
+built-in operators genuinely can't express (recursive/stateful per-group
+math), grouped ``applyInPandas`` with Arrow batching — never
+row-at-a-time Python UDFs.
+
+Demonstrator: per-group exponentially-weighted mean over event time.
+EWM is a linear recurrence (y_t = α·x_t + (1-α)·y_{t-1}) — not
+expressible with SQL window frames (each output depends on the previous
+OUTPUT, not a fixed input frame). This is exactly the boundary where
+the brief's "drop to applyInPandas" rule applies.
+
+Scale notes: one shuffle on the group key; each group must fit a worker
+(pandas materializes per-group). For billions of tiny groups this is
+the right shape; for few huge groups pre-split by time range and carry
+the seed forward.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+EWM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewm_value", DoubleType()),
+    ]
+)
+
+
+def grouped_ewm(
+    events: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group EWM of ``value_col`` in event-time order."""
+
+    def _ewm(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols))
+        ewm = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                "user_id": pdf[group_col],
+                "event_id": pdf["event_id"],
+                "value": pdf[value_col],
+                "ewm_value": ewm,
+            }
+        )
+
+    return events.groupBy(group_col).applyInPandas(_ewm, EWM_SCHEMA)
+
+
+RUNNING_STATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def running_totals_stream(events: DataFrame, timeout_ms: int = 0):
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §2.10 NEW surface): per-user running event count + value sum
+    maintained in engine state across micro-batches — the shape for
+    streaming features no built-in aggregation covers (e.g. model state,
+    decayed counters).
+
+    Returns a streaming DataFrame emitting the updated state row for
+    every user touched in a micro-batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=RUNNING_STATE_SCHEMA,
+        stateStructType="n_events BIGINT, total_value DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

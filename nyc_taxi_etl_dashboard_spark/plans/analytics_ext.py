@@ -226,3 +226,46 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
 SELECT o_orderkey, o_totalprice, o_orderstatus
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
 }
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark lacks the primitive; composed
+    as tag→union→last_value window, one shuffle on the by-key): each
+    event gets the most recent order of the same user at or before its
+    timestamp. Oracle: DuckDB's native ASOF JOIN."""
+    from ..operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("uid"), "ts"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"), "o_orderdate", "o_totalprice"
+    )
+    return asof_join(
+        ev, orders, by="uid", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_totalprice"],
+    ).select("event_id", "uid", "o_totalprice")
+
+
+def q_grouped_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWM of event values via Arrow-batched applyInPandas —
+    the engine's Python escape hatch for recurrence semantics SQL
+    windows can't express. Non-SQL-expressible => rows-only check;
+    pytest compares against a single-process pandas reference."""
+    from ..operators.pandas_ops import grouped_ewm
+
+    ev = read_table(spark, sf_dir, "events")
+    out = grouped_ewm(ev, alpha=0.3)
+    return out.select("user_id", "event_id", F.round("ewm_value", 6).alias("ewm_value"))
+
+
+QUERIES.update({"j2_asof_join": q_asof_join, "x1_grouped_ewm": q_grouped_ewm})
+ORACLES.update(
+    {
+        "j2_asof_join": """
+SELECT e.event_id, e.user_id AS uid, o.o_totalprice
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+        # x1_grouped_ewm: rows-only (linear recurrence, no SQL form)
+    }
+)
