@@ -41,6 +41,9 @@ HEADLINE = [
     "dd4_lsh_pairs",
     "dd5_simhash",
     "v2_knn_bruteforce",
+    "j2_asof_join",
+    "dd6_corpus_curation",
+    "e4_event_type_funnel",
 ]
 
 

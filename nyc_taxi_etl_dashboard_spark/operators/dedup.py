@@ -83,17 +83,22 @@ def minhash_signature(
     return F.expr("array(" + ", ".join(parts) + ")")
 
 
-def simhash32(token_col: str = "__t") -> Column:
+def simhash32(text_col: str = "text", sep: str = " ") -> Column:
     """32-bit SimHash sketch: bit b is the sign of the sum over tokens of
-    ±1 depending on bit b of a per-token hash. One BIGINT per document."""
+    ±1 depending on bit b of a per-token hash. One BIGINT per document.
+
+    Tokens bind once via the array-wrap trick (see ``text.shingles``) —
+    a named token column would re-tokenize inside each of the 32 bit
+    aggregations."""
     tv = _tv_sql("t")
     per_bit = (
-        f"aggregate({token_col}, 0, (s, t) -> s + "
+        "aggregate(toks, 0, (s, t) -> s + "
         f"(CASE WHEN ((({tv} * (2 * b + 1)) % 2147483647) & 1) = 1 THEN 1 ELSE -1 END))"
     )
     return F.expr(
+        f"transform(array(split({text_col}, '{sep}')), toks -> "
         "aggregate(sequence(0, 31), cast(0 as bigint), "
-        f"(acc, b) -> acc + (CASE WHEN {per_bit} > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END))"
+        f"(acc, b) -> acc + (CASE WHEN {per_bit} > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)))[0]"
     )
 
 

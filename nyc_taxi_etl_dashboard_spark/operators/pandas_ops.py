@@ -97,3 +97,34 @@ def running_totals_stream(events: DataFrame, timeout_ms: int = 0):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cosine_pandas_udf(dim: int = 64):
+    """Vectorized (Arrow) cosine against a fixed query vector — the
+    pandas_udf alternative to the JVM fold in ``similarity.cosine``.
+
+    Trade-off: the JVM higher-order fold wins at small dim (no
+    serialization); the Arrow+NumPy path wins once dim × batch is large
+    enough that BLAS beats codegen'd per-element loops (measure at your
+    dim — for 64-dim both are fine; at 1536-dim the UDF typically wins).
+    Returned factory binds the query vector into the UDF closure.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    def make(query_vec: list[float]):
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+
+        @pandas_udf(DoubleType())
+        def _cos(col: pd.Series) -> pd.Series:
+            # promote to float64 BEFORE any reduction: norms on the raw
+            # float32 matrix would cap precision at ~1e-7 relative
+            m = np.stack(col.to_numpy()).astype(np.float64)  # batch x dim
+            dots = m @ q
+            norms = np.linalg.norm(m, axis=1)
+            return pd.Series(dots / (norms * qn))
+
+        return _cos
+
+    return make

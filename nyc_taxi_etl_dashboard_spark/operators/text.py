@@ -35,29 +35,31 @@ def distinct_token_count(text: Column | str) -> Column:
     return F.array_size(F.array_distinct(tokens(text)))
 
 
-def shingles(toks: Column, k: int = 3) -> Column:
+def shingles(text_col: str, k: int = 3, sep: str = " ") -> Column:
     """k-gram shingles (word-level), the MinHash/Jaccard unit.
 
-    ``transform(sequence(0, size-k), i -> tokens[i] .. tokens[i+k-1])``;
-    documents shorter than k yield an empty array (guarded explicitly —
-    Spark's ``sequence(0, -1)`` would count DOWN, not produce empty).
+    ``transform(sequence(0, size-k), i -> tokens[i] .. tokens[i+k-1])``,
+    with two non-obvious guards:
+    - documents shorter than k yield an empty array explicitly — Spark's
+      ``sequence(0, -1)`` would count DOWN, not produce empty;
+    - the token array is BOUND ONCE via ``transform(array(split(..)),
+      t -> ...)[0]``: naming it with ``withColumn`` instead lets
+      CollapseProject inline the ``split`` into every element access of
+      the lambda (~3·|shingles| re-tokenizations per row — measured 4×
+      the entire query's cost before this fix).
     """
-    joined = " || ' ' || ".join(f"__t[i + {j}]" for j in range(k))
+    joined = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
     return F.expr(
-        f"CASE WHEN array_size(__t) >= {k} THEN "
-        f"transform(sequence(0, array_size(__t) - {k}), i -> {joined}) "
-        "ELSE array() END"
+        f"transform(array(split({text_col}, '{sep}')), t -> "
+        f"CASE WHEN array_size(t) >= {k} THEN "
+        f"transform(sequence(0, array_size(t) - {k}), i -> {joined}) "
+        "ELSE array() END)[0]"
     )
 
 
 def with_shingles(df, text_col: str = "text", k: int = 3, out: str = "shingle"):
-    """Attach a distinct-shingle array column (helper binding the __t
-    token array the :func:`shingles` expression expects)."""
-    return (
-        df.withColumn("__t", tokens(text_col))
-        .withColumn(out, F.array_distinct(shingles(F.col("__t"), k)))
-        .drop("__t")
-    )
+    """Attach a distinct-shingle array column."""
+    return df.withColumn(out, F.array_distinct(shingles(text_col, k)))
 
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:

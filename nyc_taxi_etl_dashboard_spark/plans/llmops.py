@@ -125,8 +125,8 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash sketch per document."""
-    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("__t"))
-    return d.select("doc_id", simhash32().alias("simhash"))
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", simhash32("text").alias("simhash"))
 
 
 # --------------------------------------------------------------------------

@@ -191,3 +191,21 @@ def test_running_totals_stream_state(spark, sf_dir, tmp_path):
     got = {r.user_id: r.n for r in final.collect()}
     for r in want.collect():
         assert got[r.user_id] == 2 * r["count"]
+
+
+def test_cosine_pandas_udf_matches_fold(spark, sf_dir):
+    """Arrow-vectorized cosine == JVM higher-order fold (1e-12)."""
+    from nyc_taxi_etl_dashboard_spark.operators.pandas_ops import cosine_pandas_udf
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import cosine
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0].embedding
+    make = cosine_pandas_udf()
+    udf_cos = make([float(x) for x in qvec])
+    got = e.filter(F.col("vec_id") > 0).select(
+        "vec_id", udf_cos("embedding").alias("c_udf"),
+        cosine(F.lit([float(x) for x in qvec]).cast("array<double>"), "embedding").alias("c_fold"),
+    )
+    for r in got.collect():
+        assert abs(r.c_udf - r.c_fold) < 1e-12

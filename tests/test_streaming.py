@@ -149,3 +149,21 @@ def test_late_rows_dropped_by_watermark(spark, events_dir, tmp_path):
     got = spark.table("late_wc")
     assert got.filter(F.col("event_type") == "late_type_2").count() == 0
     assert dropped >= 1
+
+
+def test_sliding_avg_matches_batch(spark, sf_dir, events_dir):
+    """Sliding windows (10m window / 5m slide): streaming complete-mode
+    result equals the batch twin."""
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+    from nyc_taxi_etl_dashboard_spark.streaming import read_events_stream
+    from nyc_taxi_etl_dashboard_spark.streaming.events import sliding_avg
+
+    stream = sliding_avg(read_events_stream(spark, events_dir))
+    got = _drain(stream.writeStream.outputMode("complete"), spark, "sl")
+    batch = read_table(spark, sf_dir, "events")
+    want = (
+        batch.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "avg_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
