@@ -66,17 +66,44 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
-    # rows/s through the full transform pipeline (BASELINE.md comparable):
-    # one classification pass, both branches consumed
-    from pyspark.sql import functions as F
+    # rows/s through the full transform pipeline INCLUDING the parquet
+    # writes of both branches (the reference's 300k rows/s covers load →
+    # classify → write, transform.log:1,10): one scan, one partitioned
+    # dual-sink write, counts via observe
+    import shutil
+    import tempfile
 
-    from nyc_taxi_etl_dashboard_spark.plans.pipeline import transform
+    from nyc_taxi_etl_dashboard_spark.plans.pipeline import dual_sink_write
 
-    start = time.perf_counter()
-    valid, anomalies = transform(spark, sf_dir, persist=True)
-    n_rows = valid.count() + anomalies.count()
-    pipeline_sec = time.perf_counter() - start
+    out_dir = tempfile.mkdtemp(prefix="bench_sink_")
+    bronze_dir = tempfile.mkdtemp(prefix="bench_bronze_")
+    try:
+        start = time.perf_counter()
+        obs = dual_sink_write(spark, sf_dir, out_dir)
+        pipeline_sec = time.perf_counter() - start
+        n_rows = obs["total"]
+
+        # The fixture files are single-row-group parquet: the scan can
+        # never exceed ONE core no matter the cluster size. The engine's
+        # answer is a bronze-layer ingest (one-time layout normalization
+        # it would own in production); report its cost separately and
+        # the transform over the normalized layout as the steady-state
+        # number.
+        ingest_start = time.perf_counter()
+        for t in ("lineitem", "orders"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").repartition(32).write.mode(
+                "overwrite"
+            ).parquet(f"{bronze_dir}/{t}.parquet")
+        ingest_sec = time.perf_counter() - ingest_start
+        start = time.perf_counter()
+        dual_sink_write(spark, bronze_dir, out_dir)
+        bronze_sec = time.perf_counter() - start
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(bronze_dir, ignore_errors=True)
     timings["pipe_transform_full"] = round(pipeline_sec, 3)
+    timings["bronze_ingest"] = round(ingest_sec, 3)
+    timings["pipe_transform_bronze"] = round(bronze_sec, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +116,7 @@ def main() -> None:
                 "sf": float(sf),
                 "pipe_transform_rows": n_rows,
                 "pipe_transform_rps": round(n_rows / pipeline_sec),
+                "pipe_transform_bronze_rps": round(n_rows / bronze_sec),
             }
         )
     )

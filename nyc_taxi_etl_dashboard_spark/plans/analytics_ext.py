@@ -269,3 +269,94 @@ FROM events e ASOF LEFT JOIN orders o
         # x1_grouped_ewm: rows-only (linear recurrence, no SQL form)
     }
 )
+
+
+def q_pivot_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): quantity sums per orderstatus x returnflag
+    with an explicit value list — at scale ALWAYS pass the pivot values
+    (else Spark runs an extra distinct job to discover them)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy("o_orderstatus")
+        .pivot("l_returnflag", ["N", "A", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "o_orderstatus",
+            F.col("N").alias("qty_n"),
+            F.col("A").alias("qty_a"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
+def q_unpivot_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long) via the ids/values API — one output
+    row per (order line, amount kind)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "amount_kind",
+        "amount",
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample via key hashing — the reproducible
+    sampling technique for training-data pipelines (re-runs and
+    different engines agree on membership, unlike RNG-based
+    ``df.sample``). Portable mix: multiply by a large odd constant, mod."""
+    o = read_table(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(100)
+    return o.filter(bucket < 10).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance)
+    per returnflag — single-pass streaming moments, mergeable across
+    partitions (no collect)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("cov_disc_tax"),
+    )
+
+
+QUERIES.update(
+    {
+        "a22_pivot_status_flag": q_pivot_status_flag,
+        "a23_unpivot_amounts": q_unpivot_amounts,
+        "x2_hash_sample": q_hash_sample,
+        "a24_stat_moments": q_stat_moments,
+    }
+)
+ORACLES.update(
+    {
+        "a22_pivot_status_flag": """
+SELECT o_orderstatus,
+       round(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 2) AS qty_n,
+       round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'), 2) AS qty_a,
+       round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2) AS qty_r
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus""",
+        "a23_unpivot_amounts": """
+SELECT l_orderkey, l_linenumber, amount_kind, amount
+FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey < 100)
+UNPIVOT (amount FOR amount_kind IN (l_extendedprice, l_discount, l_tax))""",
+        "x2_hash_sample": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE (o_orderkey * 2654435761) % 100 < 10""",
+        "a24_stat_moments": """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_extendedprice), 2) AS var_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_discount, l_tax), 8) AS cov_disc_tax
+FROM lineitem GROUP BY l_returnflag""",
+    }
+)

@@ -80,7 +80,13 @@ def q_fact_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-J4: the 4-way broadcast-join fact resolution
     (``load.py:155-200``). dim_location is joined twice (pickup/dropoff)
     under aliases — the pandas ``suffixes=('_pu','_do')`` pattern (J3).
-    Row loss parity: rows with NULL ratecode_label drop (inner join)."""
+    Row loss parity: rows with NULL ratecode_label drop (inner join).
+
+    The valid frame feeds five consumers (four dim builds + the fact);
+    recomputing the pruned lineage per consumer measures FASTER here
+    than persisting (caching materializes all columns and pays
+    columnar-cache serialization; the recompute reads only each dim's
+    columns) — revisit on a real cluster where the scan is remote."""
     valid = _valid(spark, sf_dir)
     dt = dim_time(valid)
     dl = dim_location(valid)
