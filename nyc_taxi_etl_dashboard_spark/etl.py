@@ -24,9 +24,16 @@ Stage contracts mirror the reference exactly:
 from __future__ import annotations
 
 import argparse
+import logging
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: S13 log-sink parity: the reference logs row counts and the anomaly
+#: breakdown per run (transform.py:10-14,27,70-71 -> transform.log);
+#: counts here come from the same Spark actions the report performs, so
+#: logging adds no extra jobs
+logger = logging.getLogger("nyc_taxi_etl_dashboard_spark.etl")
 
 from .operators.classify import anomaly_breakdown, split_valid_anomalies, taxi_rules
 from .operators.cleanse import cleanse, require_nonempty
@@ -90,6 +97,14 @@ def transform(df: DataFrame) -> tuple[DataFrame, DataFrame, dict]:
             r["rejection_reason"]: r["n"] for r in anomaly_breakdown(anomalies).collect()
         },
     }
+    logger.info(
+        "transform: %d rows processed, %d anomalies (%s)",
+        total,
+        n_anom,
+        report["anomaly_rate"],
+    )
+    for reason, n in report["anomaly_breakdown"].items():
+        logger.info("transform: - %s: %d", reason, n)
     return valid, anomalies, report
 
 

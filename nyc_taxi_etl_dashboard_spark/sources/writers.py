@@ -92,7 +92,17 @@ def write_jdbc_upsert(
     """
     from .readers import read_jdbc
 
-    existing = read_jdbc(spark, url, table, properties).select(*key_cols)
+    try:
+        existing = read_jdbc(spark, url, table, properties).select(*key_cols)
+        # resolve the schema eagerly so a missing table surfaces here,
+        # not inside the join
+        existing.schema
+    except Exception:
+        # bootstrap: target doesn't exist yet -> everything is fresh
+        # (the reference's DDL pre-creates tables, load.py:12-67; this
+        # utility self-bootstraps instead)
+        write_jdbc_append(df, url, table, properties)
+        return
     fresh = df.join(existing, on=key_cols, how="left_anti")
     write_jdbc_append(fresh, url, table, properties)
 

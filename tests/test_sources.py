@@ -86,3 +86,36 @@ def test_star_schema_ddl_runs(spark, tmp_path):
     finally:
         spark.catalog.setCurrentDatabase("default")
         spark.sql("DROP DATABASE ddl_test CASCADE")
+
+
+def test_jdbc_roundtrip_and_upsert_embedded_derby(spark, sf_dir, tmp_path):
+    """S8/S9/S10/S12 against the Derby embedded DB bundled with Spark:
+    append sink, key-lookup scan, and the left-anti-join upsert
+    (ON CONFLICT DO NOTHING equivalent) end to end over a real JDBC
+    boundary."""
+    from nyc_taxi_etl_dashboard_spark.sources import (
+        read_jdbc,
+        read_table,
+        write_jdbc_append,
+        write_jdbc_upsert,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation = read_table(spark, sf_dir, "nation")
+    # S8 append
+    write_jdbc_append(nation.coalesce(1), url, "nation_dw", props)
+    # S10/S12 scan back
+    back = read_jdbc(spark, url, "nation_dw", props)
+    assert back.count() == 25
+    # S9 upsert, three states: bootstrap (no table), partial overlap,
+    # full overlap (idempotent no-op)
+    evens = nation.filter(F.col("n_nationkey") % 2 == 0)
+    write_jdbc_upsert(spark, evens, url, "nation_dw2", ["n_nationkey"], props)
+    assert read_jdbc(spark, url, "nation_dw2", props).count() == 13
+    write_jdbc_upsert(spark, nation, url, "nation_dw2", ["n_nationkey"], props)
+    merged = read_jdbc(spark, url, "nation_dw2", props)
+    assert merged.count() == 25
+    assert merged.select("n_nationkey").distinct().count() == 25  # no dupes
+    write_jdbc_upsert(spark, nation, url, "nation_dw2", ["n_nationkey"], props)
+    assert read_jdbc(spark, url, "nation_dw2", props).count() == 25
