@@ -196,3 +196,38 @@ def ivf_ann(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup
+    primitive): all (a < b) pairs with cosine >= threshold.
+
+    Exact formulation: self cross-join with per-row norms precomputed so
+    each pair costs one dot product. Quadratic by nature — correct as
+    the verification kernel; at corpus scale generate candidates first
+    (``knn_lsh`` buckets for high thresholds, or IVF cells) and run this
+    only within blocks. High thresholds (>=0.9) make RHP blocking
+    near-lossless; low thresholds genuinely require the quadratic pass.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n", l2_norm("v"))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -361,7 +361,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     quality = d.filter(F.array_size(F.split("text", " ")) >= 20).select("doc_id", "text")
     fp = quality.withColumn("fp", poly_fingerprint(tokens("text")))
-    exact_kept = dedup_keep_first(fp, ["fp"], ["doc_id"]).select("doc_id", "text")
+    # persist: feeds both the LSH pair generation and the final anti-join
+    exact_kept = (
+        dedup_keep_first(fp, ["fp"], ["doc_id"]).select("doc_id", "text").persist()
+    )
     pairs = minhash_lsh_pairs(exact_kept, threshold=0.8)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return exact_kept.join(dropped, "doc_id", "left_anti").select("doc_id")
@@ -429,3 +432,23 @@ SELECT doc_id FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""
         # v5_ivf_ann: rows-only (approximate candidate generation)
     }
 )
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup). Threshold 0.45
+    sits just under this corpus's max pairwise cosine so the operator
+    has non-trivial output; production dedup runs at >=0.95 where RHP
+    blocking applies (see operator docstring)."""
+    from ..operators.similarity import embedding_dedup_pairs
+
+    return embedding_dedup_pairs(_embs(spark, sf_dir), threshold=0.45)
+
+
+QUERIES["v6_embedding_dedup"] = q_embedding_dedup
+ORACLES["v6_embedding_dedup"] = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+n AS (SELECT vec_id, embedding, sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.45"""
