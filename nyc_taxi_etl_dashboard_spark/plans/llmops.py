@@ -452,3 +452,24 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.45"""
+
+
+def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via Python UDTF (one row per 16-token segment —
+    the context-window chunking pass). The oracle reproduces the
+    segmentation in pure SQL, pinning the UDTF's semantics exactly."""
+    from ..operators.udtf_ops import segment_documents
+
+    return segment_documents(spark, _docs(spark, sf_dir), seg_tokens=16)
+
+
+QUERIES["x4_segment_documents"] = q_segment_documents
+ORACLES["x4_segment_documents"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg AS (SELECT doc_id, toks,
+               unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i
+        FROM t)
+SELECT doc_id, CAST(i AS INTEGER) AS seg_id,
+       array_to_string(toks[i*16+1 : i*16+16], ' ') AS segment,
+       CAST(len(toks[i*16+1 : i*16+16]) AS INTEGER) AS n_tokens
+FROM seg"""

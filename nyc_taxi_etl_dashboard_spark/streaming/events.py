@@ -148,3 +148,16 @@ def anomaly_split_sink(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def enrich_with_static_dim(
+    events: DataFrame, dim: DataFrame, on_left: str = "user_id", on_right: str = "c_custkey"
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against a static
+    dimension snapshot. Spark plans this as a broadcast join per batch
+    when the dim is small — no state, no watermark needed (the static
+    side is re-read per batch if its source supports it, so slowly
+    changing dims pick up updates on batch boundaries)."""
+    return events.join(
+        dim, events[on_left] == dim[on_right], "left"
+    ).drop(on_right)

@@ -241,3 +241,21 @@ def test_countmin_sketch_error_bound(spark, sf_dir):
     for r in rows:
         assert r.est >= true_counts[r.user_id]
         assert r.est <= true_counts[r.user_id] + 0.01 * n_total
+
+
+def test_udtf_document_segmentation(spark, sf_dir):
+    """UDTF chunking: segments reassemble to the original text and
+    segment sizes respect the budget."""
+    from nyc_taxi_etl_dashboard_spark.operators.udtf_ops import segment_documents
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    segs = segment_documents(spark, docs, seg_tokens=16)
+    rows = segs.collect()
+    assert all(r.n_tokens <= 16 for r in rows)
+    rebuilt = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.seg_id)):
+        rebuilt.setdefault(r.doc_id, []).append(r.segment)
+    originals = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, parts in rebuilt.items():
+        assert " ".join(parts) == originals[doc_id]

@@ -167,3 +167,31 @@ def test_sliding_avg_matches_batch(spark, sf_dir, events_dir):
         .select(F.col("win.start").alias("window_start"), "event_type", "avg_value")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_static_join_enrichment(spark, sf_dir, events_dir):
+    """Stream-static join: streamed events enriched with the customer
+    dim equal the batch join."""
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+    from nyc_taxi_etl_dashboard_spark.streaming import read_events_stream
+    from nyc_taxi_etl_dashboard_spark.streaming.events import enrich_with_static_dim
+
+    dim = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    stream = enrich_with_static_dim(read_events_stream(spark, events_dir), dim)
+    got = _drain(
+        stream.select("event_id", "user_id", "c_mktsegment").writeStream.outputMode(
+            "append"
+        ),
+        spark,
+        "enr",
+    )
+    batch = read_table(spark, sf_dir, "events").join(
+        dim, F.col("user_id") == F.col("c_custkey"), "left"
+    )
+    want = sorted(
+        (r.event_id, r.user_id, r.c_mktsegment)
+        for r in batch.select("event_id", "user_id", "c_mktsegment").collect()
+    )
+    assert sorted(map(tuple, got.collect())) == want
