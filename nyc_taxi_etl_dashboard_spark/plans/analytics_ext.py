@@ -66,8 +66,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_.sql(
         """
         SELECT o_orderstatus, l_returnflag,
-               grouping(o_orderstatus) AS g_status,
-               grouping(l_returnflag) AS g_flag,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
                count(*) AS n
         FROM _li JOIN _o ON l_orderkey = o_orderkey
         GROUP BY GROUPING SETS ((o_orderstatus), (l_returnflag))
@@ -191,8 +191,8 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY CUBE (o_orderstatus, l_returnflag)""",
     "a19_grouping_sets": """
 SELECT o_orderstatus, l_returnflag,
-       grouping(o_orderstatus) AS g_status,
-       grouping(l_returnflag) AS g_flag,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
        count(*) AS n
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY GROUPING SETS ((o_orderstatus), (l_returnflag))""",
@@ -213,7 +213,7 @@ FROM daily""",
 WITH per_supp AS (
   SELECT l_suppkey, count(*) AS n_lines FROM lineitem GROUP BY l_suppkey)
 SELECT s_nationkey, s_suppkey, n_lines,
-       rank() OVER w AS rnk, dense_rank() OVER w AS drnk, row_number() OVER w AS rn
+       CAST(rank() OVER w AS INTEGER) AS rnk, CAST(dense_rank() OVER w AS INTEGER) AS drnk, CAST(row_number() OVER w AS INTEGER) AS rn
 FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
 WINDOW w AS (PARTITION BY s_nationkey ORDER BY n_lines DESC, s_suppkey)""",
     "w5_lag_lead_delta": """

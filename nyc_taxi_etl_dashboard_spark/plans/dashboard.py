@@ -221,7 +221,7 @@ FROM valid""",
 SELECT payment_label, round(sum(total_amount), 2) AS revenue
 FROM valid GROUP BY payment_label ORDER BY revenue DESC""",
     "a14_passengers_by_period": f"""{_V},
-grouped AS (SELECT time_period, sum(passenger_count) AS passengers FROM valid GROUP BY time_period)
+grouped AS (SELECT time_period, CAST(sum(passenger_count) AS BIGINT) AS passengers FROM valid GROUP BY time_period)
 SELECT time_period, passengers,
        round(100.0 * passengers / sum(passengers) OVER (), 4) AS pct_of_total
 FROM grouped""",
@@ -232,7 +232,7 @@ FROM valid GROUP BY 1""",
 SELECT pu_location_id, round(sum(total_amount), 2) AS revenue
 FROM valid GROUP BY pu_location_id""",
     "a17_calendar_rollup": f"""{_V}
-SELECT year(pickup_ts) AS y, quarter(pickup_ts) AS q, month(pickup_ts) AS m,
+SELECT CAST(year(pickup_ts) AS INTEGER) AS y, CAST(quarter(pickup_ts) AS INTEGER) AS q, CAST(month(pickup_ts) AS INTEGER) AS m,
        round(sum(total_amount), 2) AS revenue
 FROM valid GROUP BY ROLLUP (y, q, m)""",
     "w1_top3_locations_per_period": f"""{_V},
@@ -240,8 +240,8 @@ revenue AS (
   SELECT time_period, pu_location_id, round(sum(total_amount), 2) AS revenue
   FROM valid GROUP BY time_period, pu_location_id)
 SELECT time_period, pu_location_id, revenue, rnk FROM (
-  SELECT *, row_number() OVER (PARTITION BY time_period
-            ORDER BY revenue DESC, pu_location_id) AS rnk
+  SELECT *, CAST(row_number() OVER (PARTITION BY time_period
+            ORDER BY revenue DESC, pu_location_id) AS INTEGER) AS rnk
   FROM revenue) WHERE rnk <= 3""",
     "w2_trips_per_day_measure": f"""{_V}
 SELECT order_key, line_number,

@@ -109,10 +109,10 @@ WITH o AS (
   FROM events),
 s AS (
   SELECT user_id, ts,
-         sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+         CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM o)
 SELECT user_id, session_id, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -147,7 +147,7 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT date_format(h, 'yyyy-MM-dd HH:mm:ss') AS bucket_hour,
                date_format(d, 'yyyy-MM-dd HH:mm:ss') AS bucket_day,
-               event_type, grouping(h) AS g_hour,
+               event_type, CAST(grouping(h) AS INT) AS g_hour,
                count(*) AS n, round(sum(value), 2) AS total_value
         FROM _ev_buckets
         GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
@@ -182,7 +182,7 @@ WITH b AS (
   FROM events)
 SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
        strftime(d, '%Y-%m-%d %H:%M:%S') AS bucket_day,
-       event_type, grouping(h) AS g_hour,
+       event_type, CAST(grouping(h) AS INTEGER) AS g_hour,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM b GROUP BY GROUPING SETS ((h, event_type), (d, event_type))""",
         # x3_countmin_sketch: rows-only (sketch bytes are engine-specific)

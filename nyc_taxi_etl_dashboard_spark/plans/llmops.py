@@ -245,7 +245,7 @@ FROM documents GROUP BY lang""",
     "t2_quality_features": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,
-       len(toks) AS n_tokens,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
        len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
        len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) AS stopword_ratio,
        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) * 1.0 / len(toks) AS mean_token_len
@@ -293,7 +293,7 @@ scored AS (
            / (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine
   FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
 SELECT query_id, neighbor_id, cosine, rnk FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
   FROM scored) WHERE rnk <= 5""",
     "v3_centroid_norms": """
 WITH m AS (
@@ -401,8 +401,8 @@ ORACLES.update(
     {
         "t5_token_counts": """
 SELECT doc_id,
-       len(string_split(text, ' ')) AS ws_tokens,
-       len(regexp_extract_all(text, '[a-z]+')) AS regex_tokens,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS regex_tokens,
        (n_chars = length(text)) AS chars_match
 FROM documents""",
         "t6_top_tokens": """

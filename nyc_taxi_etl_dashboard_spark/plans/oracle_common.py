@@ -65,7 +65,7 @@ VALID_CTE = (
     + """,
 valid AS (
   SELECT * EXCLUDE (rejection_reason),
-         hour(pickup_ts) AS pickup_hour,
+         CAST(hour(pickup_ts) AS INTEGER) AS pickup_hour,
          """
     + DOW_CASE.format(ts="pickup_ts")
     + """ AS day_of_week,

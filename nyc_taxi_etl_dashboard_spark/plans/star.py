@@ -187,21 +187,21 @@ _V = f"WITH {VALID_CTE}"
 
 _DIMS = """,
 dim_time AS (
-  SELECT row_number() OVER (ORDER BY datetime) AS time_pk, *
+  SELECT CAST(row_number() OVER (ORDER BY datetime) AS INTEGER) AS time_pk, *
   FROM (SELECT DISTINCT pickup_ts AS datetime, pickup_hour AS hour,
                day_of_week, time_period FROM valid)),
 dim_location AS (
-  SELECT row_number() OVER (ORDER BY location_id) AS location_pk, location_id
+  SELECT CAST(row_number() OVER (ORDER BY location_id) AS INTEGER) AS location_pk, location_id
   FROM (SELECT DISTINCT location_id FROM (
         SELECT pu_location_id AS location_id FROM valid
         UNION ALL SELECT do_location_id FROM valid)
         WHERE location_id IS NOT NULL)),
 dim_payment AS (
-  SELECT row_number() OVER (ORDER BY payment_type) AS payment_pk, payment_type
+  SELECT CAST(row_number() OVER (ORDER BY payment_type) AS INTEGER) AS payment_pk, payment_type
   FROM (SELECT DISTINCT payment_label AS payment_type FROM valid
         WHERE payment_label IS NOT NULL)),
 dim_ratecode AS (
-  SELECT row_number() OVER (ORDER BY ratecode_type) AS ratecode_pk, ratecode_type
+  SELECT CAST(row_number() OVER (ORDER BY ratecode_type) AS INTEGER) AS ratecode_pk, ratecode_type
   FROM (SELECT DISTINCT ratecode_label AS ratecode_type FROM valid
         WHERE ratecode_label IS NOT NULL))"""
 
