@@ -16,9 +16,17 @@ v*=NEW similarity).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the engine package lives next to this file; make the import robust to
+# the harness running with a different working directory
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
