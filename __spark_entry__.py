@@ -104,6 +104,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def pinned(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # some operators persist() intermediates consumed twice within
+            # one query (inverted indexes, shingle tables); the previous
+            # query's blocks are dead by the time the next one starts, so
+            # drop them here — otherwise a long-lived driver/bench session
+            # accumulates every query's cache.
+            spark.catalog.clearCache()
             return fn(_pin(spark), sf_dir)
 
         run.__doc__ = fn.__doc__

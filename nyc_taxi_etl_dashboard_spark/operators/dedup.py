@@ -108,20 +108,29 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 100,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via an inverted shingle index.
 
     explode(distinct shingles) → self-equi-join on shingle → per-pair
     common count → jaccard = common / (|A| + |B| - common). Pairs sharing
     no shingle are never materialized. ``max_shingle_freq`` drops
-    stop-shingles (document-frequency cap) — at corpus scale this is the
-    knob that keeps the candidate join bounded.
+    stop-shingles (document-frequency cap) — without it one shingle
+    shared by m docs emits m² candidate rows, the exact quadratic blowup
+    the inverted index exists to avoid, so the cap defaults ON (100).
+
+    Recall consequence of the cap: a dropped stop-shingle no longer
+    counts toward ``common``, so a pair whose overlap is *mostly*
+    stop-shingles can fall below the threshold — the standard web-dedup
+    tradeoff (near-dup evidence from ultra-common n-grams is weak
+    anyway). ``max_shingle_freq=None`` disables the cap for exhaustive
+    runs on small corpora.
     """
     sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k)
     sh = sh.select(id_col, F.array_size("shingle").alias("n_sh"), "shingle")
     # persist: the self-join consumes the index twice; without this each
-    # side re-parses and re-shingles the corpus
+    # side re-parses and re-shingles the corpus. Callers own cleanup: the
+    # driver/bench loops clearCache() between queries (query-scoped blocks)
     inv = sh.select(id_col, "n_sh", F.explode("shingle").alias("sh")).persist()
     if max_shingle_freq is not None:
         freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))

@@ -198,21 +198,81 @@ def ivf_ann(
     )
 
 
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All bitmasks of popcount <= radius over n_planes bits (multi-probe
+    expansion set). Tiny by construction: C(n_planes, <=radius)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for bit in bits:
+                m |= 1 << bit
+            masks.append(m)
+    return masks
+
+
+def embedding_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Blocked candidate generation for embedding dedup: distinct
+    (id_a < id_b) pairs whose RHP signatures are within ``probe_radius``
+    hamming distance.
+
+    One side multi-probes (explodes its signature XOR every mask of
+    popcount <= radius — C(n_planes, <=radius) slim (id, sig) rows, no
+    vectors), the other side keeps its plain signature; an equi-join on
+    the probed signature yields candidates. The only wide ops are the
+    equi-join and the pair-dedup — both shuffle id-pairs, never vectors,
+    so candidate volume (not corpus size squared) bounds the work.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("embedding_d"),
+    ).withColumn("sig", rhp_signature(n_planes=n_planes))
+    masks = _probe_masks(n_planes, probe_radius)
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.explode(
+            F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("sig_p"),
+    )
+    b = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_p"))
+    return (
+        a.join(b, "sig_p")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
+    n_planes: int | None = None,
+    probe_radius: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic-dedup
-    primitive): all (a < b) pairs with cosine >= threshold.
+    primitive): (a < b) pairs with cosine >= threshold.
 
-    Exact formulation: self cross-join with per-row norms precomputed so
-    each pair costs one dot product. Quadratic by nature — correct as
-    the verification kernel; at corpus scale generate candidates first
-    (``knn_lsh`` buckets for high thresholds, or IVF cells) and run this
-    only within blocks. High thresholds (>=0.9) make RHP blocking
-    near-lossless; low thresholds genuinely require the quadratic pass.
+    Default path is BLOCKED: RHP-bucket candidates via
+    :func:`embedding_candidate_pairs` (signature equi-join + multi-probe),
+    then the exact cosine kernel runs only on candidates — sub-quadratic
+    whenever the corpus spreads across buckets. Plane count / probe
+    radius default from the threshold: high thresholds mean near-dup
+    pairs almost always collide (16 planes, radius 1 is near-lossless at
+    >=0.9); lower thresholds get fewer planes and a wider radius, trading
+    candidate volume for recall. Recall is approximate below ~0.6 —
+    pass ``exact=True`` (all-pairs crossJoin, quadratic) when
+    completeness is required at low thresholds, and expect to pay O(n²).
     """
     base = df.select(
         F.col(id_col).alias("id"),
@@ -224,10 +284,19 @@ def embedding_dedup_pairs(
     b = base.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
     )
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if n_planes is None:
+            n_planes = 16 if threshold >= 0.9 else (8 if threshold >= 0.7 else 4)
+        if probe_radius is None:
+            probe_radius = 1 if threshold >= 0.9 else 2
+        cand = embedding_candidate_pairs(
+            df, id_col=id_col, vec_col=vec_col, n_planes=n_planes, probe_radius=probe_radius
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot("va", "vb") / (F.col("na") * F.col("nb")))
+        pairs.withColumn("cosine", dot("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

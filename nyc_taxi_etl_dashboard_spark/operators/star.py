@@ -34,9 +34,12 @@ def dense_key(df: DataFrame, order_cols: list[str], key_col: str) -> DataFrame:
     total ordering (never ``monotonically_increasing_id`` — its values
     depend on partition layout, SURVEY §5.2 determinism hygiene).
 
-    Scale note: the empty-frame window forces a single-partition sort;
-    acceptable for dims (≤ a few million rows), never for facts —
-    use :func:`hash_key` there.
+    Scale note: the empty-frame window forces a single-partition sort —
+    only acceptable when cardinality is genuinely bounded (payment types,
+    locations). dim_time's natural key grows linearly with the fact, so
+    dense keys are NOT the default anywhere (see ``build_dim``); they
+    exist for oracle comparison, where a SQL engine must reproduce the
+    key values.
     """
     w = Window.orderBy(*[F.asc(c) for c in order_cols])
     return df.withColumn(key_col, F.row_number().over(w))
@@ -53,9 +56,19 @@ def build_dim(
     natural_cols: list[str],
     key_col: str,
     attr_cols: list[str] | None = None,
+    oracle_mode: bool = False,
 ) -> DataFrame:
-    """D2 + dense keys: dedup natural key (+ functionally-dependent
-    attributes), mint surrogate keys ordered by the natural key.
+    """D2 + surrogate keys: dedup natural key (+ functionally-dependent
+    attributes), then mint surrogate keys.
+
+    Default minting is :func:`hash_key` (xxhash64 of the natural key):
+    shuffle-free and layout-independent, so a dim whose natural-key
+    cardinality grows with the fact (dim_time's raw pickup timestamp
+    does) never serializes through a single-partition sort.
+    ``oracle_mode=True`` mints dense row_number keys instead — the
+    engine-portable twin a SQL oracle can reproduce (DuckDB has no
+    xxhash64); it carries the global-sort cost and exists for
+    driver/test comparison only, never as the production default.
 
     NULL natural keys are excluded: a NULL-keyed dim row can never match
     an inner equi-join (and Spark vs SQL NULL sort order differs, so
@@ -65,11 +78,13 @@ def build_dim(
     for c in natural_cols:
         dim = dim.filter(F.col(c).isNotNull())
     dim = dim.distinct()
-    return dense_key(dim, natural_cols, key_col)
+    if oracle_mode:
+        return dense_key(dim, natural_cols, key_col)
+    return dim.withColumn(key_col, hash_key(*natural_cols))
 
 
 def union_distinct_dim(
-    df: DataFrame, cols: list[str], out_col: str, key_col: str
+    df: DataFrame, cols: list[str], out_col: str, key_col: str, oracle_mode: bool = False
 ) -> DataFrame:
     """U2: one dim from N columns — ``concat + drop_duplicates``
     (``load.py:127-130``) as union + distinct. The distinct's shuffle is
@@ -78,7 +93,7 @@ def union_distinct_dim(
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
-    return build_dim(merged, [out_col], key_col)
+    return build_dim(merged, [out_col], key_col, oracle_mode=oracle_mode)
 
 
 def upsert_anti_join(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:

@@ -102,8 +102,12 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (k=3) Jaccard near-dup pairs ≥0.5 via inverted shingle
-    index — never materializes non-overlapping pairs."""
-    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    index — never materializes non-overlapping pairs. The stop-shingle
+    cap (df<=100) is explicit; it drops nothing at the fixture scales
+    (max shingle df: 7 at sf0.01, 25 at sf0.1), so the exhaustive
+    oracle still hash-matches, while bounding candidates at corpus
+    scale."""
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, max_shingle_freq=100)
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,6 +366,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = d.filter(F.array_size(F.split("text", " ")) >= 20).select("doc_id", "text")
     fp = quality.withColumn("fp", poly_fingerprint(tokens("text")))
     # persist: feeds both the LSH pair generation and the final anti-join
+    # (released by the per-query clearCache in the driver/bench loops)
     exact_kept = (
         dedup_keep_first(fp, ["fp"], ["doc_id"]).select("doc_id", "text").persist()
     )
@@ -435,10 +440,15 @@ SELECT doc_id FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (semantic dedup). Threshold 0.45
-    sits just under this corpus's max pairwise cosine so the operator
-    has non-trivial output; production dedup runs at >=0.95 where RHP
-    blocking applies (see operator docstring)."""
+    """Embedding-cosine near-dup pairs (semantic dedup) on the BLOCKED
+    default path: RHP-bucket candidates (4 planes, multi-probe radius 2
+    at this threshold) + exact in-block cosine. Threshold 0.45 sits just
+    under this corpus's max pairwise cosine so the operator has
+    non-trivial output; at 0.45 every qualifying pair's signatures
+    differ by <=2 bits (measured, deterministic hashes), so blocked ==
+    exact here and the exhaustive SQL oracle still hash-matches.
+    Production dedup runs at >=0.9 (16 planes, radius 1, near-lossless);
+    ``exact=True`` is the quadratic escape hatch for low thresholds."""
     from ..operators.similarity import embedding_dedup_pairs
 
     return embedding_dedup_pairs(_embs(spark, sf_dir), threshold=0.45)

@@ -21,9 +21,12 @@ def _valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transform(spark, sf_dir, persist=False)[0]
 
 
-def dim_time(valid: DataFrame) -> DataFrame:
-    """dim_time: distinct pickup timestamps + time attributes with dense
-    keys (``load.py:114-124``)."""
+def dim_time(valid: DataFrame, oracle_mode: bool = False) -> DataFrame:
+    """dim_time: distinct pickup timestamps + time attributes
+    (``load.py:114-124``). Natural key is the raw pickup timestamp —
+    cardinality grows with the fact, so the default mints hash keys;
+    dense keys (the reference's SERIAL parity) only under
+    ``oracle_mode``."""
     return build_dim(
         valid.select(
             F.col("pickup_ts").alias("datetime"),
@@ -34,31 +37,39 @@ def dim_time(valid: DataFrame) -> DataFrame:
         ["datetime"],
         "time_pk",
         attr_cols=["hour", "day_of_week", "time_period"],
+        oracle_mode=oracle_mode,
     )
 
 
-def dim_location(valid: DataFrame) -> DataFrame:
-    """dim_location: U2 union of pickup+dropoff ids, dedup, dense keys
-    (``load.py:127-137``)."""
+def dim_location(valid: DataFrame, oracle_mode: bool = False) -> DataFrame:
+    """dim_location: U2 union of pickup+dropoff ids, dedup, surrogate
+    keys (``load.py:127-137``)."""
     return union_distinct_dim(
-        valid, ["pu_location_id", "do_location_id"], "location_id", "location_pk"
+        valid, ["pu_location_id", "do_location_id"], "location_id", "location_pk",
+        oracle_mode=oracle_mode,
     )
 
 
-def dim_payment(valid: DataFrame) -> DataFrame:
+def dim_payment(valid: DataFrame, oracle_mode: bool = False) -> DataFrame:
     """dim_payment: distinct labels (``load.py:140-147``)."""
-    return build_dim(valid.select(F.col("payment_label").alias("payment_type")), ["payment_type"], "payment_pk")
+    return build_dim(
+        valid.select(F.col("payment_label").alias("payment_type")),
+        ["payment_type"], "payment_pk", oracle_mode=oracle_mode,
+    )
 
 
-def dim_ratecode(valid: DataFrame) -> DataFrame:
+def dim_ratecode(valid: DataFrame, oracle_mode: bool = False) -> DataFrame:
     """Second label dim from the intentionally-partial decode map — the
     J4 row-loss trap carrier (unmapped codes have NULL labels and drop
     at fact resolution)."""
-    return build_dim(valid.select(F.col("ratecode_label").alias("ratecode_type")), ["ratecode_type"], "ratecode_pk")
+    return build_dim(
+        valid.select(F.col("ratecode_label").alias("ratecode_type")),
+        ["ratecode_type"], "ratecode_pk", oracle_mode=oracle_mode,
+    )
 
 
 def q_dim_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = dim_time(_valid(spark, sf_dir))
+    d = dim_time(_valid(spark, sf_dir), oracle_mode=True)
     return d.select(
         "time_pk",
         F.date_format("datetime", "yyyy-MM-dd HH:mm:ss").alias("datetime"),
@@ -69,11 +80,11 @@ def q_dim_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dim_location(_valid(spark, sf_dir)).select("location_pk", "location_id")
+    return dim_location(_valid(spark, sf_dir), oracle_mode=True).select("location_pk", "location_id")
 
 
 def q_dim_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dim_payment(_valid(spark, sf_dir)).select("payment_pk", "payment_type")
+    return dim_payment(_valid(spark, sf_dir), oracle_mode=True).select("payment_pk", "payment_type")
 
 
 def q_fact_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,10 +101,11 @@ def q_fact_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     allocation on a real cluster prefer persist(DISK) or a staging
     write."""
     valid = _valid(spark, sf_dir).localCheckpoint(eager=False)
-    dt = dim_time(valid)
-    dl = dim_location(valid)
-    dp = dim_payment(valid)
-    dr = dim_ratecode(valid)
+    # oracle_mode: DuckDB must reproduce the pk values in this output
+    dt = dim_time(valid, oracle_mode=True)
+    dl = dim_location(valid, oracle_mode=True)
+    dp = dim_payment(valid, oracle_mode=True)
+    dr = dim_ratecode(valid, oracle_mode=True)
     return resolve_fact(
         valid,
         [

@@ -108,3 +108,66 @@ def test_corpus_curation_monotone(spark, sf_dir):
     for p in pairs:
         if p.jaccard >= 0.8 and p.id_a in kept:
             assert p.id_b not in kept, f"near-dup pair both kept: {p}"
+
+
+def test_embedding_dedup_blocked_matches_exact(spark, sf_dir):
+    """The blocked default path (RHP candidates + in-block kernel) must
+    agree with the exact quadratic path on the fixture: at 0.45 every
+    qualifying pair's signatures differ by <= the probe radius, so
+    blocking loses nothing (deterministic hashes => stable property)."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import embedding_dedup_pairs
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dedup_pairs(e, threshold=0.45, exact=True).collect()
+    }
+    blocked = embedding_dedup_pairs(e, threshold=0.45).collect()
+    got = {(r.id_a, r.id_b): r.cosine for r in blocked}
+    assert set(got) == set(exact)
+    for k, v in got.items():
+        assert abs(exact[k] - v) < 1e-12
+
+
+def test_embedding_candidates_subquadratic(spark):
+    """On a clustered corpus the blocked candidate set must be far below
+    all-pairs: vectors in orthogonal clusters land in different RHP
+    buckets, so only intra-cluster (plus rare boundary) pairs surface."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        embedding_candidate_pairs,
+    )
+
+    n_clusters, per_cluster, dim = 4, 10, 64
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per_cluster):
+            v = [0.0] * dim
+            for d in range(16 * c, 16 * c + 16):
+                v[d] = 1.0
+            v[16 * c + (j % 16)] += 0.05 * (j + 1)  # deterministic jitter
+            rows.append((c * per_cluster + j, v))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    n = n_clusters * per_cluster
+    all_pairs = n * (n - 1) // 2
+    cands = embedding_candidate_pairs(df, n_planes=16, probe_radius=1).count()
+    # intra-cluster pairs alone = 4 * C(10,2) = 180; all-pairs = 780
+    assert cands < all_pairs / 2, (cands, all_pairs)
+    assert cands > 0
+
+
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """One stop-shingle shared by all m docs would emit m^2 candidate
+    rows; the document-frequency cap drops it, leaving zero candidates
+    when nothing else overlaps (and the uncapped run shows the blowup)."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import jaccard_pairs
+
+    m = 30
+    rows = [
+        (i, f"hot hot hot uniq{i}a uniq{i}b uniq{i}c uniq{i}d") for i in range(m)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = jaccard_pairs(df, threshold=0.0, max_shingle_freq=None).count()
+    capped = jaccard_pairs(df, threshold=0.0, max_shingle_freq=5).count()
+    assert uncapped == m * (m - 1) // 2  # the quadratic blowup, materialized
+    assert capped == 0  # stop-shingle dropped => no candidate pairs at all

@@ -80,3 +80,20 @@ def test_no_pythonudf_on_parity_path(spark, sf_dir):
     ]:
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, name
+
+
+def test_default_dim_build_has_no_global_sort(spark, sf_dir):
+    """The default dim path mints hash keys — no single-partition window
+    anywhere in the plan. Dense keys (global sort) exist only under
+    oracle_mode. Guards the dim_time 100x-scale liability: its natural
+    key cardinality grows with the fact."""
+    from nyc_taxi_etl_dashboard_spark.plans.star import _valid, dim_time
+
+    valid = _valid(spark, sf_dir)
+    plan = dim_time(valid)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    oracle_plan = (
+        dim_time(valid, oracle_mode=True)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" in oracle_plan  # the contrast: oracle mode pays the sort
