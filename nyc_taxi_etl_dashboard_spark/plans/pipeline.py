@@ -57,9 +57,23 @@ PASSENGER_MIN = 1
 SPEED_RANGE = (0.02, 2.0)
 
 
-def trips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the trips-shaped fact frame from lineitem ⋈ orders."""
+def trips(spark: SparkSession, sf_dir: str, rebalance: bool = False) -> DataFrame:
+    """Build the trips-shaped fact frame from lineitem ⋈ orders.
+
+    ``rebalance=True`` repartitions the lineitem scan before anything
+    else touches it: on unsplittable inputs (single-row-group parquet)
+    the scan is 1 task, and with the orders side broadcast there is no
+    other exchange — so without the rebalance the ENTIRE
+    join+derive+classify chain would inherit the scan's serial
+    parallelism. Placed directly after the scan, only the raw parquet
+    parse is serial; every downstream expression runs cluster-wide. On
+    real multi-file layouts the guard is a no-op (scan already wide).
+    """
     lineitem = read_table(spark, sf_dir, "lineitem")
+    if rebalance:
+        from ..operators import scale_out
+
+        lineitem = scale_out(lineitem)
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderstatus"
     )
@@ -217,14 +231,12 @@ def dual_sink_write(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
 
     from ..operators.classify import classify
 
-    from ..operators import scale_out
-
-    # scale_out: single-file inputs leave the scan+join stage at 1-3
-    # tasks; rebalancing after classification parallelizes the feature
-    # derivation and the write across all cores (no-op on real layouts)
-    classified = scale_out(
-        classify(with_metrics(trips(spark, sf_dir)), synth_rules())
-    )
+    # rebalance at the scan (see ``trips``): the only serial work left on
+    # unsplittable inputs is the parquet parse itself; join (broadcast),
+    # metric derivation, classification, features and the write all run
+    # at full parallelism — measured 2.8s -> 2.1s at sf0.1 vs the old
+    # post-classification repartition
+    classified = classify(with_metrics(trips(spark, sf_dir, rebalance=True)), synth_rules())
     branched = with_features(
         classified.withColumn(
             "branch",
