@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 logger = logging.getLogger("nyc_taxi_etl_dashboard_spark.etl")
 
 from .operators.classify import anomaly_breakdown, split_valid_anomalies, taxi_rules
-from .operators.cleanse import cleanse, require_nonempty
+from .operators.cleanse import (
+    FACT_TRIPS_CHECKS,
+    cleanse,
+    require_nonempty,
+    validate_domain,
+)
 from .operators.dedup import exact_dedup
 from .operators.features import add_time_features, add_trip_metrics, encode_labels
 from .operators.star import build_dim, resolve_fact, union_distinct_dim
@@ -110,10 +115,20 @@ def transform(df: DataFrame) -> tuple[DataFrame, DataFrame, dict]:
 
 def load(valid: DataFrame, warehouse_path: str) -> dict[str, int]:
     """Load stage (load.py:71-228): star schema to parquet-managed
-    tables under ``warehouse_path``. Dims get dense surrogate keys; the
+    tables under ``warehouse_path``. Dims get hash surrogate keys; the
     fact resolves them via broadcast inner joins (row-loss semantics on
     NULL labels preserved); measures narrow to NUMERIC(8,2) like the
-    warehouse DDL (load.py:52-57)."""
+    warehouse DDL (load.py:52-57).
+
+    Two warehouse-boundary guarantees from the reference's DDL:
+    - CHECK parity (load.py:52-57): rows violating a fact CHECK domain
+      are quarantined to ``fact_trips_rejects`` (with the violated
+      constraint named), never loaded — Parquet can't enforce CHECK, so
+      it's a write-time validation filter (S11).
+    - Index parity (load.py:62-67): the fact is partitioned by pickup
+      date, so date-sliced dashboard queries prune partitions — the
+      Parquet equivalent of the reference's btree index on time_pk.
+    """
     dim_time = build_dim(
         valid.select(
             F.col("tpep_pickup_datetime").alias("datetime"),
@@ -152,16 +167,19 @@ def load(valid: DataFrame, warehouse_path: str) -> dict[str, int]:
             F.col("total_amount").cast("decimal(8,2)").alias("total_amount"),
             F.col("trip_duration").cast("decimal(8,2)").alias("duration_min"),
             F.col("avg_speed").cast("decimal(8,2)").alias("avg_speed"),
+            F.to_date(F.col("t.datetime")).alias("pickup_date"),
         ],
     )
+    fact_ok, fact_rejects = validate_domain(fact, FACT_TRIPS_CHECKS)
     counts: dict[str, int] = {}
-    for name, df in [
-        ("dim_time", dim_time),
-        ("dim_location", dim_location),
-        ("dim_payment", dim_payment),
-        ("fact_trips", fact),
+    for name, df, part in [
+        ("dim_time", dim_time, None),
+        ("dim_location", dim_location, None),
+        ("dim_payment", dim_payment, None),
+        ("fact_trips", fact_ok, ["pickup_date"]),
+        ("fact_trips_rejects", fact_rejects, None),
     ]:
-        write_parquet(df, f"{warehouse_path}/{name}")
+        write_parquet(df, f"{warehouse_path}/{name}", partition_by=part)
         counts[name] = df.count()
     return counts
 
@@ -177,7 +195,13 @@ def run_pipeline(
     schema if ``warehouse_path``). The only materialization points are
     the sinks themselves."""
     valid, anomalies, report = transform(extract(spark, input_path))
-    write_parquet(valid, f"{output_path}/valid", partition_by=None)
+    # pickup-date partitioning = the reference's btree-index parity for
+    # the valid output too: one-day slicers read one directory
+    write_parquet(
+        valid.withColumn("pickup_date", F.to_date("tpep_pickup_datetime")),
+        f"{output_path}/valid",
+        partition_by=["pickup_date"],
+    )
     anomaly_path = write_parquet_timestamped(anomalies, output_path, "anomalies")
     write_json_report(report, f"{output_path}/transformation_report.json")
     report["anomaly_output"] = anomaly_path

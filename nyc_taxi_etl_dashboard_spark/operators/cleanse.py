@@ -68,3 +68,52 @@ def cleanse(
     out = drop_null_rows(out, timestamp_cols)
     out = fill_int_nulls(out, int_fill_cols)
     return out
+
+
+#: S11 CHECK-constraint parity (reference ``load.py:23,52-57``): the
+#: warehouse DDL enforces these domains with Postgres CHECK constraints;
+#: Spark tables don't enforce CHECK, so they become write-time validation
+#: filters. Keys are the constraint names, values build the predicate
+#: over the fact frame's column names.
+FACT_TRIPS_CHECKS: dict[str, str] = {
+    "passenger_count_positive": "passenger_count > 0",
+    "trip_distance_positive": "trip_distance > 0",
+    "fare_amount_positive": "fare_amount > 0",
+    "total_amount_positive": "total_amount > 0",
+    "duration_min_positive": "duration_min > 0",
+    "avg_speed_positive": "avg_speed > 0",
+}
+
+DIM_TIME_CHECKS: dict[str, str] = {
+    "hour_in_domain": "hour BETWEEN 0 AND 23",
+}
+
+
+def validate_domain(
+    df: DataFrame, checks: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """S11: CHECK constraints as write-time validation filters.
+
+    Returns ``(ok, rejects)``: ``ok`` satisfies every check; ``rejects``
+    carries a ``violated_check`` column naming the first failed
+    constraint (declaration order — same first-match discipline as the
+    anomaly classifier). NULLs fail a CHECK's sibling NOT NULL intent,
+    so a NULL predicate result counts as a violation, matching the
+    warehouse's refusal to load the row.
+
+    Scale shape: both branches are narrow filters over one scan — no
+    shuffle, no action; callers write each branch (partition-column
+    branching as in ``plans.pipeline.dual_sink_write`` is the
+    single-write alternative when both land in the same sink).
+    """
+    passed = F.lit(True)
+    for expr in checks.values():
+        passed = passed & F.coalesce(F.expr(expr), F.lit(False))
+    first_violation = F.lit(None).cast("string")
+    for name, expr in reversed(list(checks.items())):
+        first_violation = F.when(
+            ~F.coalesce(F.expr(expr), F.lit(False)), F.lit(name)
+        ).otherwise(first_violation)
+    ok = df.filter(passed)
+    rejects = df.filter(~passed).withColumn("violated_check", first_violation)
+    return ok, rejects

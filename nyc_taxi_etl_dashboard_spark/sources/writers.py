@@ -113,7 +113,11 @@ def create_star_schema_sql() -> list[str]:
     Postgres ``SERIAL`` surrogate keys don't distribute; the engine mints
     keys itself (see ``operators.star``) so the DDL declares plain BIGINT
     key columns. ``CHECK`` constraints become validation filters at write
-    time (Spark SQL tables don't enforce CHECK).
+    time (Spark SQL tables don't enforce CHECK): ``etl.load`` applies
+    ``operators.cleanse.validate_domain`` with ``FACT_TRIPS_CHECKS`` and
+    quarantines violations to ``fact_trips_rejects`` instead of loading
+    them. The reference's btree indexes (``load.py:62-67``) map to the
+    fact's pickup-date partitioning (see ``sources.write_parquet``).
     """
     return [
         """CREATE TABLE IF NOT EXISTS dim_time (

@@ -83,13 +83,80 @@ def test_full_pipeline_and_star_load(spark, taxi_input, tmp_path):
     disk_report = json.load(open(f"{out}/transformation_report.json"))
     assert disk_report["total_processed"] == 200
     # star schema: every fact FK resolves, row loss only from NULL labels
+    # and CHECK-domain quarantine
     fact = spark.read.parquet(f"{wh}/fact_trips")
     dim_p = spark.read.parquet(f"{wh}/dim_payment")
     assert report["warehouse_counts"]["fact_trips"] == fact.count()
     n_null_label = valid.filter(valid.payment_label.isNull()).count()
-    assert fact.count() == valid.count() - n_null_label
+    n_rejects = report["warehouse_counts"]["fact_trips_rejects"]
+    assert fact.count() == valid.count() - n_null_label - n_rejects
     # FK integrity
     assert (
         fact.join(dim_p, "payment_pk", "left_anti").count() == 0
     ), "dangling payment_pk"
     assert dict(fact.dtypes)["fare_amount"] == "decimal(8,2)"
+
+
+def test_check_violation_quarantined_not_loaded(spark, tmp_path):
+    """S11 CHECK parity (reference load.py:52-57): a row that passes the
+    anomaly rules but violates a warehouse CHECK domain (total_amount
+    <= 0 — no anomaly rule covers it) must land in fact_trips_rejects
+    with the violated constraint named, and never in fact_trips."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from nyc_taxi_etl_dashboard_spark.etl import run_pipeline
+
+    base = dt.datetime(2024, 3, 15, 8, 0, 0)
+
+    def trip(i, total):
+        return Row(
+            VendorID=1,
+            tpep_pickup_datetime=base + dt.timedelta(minutes=i),
+            tpep_dropoff_datetime=base + dt.timedelta(minutes=i + 15),
+            passenger_count=1,
+            trip_distance=3.0,
+            PULocationID=1,
+            DOLocationID=2,
+            RatecodeID=1,
+            payment_type=1,
+            fare_amount=12.5,
+            total_amount=total,
+        )
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame([trip(0, 15.0), trip(1, 0.0)]).write.parquet(src)
+    report = run_pipeline(
+        spark, src, str(tmp_path / "out"), warehouse_path=str(tmp_path / "wh")
+    )
+    assert report["valid_count"] == 2  # both pass the anomaly rules
+    assert report["warehouse_counts"]["fact_trips"] == 1
+    assert report["warehouse_counts"]["fact_trips_rejects"] == 1
+    rej = spark.read.parquet(str(tmp_path / "wh" / "fact_trips_rejects"))
+    assert rej.first().violated_check == "total_amount_positive"
+
+
+def test_warehouse_partition_pruning_one_day(spark, taxi_input, tmp_path):
+    """Index parity (reference load.py:62-67): fact and valid outputs are
+    pickup-date partitioned, so a one-day slicer prunes to that day's
+    partition — visible as a PartitionFilters entry and a pruned
+    partition count in the scan."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_dashboard_spark.etl import run_pipeline
+
+    out = str(tmp_path / "out")
+    run_pipeline(spark, taxi_input, out, warehouse_path=str(tmp_path / "wh"))
+    fact = spark.read.parquet(str(tmp_path / "wh" / "fact_trips"))
+    one_day = fact.filter(F.col("pickup_date") == "2024-03-15")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pickup_date" in plan
+    n_days = fact.select("pickup_date").distinct().count()
+    assert n_days > 1  # fixture spans multiple days => pruning is real
+    assert one_day.count() > 0
+    # the pruned scan reads strictly fewer files than the full scan
+    def n_files(df):
+        return df._jdf.queryExecution().executedPlan().toString().count(".parquet")
+
+    assert n_files(one_day) <= n_files(fact)
