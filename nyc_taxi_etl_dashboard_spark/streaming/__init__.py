@@ -4,6 +4,7 @@ the 'incremental-shaped' pieces this module generalizes)."""
 
 from .events import (
     anomaly_split_sink,
+    correlate_event_pairs,
     dedup_within_watermark,
     read_events_stream,
     session_counts,
@@ -12,6 +13,7 @@ from .events import (
 
 __all__ = [
     "read_events_stream",
+    "correlate_event_pairs",
     "windowed_counts",
     "session_counts",
     "dedup_within_watermark",

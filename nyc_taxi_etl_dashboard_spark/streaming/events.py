@@ -150,6 +150,42 @@ def anomaly_split_sink(
     )
 
 
+def correlate_event_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    first_type: str = "view",
+    then_type: str = "purchase",
+    within: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream watermarked interval join: pair each ``first_type``
+    event with the same user's ``then_type`` events that follow within
+    ``within`` (the view→purchase funnel-correlation shape).
+
+    Both sides carry a watermark AND the join condition bounds the two
+    event times against each other — the two requirements that let Spark
+    compute how long each side's state must live and evict it (without
+    the time bound, stream-stream inner join state grows forever).
+    State shape at scale: keyed by ``on``, sharded across executors;
+    per-key state holds only rows younger than watermark + interval.
+    """
+    l = left.filter(F.col("event_type") == first_type).withWatermark("ts", watermark).alias("l")
+    r = right.filter(F.col("event_type") == then_type).withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{on}").alias(on),
+        F.col("l.event_id").alias("first_event_id"),
+        F.col("l.ts").alias("first_ts"),
+        F.col("r.event_id").alias("then_event_id"),
+        F.col("r.ts").alias("then_ts"),
+    )
+
+
 def enrich_with_static_dim(
     events: DataFrame, dim: DataFrame, on_left: str = "user_id", on_right: str = "c_custkey"
 ) -> DataFrame:

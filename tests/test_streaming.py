@@ -195,3 +195,40 @@ def test_stream_static_join_enrichment(spark, sf_dir, events_dir):
         for r in batch.select("event_id", "user_id", "c_mktsegment").collect()
     )
     assert sorted(map(tuple, got.collect())) == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream watermarked interval join (view -> purchase within
+    10 minutes per user) equals the batch twin, availableNow-drained."""
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+    from nyc_taxi_etl_dashboard_spark.streaming import (
+        correlate_event_pairs,
+        read_events_stream,
+    )
+
+    stream = correlate_event_pairs(
+        read_events_stream(spark, events_dir), read_events_stream(spark, events_dir)
+    )
+    got = _drain(stream.writeStream.outputMode("append"), spark, "ssj")
+    batch = read_table(spark, sf_dir, "events")
+    l = batch.filter(F.col("event_type") == "view").alias("l")
+    r = batch.filter(F.col("event_type") == "purchase").alias("r")
+    want = (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") > F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
+            "inner",
+        )
+        .select(
+            F.col("l.user_id"),
+            F.col("l.event_id").alias("first_event_id"),
+            F.col("r.event_id").alias("then_event_id"),
+        )
+        .collect()
+    )
+    got_rows = sorted((r.user_id, r.first_event_id, r.then_event_id) for r in got.collect())
+    want_rows = sorted(map(tuple, want))
+    assert len(want_rows) > 0, "fixture has no view->purchase pairs in-interval"
+    assert got_rows == want_rows
