@@ -84,6 +84,20 @@ def rhp_signature(vec_col: str = "embedding", n_planes: int = 16, dim: int = 64)
     ).alias("rhp_sig")
 
 
+def rhp_projections(n_planes: int = 16, dim: int = 64) -> Column:
+    """Per-plane signed projections v · h_p (array<double>) for the same
+    deterministic hyperplanes :func:`rhp_signature` uses. The sign of
+    entry p is bit p of the signature; |entry p| is the margin — how far
+    the vector sits from hyperplane p, i.e. how likely that bit is to
+    differ for a true near neighbor."""
+    per_plane = (
+        f"aggregate(transform(sequence(0, {dim - 1}), j -> "
+        f"cast(embedding_d[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    return F.expr(f"transform(sequence(0, {n_planes - 1}), p -> {per_plane})")
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -92,14 +106,22 @@ def knn_lsh(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    n_probes: int = 0,
 ) -> DataFrame:
     """ANN scale path: bucket corpus and queries by RHP signature, then
-    exact cosine top-k *within* matching buckets (single-probe).
+    exact cosine top-k *within* matching buckets.
 
-    Trades recall for a bucket equi-join instead of a full cross
-    product; multi-probe (flipping low-confidence bits) raises recall at
-    known cost. Returned neighbors are exact-scored; only candidate
-    generation is approximate.
+    ``n_probes`` is the multi-probe recall knob: each query additionally
+    probes the ``n_probes`` buckets reached by flipping its
+    lowest-|margin| signature bits — the bits most likely to differ for
+    a true near neighbor (the vector sits closest to those hyperplanes).
+    Cost is linear in probes (the query side explodes to 1+n_probes slim
+    signature rows; the corpus is never duplicated), so recall rises at
+    a known, bounded price — the standard multi-probe LSH tradeoff.
+    Returned neighbors are exact-scored; only candidate generation is
+    approximate. A (query, neighbor) pair can match at most one probe
+    signature (probes are distinct values), so no candidate dedup is
+    needed.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -108,7 +130,25 @@ def knn_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("embedding_d"),
-    ).withColumn("sig", rhp_signature(n_planes=n_planes, dim=dim))
+    ).withColumn("proj", rhp_projections(n_planes=n_planes, dim=dim))
+    q = q.withColumn(
+        "sig",
+        F.expr(
+            f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), (acc, p) -> "
+            "acc + (CASE WHEN proj[p] > 0 THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))"
+        ),
+    )
+    if n_probes > 0:
+        flip_order = (
+            f"slice(array_sort(transform(sequence(0, {n_planes - 1}), "
+            f"p -> named_struct('m', abs(proj[p]), 'p', p))), 1, {n_probes})"
+        )
+        q = q.withColumn(
+            "sig",
+            F.explode(
+                F.expr(f"concat(array(sig), transform({flip_order}, s -> sig ^ shiftleft(cast(1 as bigint), s.p)))")
+            ),
+        )
     q = q.select("query_id", F.col("embedding_d").alias("q_vec"), "sig")
     c = c.select("neighbor_id", F.col("embedding_d").alias("c_vec"), "sig")
     scored = (

@@ -171,3 +171,74 @@ def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
     capped = jaccard_pairs(df, threshold=0.0, max_shingle_freq=5).count()
     assert uncapped == m * (m - 1) // 2  # the quadratic blowup, materialized
     assert capped == 0  # stop-shingle dropped => no candidate pairs at all
+
+
+def _recall(approx_rows, exact_rows):
+    exact, got = {}, {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx_rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    num = sum(len(got.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    return num / sum(len(nbrs) for nbrs in exact.values())
+
+
+def _planted_corpus(spark, n_bases=20, copies=4):
+    """Deterministic near-neighbor corpus: each base vector gets
+    perturbed copies at cosine >= 0.95 — the regime ANN serves."""
+    import math
+
+    rows, vid = [], 0
+    for b in range(n_bases):
+        v = [math.sin(0.7 * b * 64 + 1.3 * j) for j in range(64)]
+        rows.append((vid, v))
+        vid += 1
+        for c in range(copies):
+            pert = [x + 0.12 * math.sin(2.1 * b + 0.9 * c + 0.37 * j) for j, x in enumerate(v)]
+            rows.append((vid, pert))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_multiprobe_lsh_recall_floor(spark):
+    """Multi-probe (flipping lowest-|margin| signature bits) must lift
+    recall@4 in the high-similarity regime. Measured on this fixture
+    (deterministic hashes + data => stable): 16 planes single-probe 0.60,
+    2 probes 0.938; 8 planes 1 probe 1.0."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    from pyspark.sql import functions as F
+
+    df = _planted_corpus(spark)
+    qs = df.filter(F.col("vec_id") % 5 == 0)
+    exact = knn_bruteforce(df, qs, k=4).collect()
+    single = _recall(knn_lsh(df, qs, k=4, n_planes=16, n_probes=0).collect(), exact)
+    multi = _recall(knn_lsh(df, qs, k=4, n_planes=16, n_probes=2).collect(), exact)
+    assert multi >= single
+    assert multi >= 0.9, f"recall@4 with 2 probes fell to {multi}"
+    assert _recall(knn_lsh(df, qs, k=4, n_planes=8, n_probes=1).collect(), exact) >= 0.95
+
+
+def test_ann_recall_reported_on_fixture(spark, sf_dir):
+    """Recall@5 vs v2_knn_bruteforce on the real embeddings fixture.
+    The fixture has NO high-cosine neighbors (max pairwise ~0.51), so
+    absolute recall is structurally low there — the assertions pin the
+    relationships: probes never hurt, and IVF (which partitions by the
+    label structure) clears a small floor."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        ivf_ann,
+        knn_bruteforce,
+        knn_lsh,
+    )
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3)
+    exact = knn_bruteforce(e, qs, k=5).collect()
+    r0 = _recall(knn_lsh(e, qs, k=5, n_probes=0).collect(), exact)
+    r4 = _recall(knn_lsh(e, qs, k=5, n_probes=4).collect(), exact)
+    r_ivf = _recall(ivf_ann(e, qs, k=5).collect(), exact)
+    assert r4 >= r0  # probes monotonically widen the candidate set
+    assert r_ivf >= 0.1  # measured 0.133 (sf0.001); deterministic
