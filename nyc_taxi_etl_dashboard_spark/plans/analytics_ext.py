@@ -250,13 +250,24 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grouped_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWM of event values via Arrow-batched applyInPandas —
     the engine's Python escape hatch for recurrence semantics SQL
-    windows can't express. Non-SQL-expressible => rows-only check;
-    pytest compares against a single-process pandas reference."""
+    *window frames* can't express (each output depends on the previous
+    OUTPUT, not a fixed input frame).
+
+    The oracle replicates the recurrence itself in a DuckDB recursive
+    CTE with pandas' exact float semantics (adjust=False:
+    y = fl(fl(0.7·y) + fl(0.3·x)), the no-update guard when x == y, and
+    the /(0.7+0.3) step elided because that sum rounds to exactly 1.0),
+    so both engines produce BIT-IDENTICAL doubles and no rounding is
+    needed. A pow-weighted closed form (y_t = (1-α)^t·x_0 +
+    α·Σ(1-α)^(t-i)·x_i) was measured within 6e-13 of the recurrence —
+    but the recurrence over 2-decimal inputs lands exactly ON decimal
+    rounding boundaries, where any quantization of two almost-equal
+    doubles diverges; exact replication is the only tie-free compare."""
     from ..operators.pandas_ops import grouped_ewm
 
     ev = read_table(spark, sf_dir, "events")
     out = grouped_ewm(ev, alpha=0.3)
-    return out.select("user_id", "event_id", F.round("ewm_value", 6).alias("ewm_value"))
+    return out.select("user_id", "event_id", "ewm_value")
 
 
 QUERIES.update({"j2_asof_join": q_asof_join, "x1_grouped_ewm": q_grouped_ewm})
@@ -266,7 +277,21 @@ ORACLES.update(
 SELECT e.event_id, e.user_id AS uid, o.o_totalprice
 FROM events e ASOF LEFT JOIN orders o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
-        # x1_grouped_ewm: rows-only (linear recurrence, no SQL form)
+        # x1: the adjust=False recurrence replicated with pandas' float
+        # semantics => bit-identical doubles, no rounding (see docstring)
+        "x1_grouped_ewm": """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+  FROM events),
+rec AS (
+  SELECT user_id, event_id, r, value, value AS wa FROM ordered WHERE r = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.r, o.value,
+         CASE WHEN o.value = rec.wa THEN rec.wa
+              ELSE CAST(0.7 AS DOUBLE) * rec.wa + CAST(0.3 AS DOUBLE) * o.value END AS wa
+  FROM rec JOIN ordered o ON o.user_id = rec.user_id AND o.r = rec.r + 1)
+SELECT user_id, event_id, wa AS ewm_value FROM rec""",
     }
 )
 
