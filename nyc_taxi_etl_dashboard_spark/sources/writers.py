@@ -107,6 +107,72 @@ def write_jdbc_upsert(
     write_jdbc_append(fresh, url, table, properties)
 
 
+def merge_parquet(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> dict[str, int]:
+    """MERGE upsert onto a plain-parquet table (S9's "or Delta MERGE"
+    alternative; this environment has no Delta/Iceberg, so this is the
+    parquet-native fallback): matched keys are replaced by the source
+    row, unmatched source rows insert, untouched target rows survive.
+
+    Scale path (``partition_by`` set): only partitions containing source
+    rows are rewritten — affected partitions are found with a broadcast
+    semi-join, surviving target rows in them are kept via a left-anti
+    join on the key, and Spark's dynamic partition overwrite commits
+    just those directories. Cost scales with churned partitions, not
+    table size — the same shape Delta MERGE executes for partitioned
+    tables. The merged frame is localCheckpoint-ed first because Spark
+    (correctly) refuses to overwrite a path it is still reading.
+
+    Full-table mode (no ``partition_by``) stages to a sibling directory
+    and swaps — rewrite cost is the whole table, the honest price of
+    keyed MERGE on unpartitioned parquet.
+
+    Not transactional either way (a crash between delete and rename can
+    strand the staging dir); production deployments that need ACID
+    should use Delta/Iceberg MERGE INTO — this mirrors its semantics,
+    not its commit protocol. Returns row counts {inserted_or_updated,
+    kept}.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(target_path):
+        write_parquet(source, target_path, partition_by=partition_by)
+        return {"inserted_or_updated": source.count(), "kept": 0}
+    target = spark.read.parquet(target_path)
+    source = source.select(*target.columns)  # align column order
+    if partition_by:
+        affected = source.select(*partition_by).distinct()
+        in_scope = target.join(F.broadcast(affected), partition_by, "left_semi")
+        kept = in_scope.join(source.select(*keys).distinct(), keys, "left_anti")
+        merged = source.unionByName(kept).localCheckpoint(eager=True)
+        # counts must resolve BEFORE the overwrite invalidates the lazy
+        # reads of the target's current files
+        counts = {"inserted_or_updated": source.count(), "kept": kept.count()}
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(*partition_by).parquet(target_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return counts
+    kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    merged = source.unionByName(kept)
+    staging = target_path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    counts = {"inserted_or_updated": source.count(), "kept": kept.count()}
+    shutil.rmtree(target_path)
+    os.rename(staging, target_path)
+    return counts
+
+
 def create_star_schema_sql() -> list[str]:
     """DDL for a Spark-managed star schema (S11, mirrors ``load.py:19-59``).
 

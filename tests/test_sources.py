@@ -119,3 +119,47 @@ def test_jdbc_roundtrip_and_upsert_embedded_derby(spark, sf_dir, tmp_path):
     assert merged.select("n_nationkey").distinct().count() == 25  # no dupes
     write_jdbc_upsert(spark, nation, url, "nation_dw2", ["n_nationkey"], props)
     assert read_jdbc(spark, url, "nation_dw2", props).count() == 25
+
+
+def test_merge_parquet_full_table(spark, tmp_path):
+    """MERGE semantics on unpartitioned parquet: matched keys replaced,
+    unmatched inserted, untouched rows survive the staging swap."""
+    from nyc_taxi_etl_dashboard_spark.sources.writers import merge_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, tag string, v double"
+    )
+    counts = merge_parquet(spark, path, base, keys=["id"])
+    assert counts == {"inserted_or_updated": 3, "kept": 0}
+    src = spark.createDataFrame(
+        [(2, "B2", 22.0), (4, "d", 40.0)], "id int, tag string, v double"
+    )
+    counts = merge_parquet(spark, path, src, keys=["id"])
+    assert counts == {"inserted_or_updated": 2, "kept": 2}
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == [(1, "a", 10.0), (2, "B2", 22.0), (3, "c", 30.0), (4, "d", 40.0)]
+
+
+def test_merge_parquet_partition_scoped(spark, tmp_path):
+    """Partitioned MERGE rewrites ONLY churned partitions (dynamic
+    partition overwrite): the untouched partition's data files survive
+    byte-identical."""
+    import glob
+
+    from nyc_taxi_etl_dashboard_spark.sources.writers import merge_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0), (3, "2024-01-02", 30.0)],
+        "id int, d string, v double",
+    )
+    merge_parquet(spark, path, base, keys=["id"], partition_by=["d"])
+    untouched_before = sorted(glob.glob(f"{path}/d=2024-01-02/*.parquet"))
+    src = spark.createDataFrame([(2, "2024-01-01", 22.0)], "id int, d string, v double")
+    counts = merge_parquet(spark, path, src, keys=["id"], partition_by=["d"])
+    assert counts == {"inserted_or_updated": 1, "kept": 1}
+    got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, 10.0), (2, 22.0), (3, 30.0)]
+    untouched_after = sorted(glob.glob(f"{path}/d=2024-01-02/*.parquet"))
+    assert untouched_before == untouched_after  # partition not rewritten
