@@ -62,8 +62,9 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
     for mapping in mapping_per_module:
         merged.update(mapping)
     priority = [
-        # llmops entries with round-2 behavior changes: must re-earn a
+        # llmops entries new or behavior-changed this round: must earn a
         # driver-green row ahead of unchanged queries.
+        "dd7_simhash_pairs",
         "dd2_jaccard_pairs",
         "v6_embedding_dedup",
         "dd6_corpus_curation",

@@ -12,9 +12,9 @@ Scale design
 - MinHash LSH: signatures are narrow per-row expressions; banding turns
   near-dup search into an equi-join on (band, band-hash) — the classic
   shuffle-friendly formulation (one shuffle to bucket, one to verify).
-- SimHash gives a 1-word sketch per doc; hamming-ball probing is an
-  equi-join on rotated prefixes (not implemented here; sketch column is
-  the contract).
+- SimHash gives a 1-word sketch per doc; ``simhash_pairs`` finds
+  hamming-ball near-dups via banded pigeonhole bucketing (equi-join on
+  band bits, exact bit_count verify on collisions — never all-pairs).
 """
 
 from __future__ import annotations
@@ -91,14 +91,77 @@ def simhash32(text_col: str = "text", sep: str = " ") -> Column:
     a named token column would re-tokenize inside each of the 32 bit
     aggregations."""
     tv = _tv_sql("t")
+    # bit b = parity of bit b of (token_value * Knuth's 2654435761): one
+    # multiply mixes tv's ~21 bits across the word, so sketch bits are
+    # near-independent — the earlier (tv * (2b+1)) % p & 1 scheme left
+    # bits correlated ACROSS DOCUMENTS (tiny tv codomain x odd multiplier
+    # parity), collapsing the corpus into a narrow hamming ball and making
+    # hamming-based pairing quadratic. Still portable: DuckDB reproduces
+    # the exact arithmetic (product < 2^53, no overflow either engine).
     per_bit = (
         "aggregate(toks, 0, (s, t) -> s + "
-        f"(CASE WHEN ((({tv} * (2 * b + 1)) % 2147483647) & 1) = 1 THEN 1 ELSE -1 END))"
+        f"(CASE WHEN (shiftright({tv} * 2654435761, b) & 1) = 1 THEN 1 ELSE -1 END))"
     )
     return F.expr(
         f"transform(array(split({text_col}, '{sep}')), toks -> "
         "aggregate(sequence(0, 31), cast(0 as bigint), "
         f"(acc, b) -> acc + (CASE WHEN {per_bit} > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)))[0]"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded pigeonhole bucketing (the
+    classic web-dedup scheme: Manku/Jain/Sarma WWW'07): any two 32-bit
+    sketches within ``max_hamming`` differing bits must agree EXACTLY on
+    at least one of ``bands`` equal-width bands whenever
+    ``bands > max_hamming`` — so candidates are an equi-join on
+    (band_id, band_bits), never all-pairs, and the exact hamming check
+    runs only on collisions.
+
+    Scale shape: one narrow explode (``bands`` slim rows per doc carrying
+    the 1-word sketch), one shuffle on the band key, pair-dedup, then a
+    per-row bit_count verify. Candidate volume is bounded by band-bucket
+    occupancy, the same economics as MinHash-LSH banding.
+    """
+    if bands <= max_hamming:
+        raise ValueError("pigeonhole needs bands > max_hamming")
+    width = 32 // bands
+    sh = scale_out(df.select(id_col, text_col)).withColumn("sh", simhash32(text_col))
+    banded = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

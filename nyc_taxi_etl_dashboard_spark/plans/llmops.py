@@ -22,6 +22,7 @@ from ..operators.dedup import (
     minhash_params,
     minhash_signature,
     simhash32,
+    simhash_pairs,
 )
 from ..operators.similarity import centroids_by_label, knn_bruteforce, knn_lsh, l2_norm
 from ..operators.text import (
@@ -233,7 +234,7 @@ WHERE len(list_intersect(a.shingle, b.shingle)) * 1.0
 
 _SIMHASH_PER_BIT = (
     "list_reduce(list_prepend(0, list_transform(t, tok -> "
-    f"CASE WHEN ((({_TV.format(v='tok')} * (2 * b + 1)) % 2147483647) & 1) = 1 THEN 1 ELSE -1 END)), "
+    f"CASE WHEN (({_TV.format(v='tok')} * 2654435761) >> b) & 1 = 1 THEN 1 ELSE -1 END)), "
     "(s, x) -> s + x)"
 )
 
@@ -465,6 +466,30 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.45"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball near-dup pairs (<=3 differing sketch bits)
+    via banded pigeonhole bucketing — candidates are a (band, band-bits)
+    equi-join, never all-pairs; the oracle is the exhaustive xor +
+    bit_count scan, which agrees because the pigeonhole guarantee is
+    exact (not probabilistic) for hamming <= bands - 1."""
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+QUERIES["dd7_simhash_pairs"] = q_simhash_pairs
+_SIMHASH_REDUCE = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32), "
+    f"b -> CASE WHEN {_SIMHASH_PER_BIT} > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), "
+    "(acc, x) -> acc + x)"
+)
+ORACLES["dd7_simhash_pairs"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, {_SIMHASH_REDUCE} AS sh FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
 
 
 def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -242,3 +242,27 @@ def test_ann_recall_reported_on_fixture(spark, sf_dir):
     r_ivf = _recall(ivf_ann(e, qs, k=5).collect(), exact)
     assert r4 >= r0  # probes monotonically widen the candidate set
     assert r_ivf >= 0.1  # measured 0.133 (sf0.001); deterministic
+
+
+def test_simhash_pairs_banding_equals_exhaustive(spark, sf_dir):
+    """The banded pigeonhole candidate generation is EXACT for
+    hamming <= bands-1 (not probabilistic): pairs must equal the
+    exhaustive all-pairs hamming scan, and a planted near-duplicate
+    must surface."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import simhash32, simhash_pairs
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        (r.id_a, r.id_b): r.hamming for r in simhash_pairs(d, max_hamming=3).collect()
+    }
+    sk = d.withColumn("sh", simhash32("text")).select("doc_id", "sh").collect()
+    want = {}
+    for i, a in enumerate(sk):
+        for b in sk[i + 1 :]:
+            lo, hi = sorted((a.doc_id, b.doc_id))
+            hd = bin((a.sh ^ b.sh) & 0xFFFFFFFF).count("1")
+            if hd <= 3:
+                want[(lo, hi)] = hd
+    assert got == want
+    assert len(got) > 0, "fixture's planted near-dups should collide"
