@@ -10,6 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: semanticHash -> partition count. The getNumPartitions probe forces an
+#: RDD conversion (plan analysis + deserializer setup) per call; queries
+#: re-derive identical scan plans constantly (every llmops query calls
+#: scale_out on the same table read), so memoize per logical plan.
+#: Bounded: distinct (table, sf_dir) plans per session are few.
+_NPARTS_MEMO: dict[int, int] = {}
+
 
 def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure a compute-heavy operator gets cluster-wide parallelism.
@@ -19,10 +26,19 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (shingling, hashing, vector folds) no matter how many cores exist.
     One cheap row-count-preserving shuffle up front unlocks N-way
     parallelism. At production scale inputs already exceed the target
-    and this is a no-op — the guard costs one ``getNumPartitions`` plan
-    inspection, no job.
+    and this is a no-op — the guard costs one plan inspection
+    (memoized per logical plan), no job.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        key = df.semanticHash()
+    except Exception:  # pragma: no cover - hash unavailable on exotic plans
+        key = None
+    nparts = _NPARTS_MEMO.get(key) if key is not None else None
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        if key is not None and len(_NPARTS_MEMO) < 1024:
+            _NPARTS_MEMO[key] = nparts
+    if nparts < target:
         return df.repartition(target)
     return df

@@ -96,6 +96,22 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna-class sketch): the 100 TB
+    quantile estimator — one pass, mergeable, fixed memory, vs exact
+    percentile's full sort. Sketch internals are engine-specific =>
+    rows-only check; pytest bounds each estimate against the exact
+    quantile neighborhood (accuracy 1000 => rank error <= 1/1000)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]), F.lit(1000))
+    return li.agg(q.alias("q")).select(
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+        F.col("q")[3].alias("p95"),
+    )
+
+
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame window: 7-row trailing mean of daily revenue (ROWS BETWEEN
     6 PRECEDING AND CURRENT ROW) — the dashboard smoothing primitive."""
@@ -166,6 +182,7 @@ QUERIES = {
     "a19_grouping_sets": q_grouping_sets,
     "a20_distinct_counts": q_distinct_counts,
     "a21_approx_distinct": q_approx_distinct,
+    "a25_approx_quantiles": q_approx_quantiles,
     "w3_moving_avg": q_moving_avg,
     "w4_rank_variants": q_rank_variants,
     "w5_lag_lead_delta": q_lag_lead_delta,

@@ -259,3 +259,19 @@ def test_udtf_document_segmentation(spark, sf_dir):
     originals = {r.doc_id: r.text for r in docs.collect()}
     for doc_id, parts in rebuilt.items():
         assert " ".join(parts) == originals[doc_id]
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir, duck):
+    """percentile_approx with accuracy=1000 guarantees rank error
+    <= 1/1000: each estimate must lie between the exact quantiles at
+    p +/- 2/1000 (slack for interpolation differences)."""
+    from nyc_taxi_etl_dashboard_spark.plans.analytics_ext import q_approx_quantiles
+
+    got = q_approx_quantiles(spark, sf_dir).collect()[0]
+    eps = 0.002
+    for col, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)):
+        lo, hi = duck.execute(
+            f"SELECT quantile_disc(l_extendedprice, {max(p - eps, 0.0)}),"
+            f"       quantile_disc(l_extendedprice, {min(p + eps, 1.0)}) FROM lineitem"
+        ).fetchone()
+        assert lo <= got[col] <= hi, (col, got[col], lo, hi)
