@@ -21,16 +21,36 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    cluster_partitions: int | None = None,
 ) -> None:
     """Snappy Parquet sink (S4/S5; snappy is Spark's default codec).
 
     ``partition_by`` replaces the reference's Postgres btree indexes
     (``load.py:62-67``): partitioning on a date column gives partition
-    pruning for the dashboard's date-sliced queries, which is the only
-    index-like structure plain Parquet offers. At 100 TB, partition on a
-    low-cardinality date key (e.g. pickup date => ~365 partitions/year),
+    pruning for the dashboard's date-sliced queries. At 100 TB,
+    partition on a low-cardinality date key (~365 partitions/year),
     never on a high-cardinality id.
+
+    ``cluster_by`` is the second index analog plain Parquet offers:
+    ``repartitionByRange`` + ``sortWithinPartitions`` lay files out as
+    disjoint sorted ranges of the clustering key, so every file's (and
+    row group's) min/max statistics form non-overlapping intervals and
+    a range predicate on that key skips all but the relevant files at
+    scan time — a clustered index built from layout alone. At 100 TB
+    the combination is: partition on date, cluster within partitions on
+    the hot slicer key (location, amount). Costs one range shuffle at
+    write; reads repay it on every selective query.
     """
+    if cluster_by:
+        # explicit partition count available because AQE happily
+        # coalesces a small range shuffle to one partition, collapsing
+        # the clustering back into a single file
+        if cluster_partitions:
+            df = df.repartitionByRange(cluster_partitions, *cluster_by)
+        else:
+            df = df.repartitionByRange(*cluster_by)
+        df = df.sortWithinPartitions(*cluster_by)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

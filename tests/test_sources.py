@@ -163,3 +163,42 @@ def test_merge_parquet_partition_scoped(spark, tmp_path):
     assert got == [(1, 10.0), (2, 22.0), (3, 30.0)]
     untouched_after = sorted(glob.glob(f"{path}/d=2024-01-02/*.parquet"))
     assert untouched_before == untouched_after  # partition not rewritten
+
+
+def test_cluster_by_writes_disjoint_ranges(spark, sf_dir, tmp_path):
+    """cluster_by lays files out as disjoint sorted ranges: parquet
+    row-group min/max stats must form non-overlapping intervals (the
+    property scan-time range-predicate skipping relies on), unlike the
+    default layout where ranges overlap."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+    from nyc_taxi_etl_dashboard_spark.sources.writers import write_parquet
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+    def ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(1)  # l_extendedprice
+                out.append((col.statistics.min, col.statistics.max))
+        return sorted(out)
+
+    clustered = str(tmp_path / "clustered")
+    write_parquet(
+        li.repartition(8), clustered, cluster_by=["l_extendedprice"], cluster_partitions=8
+    )
+    plain = str(tmp_path / "plain")
+    write_parquet(li.repartition(8), plain)
+
+    cr = ranges(clustered)
+    assert len(cr) >= 2, "need multiple files/row-groups to show disjointness"
+    for (lo1, hi1), (lo2, hi2) in zip(cr, cr[1:]):
+        assert hi1 <= lo2, f"clustered ranges overlap: {(lo1, hi1)} vs {(lo2, hi2)}"
+    pr = ranges(plain)
+    overlaps = sum(1 for (l1, h1), (l2, h2) in zip(pr, pr[1:]) if h1 > l2)
+    assert overlaps > 0, "default layout unexpectedly disjoint — test fixture too small?"
