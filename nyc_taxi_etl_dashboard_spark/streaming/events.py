@@ -158,6 +158,7 @@ def correlate_event_pairs(
     then_type: str = "purchase",
     within: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream watermarked interval join: pair each ``first_type``
     event with the same user's ``then_type`` events that follow within
@@ -169,6 +170,13 @@ def correlate_event_pairs(
     the time bound, stream-stream inner join state grows forever).
     State shape at scale: keyed by ``on``, sharded across executors;
     per-key state holds only rows younger than watermark + interval.
+
+    ``how='left_outer'`` emits unmatched ``first_type`` events with NULL
+    ``then_*`` columns (abandoned funnels) — but only once the watermark
+    proves no match can still arrive, so rows near the stream head are
+    withheld until a later trigger advances the watermark past their
+    join window. That lag is the semantics, not a bug: emitting earlier
+    could require retracting.
     """
     l = left.filter(F.col("event_type") == first_type).withWatermark("ts", watermark).alias("l")
     r = right.filter(F.col("event_type") == then_type).withWatermark("ts", watermark).alias("r")
@@ -177,7 +185,7 @@ def correlate_event_pairs(
         & (F.col("r.ts") > F.col("l.ts"))
         & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col(f"l.{on}").alias(on),
         F.col("l.event_id").alias("first_event_id"),
         F.col("l.ts").alias("first_ts"),

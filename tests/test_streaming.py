@@ -232,3 +232,53 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     want_rows = sorted(map(tuple, want))
     assert len(want_rows) > 0, "fixture has no view->purchase pairs in-interval"
     assert got_rows == want_rows
+
+
+def test_stream_stream_left_outer_join_sound(spark, sf_dir, events_dir):
+    """Left-outer stream-stream join: every emitted row must be correct
+    vs the batch left join (matches identical; null-rows only for
+    genuinely unmatched views), and the inner pairs must all be present.
+    Null-rows near the stream head may be withheld (watermark hasn't
+    proven them unmatched) — soundness is asserted, completeness only
+    for the matched subset."""
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+    from nyc_taxi_etl_dashboard_spark.streaming import (
+        correlate_event_pairs,
+        read_events_stream,
+    )
+
+    stream = correlate_event_pairs(
+        read_events_stream(spark, events_dir),
+        read_events_stream(spark, events_dir),
+        how="left_outer",
+    )
+    got = _drain(stream.writeStream.outputMode("append"), spark, "ssj_outer")
+    rows = got.collect()
+    batch = read_table(spark, sf_dir, "events")
+    l = batch.filter(F.col("event_type") == "view").alias("l")
+    r = batch.filter(F.col("event_type") == "purchase").alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
+        "left_outer",
+    ).select(
+        F.col("l.event_id").alias("first_event_id"),
+        F.col("r.event_id").alias("then_event_id"),
+    )
+    want_pairs = {
+        (x.first_event_id, x.then_event_id)
+        for x in joined.filter(F.col("then_event_id").isNotNull()).collect()
+    }
+    want_unmatched = {
+        x.first_event_id
+        for x in joined.filter(F.col("then_event_id").isNull()).collect()
+    }
+    got_pairs = {
+        (x.first_event_id, x.then_event_id) for x in rows if x.then_event_id is not None
+    }
+    got_nulls = {x.first_event_id for x in rows if x.then_event_id is None}
+    assert got_pairs == want_pairs  # matched subset complete + correct
+    assert got_nulls <= want_unmatched  # null emissions sound
+    assert len(got_nulls) > 0, "watermark should have proven some views unmatched"
