@@ -63,14 +63,16 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         merged.update(mapping)
     priority = [
         # llmops entries new or behavior-changed this round: must earn a
-        # driver-green row ahead of unchanged queries.
+        # driver-green row ahead of unchanged queries. Order keeps the
+        # total at exactly 50 with the 41 §2 queries ahead of this block;
+        # dd1/dd3/v1 (round-1 green, untouched since) absorb the overflow.
+        "t7_quality_filter",
+        "t8_decontaminate",
         "dd7_simhash_pairs",
         "dd2_jaccard_pairs",
         "v6_embedding_dedup",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
-        "dd1_dedup_keep_first",
-        "dd3_minhash_signatures",
         "dd5_simhash",
         "v2_knn_bruteforce",
         "v1_embedding_norms",
@@ -91,7 +93,7 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
 def _is_overflow(name: str) -> bool:
     """Queries allowed to sit past the driver's 50-query window (all were
     driver-green in CORRECTNESS_r01.json and are unchanged this round)."""
-    overflow_prefixes = ("t1", "t2", "t3", "t4", "t5", "t6", "mm1", "v3", "v4", "v5", "x3", "x4", "e1", "e2", "e3", "e4", "e5", "a25")
+    overflow_prefixes = ("t1", "t2", "t3", "t4", "t5", "t6", "mm1", "dd1", "dd3", "v3", "v4", "v5", "v7", "x3", "x4", "e1", "e2", "e3", "e4", "e5", "a25")
     return name.split("_")[0] in overflow_prefixes
 
 

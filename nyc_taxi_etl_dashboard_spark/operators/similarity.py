@@ -238,6 +238,145 @@ def ivf_ann(
     )
 
 
+def _cell_distances(vec_col: str, centroids: list[list[float]]) -> Column:
+    """array<struct<d2,cell>> of squared-L2 distances from ``vec_col`` to
+    each centroid. Centroids are embedded as a LITERAL array — the model
+    is tiny (cells × dim doubles) and shipping it inside the plan makes
+    assignment a narrow per-row expression: no join, no shuffle, no
+    broadcast variable to manage."""
+    cells = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    return F.transform(
+        cells,
+        # named_struct, not struct(alias): aliases inside HOF lambdas are
+        # discarded (fields would come out col1/col2)
+        lambda cv, i: F.named_struct(
+            F.lit("d2"),
+            F.aggregate(
+                F.zip_with(F.col(vec_col), cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit("cell"),
+            i.cast("int"),
+        ),
+    )
+
+
+def nearest_cells(vec_col: str, centroids: list[list[float]], m: int = 1) -> Column:
+    """The ``m`` nearest centroid ids (array<int>), nearest first.
+    Ties break on cell id (struct sort is lexicographic on (d2, cell)),
+    so assignment is deterministic."""
+    ranked = F.slice(F.array_sort(_cell_distances(vec_col, centroids)), 1, m)
+    return F.transform(ranked, lambda s: s.getField("cell"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's k-means over an embedding column, returning (centroids,
+    per-iteration inertia history). The distributed IVF trainer.
+
+    Scale shape: the model state (k × dim doubles) lives on the driver —
+    that is the *correct* side for it; only the model crosses the driver
+    boundary, never data. Per iteration:
+    - assignment is a narrow literal-centroid expression (zero shuffles,
+      see :func:`_cell_distances`);
+    - the update is ONE posexplode + groupBy(cell, pos) job whose output
+      cardinality is k·dim rows — the same mergeable partial-aggregate
+      shape as :func:`centroids_by_label`, collect is k·dim doubles.
+    Inertia rides the same job (sum of d2 per (cell,pos) is identical at
+    every pos, so total inertia = Σ_{pos=0} sd2), so fitting costs exactly
+    ``n_iters`` Spark jobs. Init is deterministic: the k lowest-id
+    vectors seed the cells (k-means++ would add a driver loop per seed;
+    not worth it for a coarse quantizer). Cells that lose all members
+    keep their previous centroid.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = [list(r.v) for r in vecs.orderBy("id").limit(k).collect()]
+    dim = len(cents[0])
+    history: list[float] = []
+    for _ in range(n_iters):
+        best = nearest_cells("v", cents, 1).getItem(0)
+        d2 = F.array_sort(_cell_distances("v", cents)).getItem(0).getField("d2")
+        assigned = vecs.select(
+            best.alias("cell"), d2.alias("d2"), F.posexplode("v").alias("pos", "val")
+        )
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"), F.sum("d2").alias("sd2"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        inertia = 0.0
+        for r in rows:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+            if r.pos == 0:
+                inertia += r.sd2
+        history.append(inertia)
+        cents = [
+            [by_cell[c][p] for p in range(dim)] if c in by_cell else cents[c]
+            for c in range(k)
+        ]
+    return cents, history
+
+
+def ivf_ann_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_iters: int = 5,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN with a *trained* coarse quantizer (k-means cells) and a
+    multi-cell probe knob — the production shape :func:`ivf_ann`'s
+    label-cell variant stands in for.
+
+    Corpus vectors assign to their single nearest trained cell (narrow
+    literal-centroid expression); each query probes its ``n_probes``
+    nearest cells (explode to slim (query, cell) rows — the corpus is
+    never duplicated) and brute-forces within them. ``n_probes =
+    n_cells`` degrades gracefully to exact brute force (every cell
+    probed ⇒ the candidate set is the whole corpus), which the tests pin.
+    Pass ``centroids`` to reuse a fitted model across query batches.
+    """
+    if centroids is None:
+        centroids, _ = kmeans_fit(
+            corpus, k=n_cells, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).withColumn("cell", nearest_cells("c_vec", centroids, 1).getItem(0))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        )
+        .withColumn("cell", F.explode(nearest_cells("q_vec", centroids, n_probes)))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def _probe_masks(n_planes: int, radius: int) -> list[int]:
     """All bitmasks of popcount <= radius over n_planes bits (multi-probe
     expansion set). Tiny by construction: C(n_planes, <=radius)."""

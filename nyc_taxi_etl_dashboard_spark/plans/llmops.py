@@ -492,6 +492,117 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
 
 
+def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-TRAINED coarse quantizer (8 cells, 3 Lloyd
+    iterations, nprobe=2) — the production upgrade of v5's label cells.
+    Rows-only check (iterative fit ⇒ not SQL-expressible); pytest pins
+    inertia monotonicity, recall@5 vs brute force, and exact equivalence
+    to brute force at n_probes = n_cells."""
+    from ..operators.similarity import ivf_ann_trained
+
+    e = _embs(spark, sf_dir)
+    return ivf_ann_trained(
+        e, e.filter(F.col("vec_id") < 3), k=5, n_cells=8, n_iters=3, n_probes=2
+    )
+
+
+QUERIES["v7_ivf_trained"] = q_ivf_trained
+# v7_ivf_trained: intentionally no oracle (iterative k-means fit)
+
+
+#: composed quality gate: (rule name, drop predicate) in first-match
+#: order — the Gopher/C4-style rule bank over the t2 feature set.
+#: Thresholds sit inside the fixture's feature distributions so every
+#: rule fires (75 / 99 / 15 drops, 311 keepers at sf0.01).
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate with per-document drop reason: first matching
+    rule wins (same first-match contract as the taxi anomaly bank P6) —
+    too_short (<25 tokens), low_diversity (distinct ratio <0.35),
+    no_stopwords (stopword share = 0). Pure row-wise Catalyst
+    expressions; the filter composes with dedup in a curation chain the
+    way q_corpus_curation composes its stages."""
+    d = _docs(spark, sf_dir)
+    feats = quality_features("text")
+    n, div, stop = feats["n_tokens"], feats["distinct_ratio"], feats["stopword_ratio"]
+    reason = (
+        F.when(n < 25, "too_short")
+        .when(div < 0.35, "low_diversity")
+        .when(stop <= 0, "no_stopwords")
+    )
+    return d.select(
+        "doc_id", reason.isNull().alias("keep"), reason.alias("drop_reason")
+    )
+
+
+QUERIES["t7_quality_filter"] = q_quality_filter
+ORACLES["t7_quality_filter"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+r AS (SELECT doc_id,
+        CASE WHEN len(toks) < 25 THEN 'too_short'
+             WHEN len(list_distinct(toks)) * 1.0 / len(toks) < 0.35 THEN 'low_diversity'
+             WHEN len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) <= 0 THEN 'no_stopwords'
+        END AS drop_reason
+      FROM t)
+SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM r"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: for every training document
+    (source <> 'src0'), the fraction of its distinct 3-gram shingles that
+    appear anywhere in the held-out eval slice (source = 'src0');
+    contaminated when >= 10% overlap — the n-gram-collision
+    decontamination pass every LLM data pipeline runs before training.
+
+    Scale shape: the eval shingle set is DISTINCT'd then broadcast (eval
+    benchmarks are tiny next to the corpus); training shingles stream
+    through an explode -> broadcast-semi-join -> per-doc count — one
+    narrow pass over the corpus plus a k·|docs|-row aggregation, never a
+    doc×doc join. Zero-hit documents survive via the left join with the
+    doc spine (explode would silently drop them)."""
+    d = _docs(spark, sf_dir)
+    sh = with_shingles(d.select("doc_id", "source", "text"))
+    eval_sh = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.explode("shingle").alias("sh"))
+        .distinct()
+    )
+    train = sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.array_size("shingle").alias("n_sh"), "shingle"
+    )
+    hits = (
+        train.select("doc_id", F.explode("shingle").alias("sh"))
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    score = F.when(
+        F.col("n_sh") > 0, F.col("n_hit") / F.col("n_sh")
+    ).otherwise(F.lit(0.0))
+    return (
+        train.select("doc_id", "n_sh")
+        .join(hits, "doc_id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .withColumn("overlap", score)
+        .select(
+            "doc_id", "n_hit", "overlap", (F.col("overlap") >= 0.1).alias("contaminated")
+        )
+    )
+
+
+QUERIES["t8_decontaminate"] = q_decontaminate
+ORACLES["t8_decontaminate"] = f"""
+WITH {_SHINGLES_CTE},
+s AS (SELECT sh.doc_id, d.source, sh.shingle FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+ev AS (SELECT DISTINCT unnest(shingle) AS s FROM s WHERE source = 'src0'),
+train AS (SELECT doc_id, len(shingle) AS n_sh, shingle FROM s WHERE source <> 'src0'),
+tr AS (SELECT doc_id, unnest(shingle) AS s FROM train),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM tr WHERE s IN (SELECT s FROM ev) GROUP BY doc_id)
+SELECT t.doc_id, coalesce(h.n_hit, 0) AS n_hit,
+       CASE WHEN t.n_sh > 0 THEN coalesce(h.n_hit, 0) * 1.0 / t.n_sh ELSE 0.0 END AS overlap,
+       CASE WHEN t.n_sh > 0 THEN coalesce(h.n_hit, 0) * 1.0 / t.n_sh ELSE 0.0 END >= 0.1 AS contaminated
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
+
+
 def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via Python UDTF (one row per 16-token segment —
     the context-window chunking pass). The oracle reproduces the

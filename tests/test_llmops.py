@@ -266,3 +266,66 @@ def test_simhash_pairs_banding_equals_exhaustive(spark, sf_dir):
                 want[(lo, hi)] = hd
     assert got == want
     assert len(got) > 0, "fixture's planted near-dups should collide"
+
+
+def test_kmeans_inertia_monotone(spark, sf_dir):
+    """Lloyd's iterations never increase inertia (exact-arithmetic
+    guarantee; tolerance covers double rounding), and the model shape is
+    (k, dim) with deterministic seeding."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import kmeans_fit
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    cents, hist = kmeans_fit(e, k=8, n_iters=4)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    assert len(hist) == 4
+    for prev, cur in zip(hist, hist[1:]):
+        assert cur <= prev * (1 + 1e-9), hist
+
+
+def test_ivf_trained_full_probe_is_exact(spark, sf_dir):
+    """n_probes = n_cells degrades gracefully to brute force: every cell
+    probed => the candidate set is the whole corpus, so results must be
+    IDENTICAL (ids, ranks, scores) to the exact baseline."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        ivf_ann_trained,
+        knn_bruteforce,
+    )
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id): (r.rnk, r.cosine)
+        for r in knn_bruteforce(e, qs, k=5).collect()
+    }
+    got = ivf_ann_trained(e, qs, k=5, n_cells=4, n_iters=2, n_probes=4).collect()
+    assert {(r.query_id, r.neighbor_id) for r in got} == set(exact)
+    for r in got:
+        rnk, cos = exact[(r.query_id, r.neighbor_id)]
+        assert r.rnk == rnk
+        assert abs(r.cosine - cos) < 1e-12
+
+
+def test_ivf_trained_recall_on_planted(spark):
+    """Trained cells on the planted near-neighbor corpus: probing more
+    cells never hurts recall, and nprobe=2 clears a measured floor
+    (deterministic data + deterministic fit => stable)."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        ivf_ann_trained,
+        kmeans_fit,
+        knn_bruteforce,
+    )
+
+    df = _planted_corpus(spark)
+    qs = df.filter(F.col("vec_id") % 5 == 0)
+    exact = knn_bruteforce(df, qs, k=4).collect()
+    cents, _ = kmeans_fit(df, k=8, n_iters=3)
+    r1 = _recall(
+        ivf_ann_trained(df, qs, k=4, n_probes=1, centroids=cents).collect(), exact
+    )
+    r2 = _recall(
+        ivf_ann_trained(df, qs, k=4, n_probes=2, centroids=cents).collect(), exact
+    )
+    assert r2 >= r1
+    assert r2 >= 0.75, (r1, r2)
