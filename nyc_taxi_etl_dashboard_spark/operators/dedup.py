@@ -196,9 +196,13 @@ def jaccard_pairs(
     # driver/bench loops clearCache() between queries (query-scoped blocks)
     inv = sh.select(id_col, "n_sh", F.explode("shingle").alias("sh")).persist()
     if max_shingle_freq is not None:
+        # broadcast the HOT side, not the keep side: stop-shingles over
+        # the cap are a handful by construction (that's why they're
+        # droppable), while the keep set is ~every distinct shingle —
+        # left_anti against the small set is the cheap formulation
         freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        keep = freq.filter(F.col("df_") <= max_shingle_freq).select("sh")
-        inv = inv.join(F.broadcast(keep), "sh")
+        hot = freq.filter(F.col("df_") > max_shingle_freq).select("sh")
+        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
     a = inv.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
     )

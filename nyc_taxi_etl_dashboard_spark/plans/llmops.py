@@ -603,6 +603,80 @@ SELECT t.doc_id, coalesce(h.n_hit, 0) AS n_hit,
 FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
 
 
+#: per-language keep percentages for the domain-mixing sampler: the
+#: fixture's 'en' slice is ~3x any other language, so the mix flattens
+#: it — the standard training-mixture rebalancing move.
+STRATA_PCT = {"en": 40, "de": 100, "es": 100, "fr": 100, "zh": 80}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for domain mixing: each language
+    stratum keeps a configured percentage, membership decided by a
+    portable key hash (never RNG — re-runs, retries, and other engines
+    agree on the exact member set, which training-data lineage requires).
+    Strata missing from the mix map are dropped (null pct fails the
+    comparison). Narrow per-row filter — no shuffle, no per-stratum
+    scan."""
+    d = _docs(spark, sf_dir)
+    mix = F.create_map(
+        *[F.lit(x) for kv in STRATA_PCT.items() for x in kv]
+    )
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(100)
+    return d.filter(bucket < F.element_at(mix, F.col("lang"))).select(
+        "doc_id", "lang", "source"
+    )
+
+
+QUERIES["x5_stratified_sample"] = q_stratified_sample
+_STRATA_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items()
+) + " END"
+ORACLES["x5_stratified_sample"] = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE (doc_id * 2654435761) % 100 < {_STRATA_CASE}"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: stream documents (per source, doc_id order) into
+    fixed 256-token context windows; a document's bin is its start
+    offset's window — the packing pass that turns a curated corpus into
+    training sequences.
+
+    Scale shape: ONE window partitioned by ``source`` (the natural
+    packing unit — corpora pack within a shard, never globally), running
+    cumsum then integer division; no global sort, no single-partition
+    window. All-integer arithmetic keeps the oracle comparison
+    float-free."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select(
+            "doc_id", "source", F.array_size(F.split("text", " ")).alias("n_tokens")
+        )
+        .withColumn(
+            "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+        )
+        .withColumn("bin_id", F.expr("start_offset div 256"))
+    )
+
+
+QUERIES["x6_pack_sequences"] = q_pack_sequences
+ORACLES["x6_pack_sequences"] = """
+WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, source, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      FROM t)
+SELECT doc_id, source, n_tokens, start_offset, start_offset // 256 AS bin_id FROM s"""
+
+
 def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via Python UDTF (one row per 16-token segment —
     the context-window chunking pass). The oracle reproduces the
