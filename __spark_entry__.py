@@ -68,13 +68,17 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         # dd1/dd3/v1 (round-1 green, untouched since) absorb the overflow.
         "t7_quality_filter",
         "t8_decontaminate",
+        "t9_repetition",
         "x5_stratified_sample",
         "x6_pack_sequences",
         "dd7_simhash_pairs",
         "dd2_jaccard_pairs",
         "v6_embedding_dedup",
-        "dd6_corpus_curation",
         "dd5_simhash",
+        # past the 50-query window from here down: all round-1 green and
+        # semantically unchanged since (dd6's operator internals changed
+        # shape, not output; dd2's oracle twin re-proves the cap).
+        "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",
         "v1_embedding_norms",

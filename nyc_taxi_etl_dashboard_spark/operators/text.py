@@ -86,6 +86,35 @@ def quality_features(text: Column | str) -> dict[str, Column]:
     }
 
 
+def repetition_features(text_col: str, sep: str = " ") -> Column:
+    """Within-document repetition features (the Gopher-style repetition
+    gates): bigram count, top-bigram occupancy (share of bigrams taken
+    by the most frequent one), and duplicate-bigram fraction (share of
+    bigrams occurring more than once). Returns a struct.
+
+    Binding discipline: tokens AND the bigram array each bind exactly
+    once via nested ``transform(array(..), x -> ..)[0]`` wrappers —
+    naming them with ``withColumn`` would let CollapseProject inline the
+    tokenization into every one of the ~3 consumers (see
+    :func:`shingles`). Frequency counting is O(|bigrams|·|distinct|)
+    per row inside codegen — quadratic in *document* length only, never
+    in corpus size."""
+    counts = "transform(array_distinct(bg), d -> size(filter(bg, x -> x = d)))"
+    dup_sum = (
+        f"aggregate({counts}, 0, (a, c) -> a + (CASE WHEN c >= 2 THEN c ELSE 0 END))"
+    )
+    return F.expr(
+        f"transform(array(split({text_col}, '{sep}')), t -> "
+        f"transform(array(CASE WHEN array_size(t) >= 2 THEN "
+        f"transform(sequence(0, array_size(t) - 2), i -> t[i] || ' ' || t[i + 1]) "
+        "ELSE array() END), bg -> named_struct("
+        "'n_bigrams', array_size(bg), "
+        f"'top_bigram_frac', CASE WHEN array_size(bg) > 0 THEN array_max({counts}) / array_size(bg) ELSE cast(0 as double) END, "
+        f"'dup_bigram_frac', CASE WHEN array_size(bg) > 0 THEN {dup_sum} / array_size(bg) ELSE cast(0 as double) END"
+        "))[0])[0]"
+    )
+
+
 def langid_en_heuristic(text: Column | str, threshold: float = 0.04) -> Column:
     """n-gram-free lang-id demonstration: English iff the stopword share
     clears a threshold. Real corpora swap in per-language stopword/char

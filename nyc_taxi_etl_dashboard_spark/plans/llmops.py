@@ -677,6 +677,39 @@ s AS (SELECT doc_id, source, n_tokens,
 SELECT doc_id, source, n_tokens, start_offset, start_offset // 256 AS bin_id FROM s"""
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition gates (Gopher-style): top-bigram
+    occupancy + duplicate-bigram fraction — the filter that catches
+    boilerplate/spam pages exact-dedup misses. Pure codegen'd HOFs."""
+    from ..operators.text import repetition_features
+
+    d = _docs(spark, sf_dir)
+    r = repetition_features("text")
+    return d.select(
+        "doc_id",
+        r.getField("n_bigrams").alias("n_bigrams"),
+        r.getField("top_bigram_frac").alias("top_bigram_frac"),
+        r.getField("dup_bigram_frac").alias("dup_bigram_frac"),
+    )
+
+
+QUERIES["t9_repetition"] = q_repetition
+ORACLES["t9_repetition"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+b AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+        list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+      ELSE [] END AS bg FROM t),
+c AS (SELECT doc_id, bg,
+        list_transform(list_distinct(bg), d -> len(list_filter(bg, x -> x = d))) AS cnts
+      FROM b)
+SELECT doc_id, CAST(len(bg) AS INTEGER) AS n_bigrams,
+       CASE WHEN len(bg) > 0 THEN list_max(cnts) * 1.0 / len(bg) ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN len(bg) > 0 THEN
+         list_reduce(list_prepend(0, list_transform(cnts, c -> CASE WHEN c >= 2 THEN c ELSE 0 END)), (a, x) -> a + x) * 1.0 / len(bg)
+       ELSE 0.0 END AS dup_bigram_frac
+FROM c"""
+
+
 def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via Python UDTF (one row per 16-token segment —
     the context-window chunking pass). The oracle reproduces the
