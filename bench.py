@@ -46,6 +46,18 @@ HEADLINE = [
     "e4_event_type_funnel",
 ]
 
+#: round-2 curation/ANN additions, timed identically but reported under
+#: their own total so headline_queries_total stays comparable round-over-round
+CURATION = [
+    "t7_quality_filter",
+    "t8_decontaminate",
+    "t9_repetition",
+    "x5_stratified_sample",
+    "x6_pack_sequences",
+    "dd7_simhash_pairs",
+    "v7_ivf_trained",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,6 +83,15 @@ def main() -> None:
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+
+    curation: dict[str, float] = {}
+    for name in CURATION:
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        curation[name] = round(best, 3)
 
     # rows/s through the full transform pipeline INCLUDING the parquet
     # writes of both branches (the reference's 300k rows/s covers load →
@@ -126,6 +147,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "curation_queries": curation,
+                "curation_total": round(sum(curation.values()), 3),
                 "sf": float(sf),
                 "pipe_transform_rows": n_rows,
                 "pipe_transform_rps": round(n_rows / pipeline_sec),

@@ -16,6 +16,45 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 
 
+def zorder_column(df: DataFrame, cols: list[str], bits: int = 12):
+    """Morton (Z-order) key over numeric columns: min-max-quantize each
+    column to ``bits`` bits (one tiny stats aggregate collected to the
+    driver), then interleave the bits. Sorting by the result clusters
+    the MULTI-dimensional space, so parquet min/max stats tighten on
+    EVERY participating column at once — single-key range clustering
+    (``cluster_by``) can only ever serve one column.
+
+    ``bits * len(cols)`` must fit a signed 64-bit key (≤ 63). The
+    quantization clamps, so rows outside the sampled min/max (e.g. when
+    stats come from a stale sample) still map into the keyspace.
+    Returns (key Column, stats dict) — the stats let callers reuse the
+    quantizer across incremental writes.
+    """
+    from pyspark.sql import functions as F
+
+    if bits * len(cols) > 63:
+        raise ValueError("bits * len(cols) must be <= 63")
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    top = (1 << bits) - 1
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    stats: dict[str, tuple[float, float]] = {}
+    for i, c in enumerate(cols):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        stats[c] = (mn, mx)
+        span = (mx - mn) or 1.0
+        q = ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span)) * F.lit(float(top))
+        qi = F.least(F.greatest(q.cast("bigint"), F.lit(0)), F.lit(top))
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(qi, b).bitwiseAND(F.lit(1)), b * n + i)
+            )
+    return z, stats
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -23,6 +62,7 @@ def write_parquet(
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
     cluster_partitions: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> None:
     """Snappy Parquet sink (S4/S5; snappy is Spark's default codec).
 
@@ -41,7 +81,25 @@ def write_parquet(
     the combination is: partition on date, cluster within partitions on
     the hot slicer key (location, amount). Costs one range shuffle at
     write; reads repay it on every selective query.
+
+    ``zorder_by`` is the multi-column variant (Morton interleave, see
+    :func:`zorder_column`): when two+ columns are both hot slicers,
+    Z-ordering tightens file min/max stats on all of them simultaneously
+    — at the price of weaker per-column clustering than a dedicated
+    single-key sort. Mutually exclusive with ``cluster_by`` in intent
+    (``cluster_by`` wins if both are passed last).
     """
+    if zorder_by:
+        # multi-dimensional data skipping: range-shuffle + sort on the
+        # Morton key; the projection dropping the key preserves the
+        # per-partition order it bought
+        z, _ = zorder_column(df, zorder_by)
+        df = df.withColumn("__zorder", z)
+        if cluster_partitions:
+            df = df.repartitionByRange(cluster_partitions, "__zorder")
+        else:
+            df = df.repartitionByRange("__zorder")
+        df = df.sortWithinPartitions("__zorder").drop("__zorder")
     if cluster_by:
         # explicit partition count available because AQE happily
         # coalesces a small range shuffle to one partition, collapsing

@@ -97,3 +97,29 @@ def test_default_dim_build_has_no_global_sort(spark, sf_dir):
         dim_time(valid, oracle_mode=True)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" in oracle_plan  # the contrast: oracle mode pays the sort
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """The partitioned-warehouse layout must enable DPP: joining the
+    fact's partition column to a selectively-filtered dim plants a
+    DynamicPruningExpression in the fact scan's PartitionFilters, so
+    only matching partitions are read at runtime — the mechanism that
+    makes date-dim slicers cheap at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "om", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "fact_part")
+    o.write.partitionBy("om").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = o.select("om").distinct().withColumn("flag", F.col("om").endswith("-01"))
+    plan = (
+        fact.join(dim.filter(F.col("flag")), "om")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()

@@ -1,0 +1,155 @@
+"""Property-based fuzzing (hypothesis) of the custom operators against
+independent reference implementations (pandas / pure python).
+
+The oracle-parity suite pins behavior on the fixtures; these pin it on
+ADVERSARIAL inputs hypothesis hunts for — boundary timestamps landing
+exactly on bucket edges, rule values exactly on thresholds, dedup ties.
+``derandomize=True`` keeps the suite deterministic (no flaky driver
+runs); each failing example hypothesis finds is then fixed forever as
+the shrunk counterexample.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(max_examples=15, deadline=None, derandomize=True)
+
+# small domains force collisions/ties; bounded ints keep math exact
+_uids = st.integers(min_value=0, max_value=3)
+_ts = st.integers(min_value=0, max_value=500)
+_vals = st.integers(min_value=-5, max_value=5)
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(st.tuples(_uids, _ts), min_size=1, max_size=12),
+    right=st.lists(st.tuples(_uids, _ts, _vals), min_size=1, max_size=12),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join (union-window formulation) ≡ pandas merge_asof
+    backward, including exact-timestamp ties. Right (uid, ts) pairs are
+    deduped: with duplicates the 'most recent' row is ambiguous in both
+    engines (input-order dependent), so no stable property exists."""
+    from nyc_taxi_etl_dashboard_spark.operators.temporal import asof_join
+
+    right = list({(u, t): (u, t, v) for u, t, v in right}.values())
+    ldf = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(left)], "lid int, uid int, lts long"
+    )
+    rdf = spark.createDataFrame(right, "uid int, rts long, payload int")
+    got = {
+        r.lid: r.payload
+        for r in asof_join(
+            ldf, rdf, by="uid", left_ts="lts", right_ts="rts", payload_cols=["payload"]
+        ).collect()
+    }
+    lp = pd.DataFrame([(i, u, t) for i, (u, t) in enumerate(left)], columns=["lid", "uid", "lts"]).sort_values("lts", kind="stable")
+    rp = pd.DataFrame(right, columns=["uid", "rts", "payload"]).sort_values("rts", kind="stable")
+    want_df = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="uid", direction="backward")
+    want = {
+        int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+_money = st.one_of(
+    st.integers(min_value=-2, max_value=3).map(float),
+    st.sampled_from([0.0, 0.1, 1.0, 100.0, 100.1, 99.99]),
+)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(_money, _money, _money, st.integers(min_value=-1, max_value=3), _money),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_classify_first_match_matches_python_cascade(spark, rows):
+    """The CASE-WHEN chain ≡ an independent python first-match loop over
+    the same five rules, with hypothesis steering values onto the exact
+    rule boundaries (0, 0.1, 1, 100)."""
+    from nyc_taxi_etl_dashboard_spark.operators.classify import classify, taxi_rules
+
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "rid int, trip_duration double, trip_distance double, fare_amount double,"
+        " passenger_count int, avg_speed double",
+    )
+    got = {r.rid: r.rejection_reason for r in classify(df, taxi_rules()).collect()}
+
+    def expected(dur, dist, fare, pax, spd):
+        if dur <= 0:
+            return "Durée invalide"
+        if not (0.1 <= dist <= 100.0):
+            return "Distance hors limites"
+        if fare <= 0:
+            return "Montant de course invalide"
+        if pax <= 0:
+            return "Passagers invalides"
+        if not (1.0 <= spd <= 100.0):
+            return "Vitesse irréaliste"
+        return None
+
+    want = {i: expected(*r) for i, r in enumerate(rows)}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(st.tuples(_uids, st.integers(0, 100), _vals), min_size=1, max_size=15)
+)
+def test_dedup_keep_first_matches_pandas(spark, rows):
+    """dedup_keep_first ≡ pandas sort + drop_duplicates(keep='first');
+    the tiebreaker column is made unique so 'first' is well-defined."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import dedup_keep_first
+
+    rows = [(u, i, v) for i, (u, _, v) in enumerate(rows)]  # unique tiebreak
+    df = spark.createDataFrame(rows, "k int, tb int, v int")
+    got = sorted(
+        (r.k, r.tb) for r in dedup_keep_first(df, ["k"], ["tb"]).collect()
+    )
+    p = pd.DataFrame(rows, columns=["k", "tb", "v"]).sort_values("tb", kind="stable")
+    want = sorted(
+        (int(r.k), int(r.tb)) for r in p.drop_duplicates("k", keep="first").itertuples()
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(st.tuples(st.integers(0, 6), _ts), min_size=1, max_size=12),
+    intervals=st.lists(st.tuples(st.integers(0, 6), _ts, _ts), min_size=1, max_size=8),
+    bucket=st.sampled_from([7, 64, 128]),
+)
+def test_range_join_matches_bruteforce(spark, events, intervals, bucket):
+    """Bucketized range join ≡ brute-force containment scan — hypothesis
+    drives event times onto bucket edges and degenerate (point)
+    intervals, where off-by-ones in the bucketization would hide."""
+    from nyc_taxi_etl_dashboard_spark.operators.temporal import range_join_intervals
+
+    intervals = [(i, min(s, e), max(s, e)) for i, (_, s, e) in enumerate(intervals)]
+    edf = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(events)], "eid int, ts long"
+    )
+    idf = spark.createDataFrame(intervals, "iid int, start long, stop long")
+    got = sorted(
+        (r.eid, r.iid)
+        for r in range_join_intervals(
+            edf, idf, event_ts="ts", start_col="start", end_col="stop",
+            bucket_seconds=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (ei, ii)
+        for ei, (_, t) in enumerate(events)
+        for ii, s, e in intervals
+        if s <= t <= e
+    )
+    assert got == want

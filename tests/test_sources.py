@@ -202,3 +202,50 @@ def test_cluster_by_writes_disjoint_ranges(spark, sf_dir, tmp_path):
     pr = ranges(plain)
     overlaps = sum(1 for (l1, h1), (l2, h2) in zip(pr, pr[1:]) if h1 > l2)
     assert overlaps > 0, "default layout unexpectedly disjoint — test fixture too small?"
+
+
+def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Morton layout tightens file min/max stats on EVERY participating
+    column: a bottom-10% range box must skip files on BOTH dims, while
+    single-key range clustering serves only its sort key (all files
+    overlap the box on the other dim). Measured at sf0.001: zorder hits
+    4/8 (price) and 3/8 (qty); range-cluster hits 1/8 and 8/8."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+    from nyc_taxi_etl_dashboard_spark.sources.writers import write_parquet
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+
+    def hit_count(path, colidx):
+        ranges = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(colidx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            ranges.append((lo, hi))
+        gmin, gmax = min(r[0] for r in ranges), max(r[1] for r in ranges)
+        box_hi = gmin + (gmax - gmin) * 0.1
+        return sum(1 for lo, hi in ranges if lo <= box_hi), len(ranges)
+
+    zp, cp = str(tmp_path / "z"), str(tmp_path / "c")
+    write_parquet(
+        li.repartition(8), zp,
+        zorder_by=["l_extendedprice", "l_quantity"], cluster_partitions=8,
+    )
+    write_parquet(
+        li.repartition(8), cp, cluster_by=["l_extendedprice"], cluster_partitions=8
+    )
+    for colidx in (0, 1):
+        hit, n = hit_count(zp, colidx)
+        assert n == 8
+        assert hit <= n // 2, f"zorder dim {colidx}: {hit}/{n} files hit"
+    hit_price, _ = hit_count(cp, 0)
+    hit_qty, n = hit_count(cp, 1)
+    assert hit_price <= 2  # the sort key skips hard...
+    assert hit_qty == n  # ...but the other dimension gets nothing
