@@ -244,21 +244,24 @@ def _cell_distances(vec_col: str, centroids: list[list[float]]) -> Column:
     is tiny (cells × dim doubles) and shipping it inside the plan makes
     assignment a narrow per-row expression: no join, no shuffle, no
     broadcast variable to manage."""
-    cells = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    return F.transform(
-        cells,
-        # named_struct, not struct(alias): aliases inside HOF lambdas are
-        # discarded (fields would come out col1/col2)
-        lambda cv, i: F.named_struct(
-            F.lit("d2"),
-            F.aggregate(
-                F.zip_with(F.col(vec_col), cv, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            F.lit("cell"),
-            i.cast("int"),
-        ),
+    # ONE parsed SQL string, not k·dim nested F.lit calls: the model is
+    # 512+ literals and building the tree through py4j one Column at a
+    # time measurably dominates small fits (~1s/iteration saved).
+    # repr() keeps full double precision; 'd' suffix pins DoubleType
+    # (bare decimal literals parse as DECIMAL — session pin trap).
+    cells_sql = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(f"{float(x)!r}d" for x in c))
+            for c in centroids
+        )
+    )
+    # named_struct, not struct(alias): aliases inside HOF lambdas are
+    # discarded (fields would come out col1/col2)
+    return F.expr(
+        f"transform({cells_sql}, (cv, i) -> named_struct("
+        f"'d2', aggregate(zip_with({vec_col}, cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, x) -> acc + x), "
+        "'cell', cast(i as int)))"
     )
 
 
@@ -290,39 +293,49 @@ def kmeans_fit(
       shape as :func:`centroids_by_label`, collect is k·dim doubles.
     Inertia rides the same job (sum of d2 per (cell,pos) is identical at
     every pos, so total inertia = Σ_{pos=0} sd2), so fitting costs exactly
-    ``n_iters`` Spark jobs. Init is deterministic: the k lowest-id
+    ``n_iters`` Spark jobs. Known fixed cost: the literals change every
+    iteration, so whole-stage codegen recompiles per pass (~1.5 s each on
+    a toy corpus) — irrelevant at scale, where a pass processes far more
+    than it compiles, and the payoff is assignment without any join. Init is deterministic: the k lowest-id
     vectors seed the cells (k-means++ would add a driver loop per seed;
     not worth it for a coarse quantizer). Cells that lose all members
     keep their previous centroid.
     """
+    # persist across iterations: every Lloyd pass re-reads the vectors
+    # (and the seed collect makes it n_iters+1 consumers); without this
+    # each iteration re-runs the upstream scan/shuffle chain
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    cents = [list(r.v) for r in vecs.orderBy("id").limit(k).collect()]
-    dim = len(cents[0])
-    history: list[float] = []
-    for _ in range(n_iters):
-        best = nearest_cells("v", cents, 1).getItem(0)
-        d2 = F.array_sort(_cell_distances("v", cents)).getItem(0).getField("d2")
-        assigned = vecs.select(
-            best.alias("cell"), d2.alias("d2"), F.posexplode("v").alias("pos", "val")
-        )
-        rows = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"), F.sum("d2").alias("sd2"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        inertia = 0.0
-        for r in rows:
-            by_cell.setdefault(r.cell, {})[r.pos] = r.m
-            if r.pos == 0:
-                inertia += r.sd2
-        history.append(inertia)
-        cents = [
-            [by_cell[c][p] for p in range(dim)] if c in by_cell else cents[c]
-            for c in range(k)
-        ]
+    ).persist()
+    try:
+        cents = [list(r.v) for r in vecs.orderBy("id").limit(k).collect()]
+        dim = len(cents[0])
+        history: list[float] = []
+        for _ in range(n_iters):
+            sorted_cells = F.array_sort(_cell_distances("v", cents)).getItem(0)
+            assigned = vecs.select(
+                sorted_cells.getField("cell").alias("cell"),
+                sorted_cells.getField("d2").alias("d2"),
+                F.posexplode("v").alias("pos", "val"),
+            )
+            rows = (
+                assigned.groupBy("cell", "pos")
+                .agg(F.avg("val").alias("m"), F.sum("d2").alias("sd2"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            inertia = 0.0
+            for r in rows:
+                by_cell.setdefault(r.cell, {})[r.pos] = r.m
+                if r.pos == 0:
+                    inertia += r.sd2
+            history.append(inertia)
+            cents = [
+                [by_cell[c][p] for p in range(dim)] if c in by_cell else cents[c]
+                for c in range(k)
+            ]
+    finally:
+        vecs.unpersist()
     return cents, history
 
 

@@ -155,6 +155,67 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Hourly continuous-aggregate grain with MERGEABLE partials: counts
+    and decimal sums re-aggregate associatively, so any two rollups of
+    disjoint event sets combine by summation — the property incremental
+    maintenance depends on. Sums are decimal(18,6) (not double) so
+    combine order can't perturb the result."""
+    return events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bucket_day"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+    )
+
+
+def refresh_hourly_rollup(spark: SparkSession, rollup_path: str, new_events: DataFrame) -> None:
+    """Incremental materialized-view maintenance (TimescaleDB
+    continuous-aggregate refresh, Spark-first): aggregate ONLY the new
+    events, combine with the existing rollup rows for the affected
+    (bucket_hour, event_type) keys by re-summing the mergeable partials,
+    and commit through :func:`merge_parquet`'s partition-scoped dynamic
+    overwrite — cost scales with the delta's day-partitions, never the
+    rollup's history. Late/backfill events land correctly because
+    overlapping hours COMBINE (sum of partials) rather than replace.
+    """
+    import os
+
+    from ..sources.writers import merge_parquet, write_parquet
+
+    delta = hourly_rollup(new_events)
+    if not os.path.exists(rollup_path):
+        write_parquet(delta, rollup_path, partition_by=["bucket_day"])
+        return
+    # partition-column type inference reads the yyyy-MM-dd directory
+    # values back as DATE; normalize to the rollup's declared string
+    # type so the union/merge keys line up
+    existing = spark.read.parquet(rollup_path).withColumn(
+        "bucket_day", F.col("bucket_day").cast("string")
+    )
+    affected_days = delta.select("bucket_day").distinct()
+    old_in_scope = existing.join(F.broadcast(affected_days), "bucket_day", "left_semi")
+    combined = (
+        old_in_scope.unionByName(delta.select(*existing.columns))
+        .groupBy("bucket_day", "bucket_hour", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_value").cast("decimal(18,6)").alias("total_value"),
+        )
+    )
+    merge_parquet(
+        spark,
+        rollup_path,
+        combined.select(*existing.columns),
+        keys=["bucket_hour", "event_type"],
+        partition_by=["bucket_day"],
+    )
+
+
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over user_id (the mergeable heavy-hitter sketch
     for 100 TB streams — fixed memory, one pass). Sketch internals are
