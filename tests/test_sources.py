@@ -249,3 +249,35 @@ def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     hit_qty, n = hit_count(cp, 1)
     assert hit_price <= 2  # the sort key skips hard...
     assert hit_qty == n  # ...but the other dimension gets nothing
+
+
+def test_python_datasource_synthetic_events(spark):
+    """Spark-4 Python DataSource: partition-parallel deterministic
+    generation — same (seed, numRows) => identical data regardless of
+    partitioning (task retries and different parallelism agree), schema
+    interoperates with the events queries."""
+    from nyc_taxi_etl_dashboard_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_events")
+            .option("numRows", 200)
+            .option("numPartitions", parts)
+            .option("seed", 7)
+            .load()
+        )
+
+    df = load(4)
+    assert df.rdd.getNumPartitions() == 4
+    rows4 = sorted(tuple(r) for r in df.collect())
+    rows2 = sorted(tuple(r) for r in load(2).collect())
+    assert len(rows4) == 200
+    assert rows4 == rows2  # partitioning-invariant content
+    assert {r[3] for r in rows4} <= set(pydatasource.EVENT_TYPES)
+    # generated stream slots into the existing event operators
+    from pyspark.sql import functions as F
+
+    agg = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sum(r.n for r in agg) == 200
