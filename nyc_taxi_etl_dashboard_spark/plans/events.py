@@ -87,8 +87,25 @@ def q_event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(*agg)
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through the VARIANT type (Spark 4):
+    ``parse_json`` once into the binary variant encoding, then typed
+    path access — the lakehouse-native shape that beats re-parsing JSON
+    strings per extraction (e1's ``get_json_object``) when several paths
+    are pulled from one payload. Same answer as e1 by construction; the
+    oracle pins that the variant path is lossless."""
+    e = _events(spark, sf_dir)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.schema_of_variant(v).alias("props_schema"),
+    )
+
+
 QUERIES = {
     "e1_json_extract": q_json_extract,
+    "e6_variant_extract": q_variant_extract,
     "e2_tumbling_counts": q_tumbling_counts,
     "e3_sessionize": q_sessionize,
     "e4_event_type_funnel": q_event_type_funnel,
@@ -97,6 +114,10 @@ QUERIES = {
 ORACLES = {
     "e1_json_extract": """
 SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events""",
+    "e6_variant_extract": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       'OBJECT<k: BIGINT>' AS props_schema
 FROM events""",
     "e2_tumbling_counts": """
 SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -282,3 +282,42 @@ def test_stream_stream_left_outer_join_sound(spark, sf_dir, events_dir):
     assert got_pairs == want_pairs  # matched subset complete + correct
     assert got_nulls <= want_unmatched  # null emissions sound
     assert len(got_nulls) > 0, "watermark should have proven some views unmatched"
+
+
+def test_checkpoint_recovery_processes_only_new_files(spark, events_dir, tmp_path):
+    """Exactly-once file-source semantics across restarts: a second
+    query started on the SAME checkpoint must skip everything already
+    committed and process only files that arrived in between — the sink
+    ends up equal to one batch pass over all input, no duplicates."""
+    import shutil as sh
+
+    from nyc_taxi_etl_dashboard_spark.streaming import read_events_stream
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            read_events_stream(spark, events_dir)
+            .select("event_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    base = spark.read.parquet(f"{events_dir}/part-000.parquet")
+    staging = tmp_path / "extra"
+    base.withColumn("event_id", F.col("event_id") + 1_000_000).coalesce(1).write.parquet(
+        str(staging)
+    )
+    sh.copy(next(staging.glob("part-*.parquet")), f"{events_dir}/part-001.parquet")
+    run_once()
+    final = spark.read.parquet(out)
+    assert final.count() == 2 * n1  # old file NOT reprocessed
+    assert final.select("event_id").distinct().count() == 2 * n1
