@@ -165,6 +165,67 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list — the step that
+    turns pairwise evidence into DEDUP DECISIONS (one cluster id per
+    document; keep the minimum id, drop the rest). Returns
+    (id, cluster_id) for every node appearing in a pair; cluster_id is
+    the component's minimum node id.
+
+    Algorithm: iterative min-label propagation (the simple form of
+    GraphX/Pregel CC): each round every node takes the min of its own
+    label and its neighbors' labels; converges in O(component diameter)
+    rounds — near-dup components are shallow (dups of a common source),
+    so a handful of rounds suffices; ``max_iters`` bounds pathological
+    chains. Scale shape per round: one equi-join labels⋈edges + one
+    groupBy min — both shuffle on node id; labels are
+    ``localCheckpoint``-ed each round so lineage doesn't deepen with
+    iteration count. The driver holds only the convergence counter.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dl").alias("nbr_label"))
+            .select(F.col("src").alias("id"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -710,6 +710,74 @@ SELECT doc_id, CAST(len(bg) AS INTEGER) AS n_bigrams,
 FROM c"""
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): MinHash-LSH pairs at
+    jaccard>=0.8 -> connected components -> (doc_id, cluster_id) with
+    cluster_id = min doc id of the component. The canonical dedup
+    decision is then 'keep doc_id == cluster_id'. Oracle: recursive-CTE
+    transitive closure over the exhaustive pair list (tiny at fixture
+    scale; the Spark path never materializes closure — it propagates
+    labels in O(diameter) rounds)."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+QUERIES["dd8_dup_clusters"] = q_dup_clusters
+ORACLES["dd8_dup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+p AS ({_JACCARD_PAIRS.format(thr=0.8)}),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, unigram form (the CCNet/KenLM
+    perplexity-filter shape with the corpus itself as the LM): per-doc
+    mean log p(token), p = corpus term frequency / corpus size. Low
+    scores = rare-token soup (lorem noise, code dumps); high = stopword
+    paste — pipelines keep the middle band.
+
+    Scale shape: ONE wordcount aggregation builds the LM, the corpus
+    total is a 1-row scalar (driver-side by design, like the run
+    report), scoring is an equi-join tokens⋈freq + per-doc avg. The
+    token join is skewed by construction (stopwords) — AQE skew-join
+    splits the hot partitions; broadcasting the top-k head of the freq
+    table is the manual alternative."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.count()
+    return (
+        toks.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("tf") / F.lit(float(total)))), 6).alias(
+                "avg_logprob"
+            )
+        )
+    )
+
+
+QUERIES["t10_unigram_logprob"] = q_unigram_logprob
+ORACLES["t10_unigram_logprob"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT t.doc_id, round(avg(ln(f.tf / (tot.n * 1.0))), 6) AS avg_logprob
+FROM toks t JOIN freq f USING (token) CROSS JOIN tot
+GROUP BY t.doc_id"""
+
+
 def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via Python UDTF (one row per 16-token segment —
     the context-window chunking pass). The oracle reproduces the

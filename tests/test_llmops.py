@@ -329,3 +329,49 @@ def test_ivf_trained_recall_on_planted(spark):
     )
     assert r2 >= r1
     assert r2 >= 0.75, (r1, r2)
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    """Label propagation ≡ an independent union-find over the same
+    pairs, and the canonical-keep rule (doc_id == cluster_id) keeps
+    exactly one doc per component."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    pairs = minhash_lsh_pairs(read_table(spark, sf_dir, "documents"), threshold=0.8)
+    pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert pair_rows, "fixture should contain planted near-dups"
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == want
+    keepers = {v for v in got.values()}
+    assert all(got[k] == k for k in keepers)  # canonical keeps are their own cluster
+
+
+def test_connected_components_chain_converges(spark):
+    """A 12-node path graph (worst diameter/edge ratio) collapses to one
+    cluster labeled by its minimum node."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a int, id_b int"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(chain).collect()}
+    assert got == {i: 0 for i in range(13)}
