@@ -160,3 +160,26 @@ def test_warehouse_partition_pruning_one_day(spark, taxi_input, tmp_path):
         return df._jdf.queryExecution().executedPlan().toString().count(".parquet")
 
     assert n_files(one_day) <= n_files(fact)
+
+
+def test_semantic_sql_surface(spark, sf_dir):
+    """SQL-first consumption: semantic views answer plain SQL and agree
+    with the DataFrame plans they wrap (the star join re-derives j1's
+    revenue-by-day-of-week from SQL alone)."""
+    from nyc_taxi_etl_dashboard_spark.plans.views import register_semantic_views
+
+    names = register_semantic_views(spark, sf_dir)
+    assert "fact_trips" in names
+    n_valid = spark.sql("SELECT count(*) AS n FROM valid_trips").first().n
+    from nyc_taxi_etl_dashboard_spark.plans.pipeline import QUERIES as PQ
+
+    assert n_valid == PQ["pipe_valid_rows"](spark, sf_dir).count()
+    star_sql = spark.sql(
+        """
+        SELECT t.day_of_week, round(sum(f.total_amount), 2) AS revenue
+        FROM fact_trips f JOIN dim_time t ON f.time_pk = t.time_pk
+        GROUP BY t.day_of_week
+        """
+    )
+    rows = star_sql.collect()
+    assert len(rows) > 0 and all(r.revenue is not None for r in rows)
