@@ -169,17 +169,24 @@ def test_semantic_sql_surface(spark, sf_dir):
     from nyc_taxi_etl_dashboard_spark.plans.views import register_semantic_views
 
     names = register_semantic_views(spark, sf_dir)
-    assert "fact_trips" in names
-    n_valid = spark.sql("SELECT count(*) AS n FROM valid_trips").first().n
-    from nyc_taxi_etl_dashboard_spark.plans.pipeline import QUERIES as PQ
+    try:
+        assert "fact_trips" in names
+        n_valid = spark.sql("SELECT count(*) AS n FROM valid_trips").first().n
+        from nyc_taxi_etl_dashboard_spark.plans.pipeline import QUERIES as PQ
 
-    assert n_valid == PQ["pipe_valid_rows"](spark, sf_dir).count()
-    star_sql = spark.sql(
-        """
-        SELECT t.day_of_week, round(sum(f.total_amount), 2) AS revenue
-        FROM fact_trips f JOIN dim_time t ON f.time_pk = t.time_pk
-        GROUP BY t.day_of_week
-        """
-    )
-    rows = star_sql.collect()
-    assert len(rows) > 0 and all(r.revenue is not None for r in rows)
+        assert n_valid == PQ["pipe_valid_rows"](spark, sf_dir).count()
+        star_sql = spark.sql(
+            """
+            SELECT t.day_of_week, round(sum(f.total_amount), 2) AS revenue
+            FROM fact_trips f JOIN dim_time t ON f.time_pk = t.time_pk
+            GROUP BY t.day_of_week
+            """
+        )
+        rows = star_sql.collect()
+        assert len(rows) > 0 and all(r.revenue is not None for r in rows)
+    finally:
+        # temp views shadow same-named catalog tables for the whole
+        # session — clean up so the DDL test's fact_trips resolves to
+        # its own (empty) managed table
+        for name in names:
+            spark.catalog.dropTempView(name)
