@@ -778,6 +778,32 @@ FROM toks t JOIN freq f USING (token) CROSS JOIN tot
 GROUP BY t.doc_id"""
 
 
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (video→frames shape): one row
+    per 32-byte offset, 'decoded' to the frame byte + a 16-byte window
+    hash (deterministic fake — no codecs in the container; the Spark
+    plumbing, batch-side expansion included, is real). The SQL oracle
+    reproduces the fake decode exactly, pinning the mapInPandas
+    expansion semantics the way x4 pins the UDTF's."""
+    d = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.sample_frames(d, every_n_bytes=32)
+
+
+QUERIES["mm2_frame_samples"] = q_frame_samples
+ORACLES["mm2_frame_samples"] = """
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+f AS (SELECT doc_id, text, n,
+             unnest(range(CAST(ceil(n / 32.0) AS BIGINT))) AS i
+      FROM t WHERE n > 0)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 32 AS INTEGER) AS offset,
+       CAST(ascii(text[CAST(i*32+1 AS INTEGER) : CAST(i*32+1 AS INTEGER)]) AS INTEGER) AS frame_byte,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(least(16, n - i*32)),
+           j -> CAST(ascii(text[CAST(i*32+j+1 AS INTEGER) : CAST(i*32+j+1 AS INTEGER)]) AS BIGINT))),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS frame_hash
+FROM f"""
+
+
 def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via Python UDTF (one row per 16-token segment —
     the context-window chunking pass). The oracle reproduces the

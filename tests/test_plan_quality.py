@@ -123,3 +123,47 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_
         .toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling: a planted hot key makes one shuffle
+    partition dwarf the median; with the skew thresholds scaled to the
+    fixture, the executed (adaptive) plan must mark the sort-merge join
+    skew-handled ('skew=true') instead of letting one task drag the
+    stage — the mechanism that replaces manual salting when skew is
+    discovered only at runtime."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # pad must be incompressible (sha2, not a repeated constant) and
+        # must SURVIVE column pruning (consumed by the aggregate):
+        # shuffle skew is detected from compressed map-output sizes, and
+        # 270k identical keys alone compress under any threshold
+        big = spark.range(300_000).withColumn(
+            "k",
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 1000),
+        ).withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
+        right = spark.range(20_000).withColumn("k", F.col("id") % 1000)
+        j = big.join(right, "k").select(F.max(F.length("pad")).alias("n"))
+        # collect() finalizes THIS DataFrame's adaptive execution; a
+        # sink write would run a separate queryExecution and leave this
+        # one unexecuted (isFinalPlan=false)
+        assert j.collect()[0].n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
