@@ -2,6 +2,7 @@
 strictly batch; its anomaly accumulator and upsert-shaped dim loads are
 the 'incremental-shaped' pieces this module generalizes)."""
 
+from .documents import curate_documents_stream, read_documents_stream
 from .events import (
     anomaly_split_sink,
     correlate_event_pairs,
@@ -18,4 +19,6 @@ __all__ = [
     "session_counts",
     "dedup_within_watermark",
     "anomaly_split_sink",
+    "read_documents_stream",
+    "curate_documents_stream",
 ]

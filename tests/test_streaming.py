@@ -321,3 +321,52 @@ def test_checkpoint_recovery_processes_only_new_files(spark, events_dir, tmp_pat
     final = spark.read.parquet(out)
     assert final.count() == 2 * n1  # old file NOT reprocessed
     assert final.select("event_id").distinct().count() == 2 * n1
+
+
+def test_streaming_corpus_curation_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming curation (quality gate + fingerprint dedup) over a
+    drained backlog — including a second file that re-delivers the same
+    texts under new doc_ids — keeps exactly one doc per fingerprint
+    among quality survivors, matching the batch chain's first two
+    stages."""
+    from nyc_taxi_etl_dashboard_spark.functions import poly_fingerprint
+    from nyc_taxi_etl_dashboard_spark.operators.text import tokens
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        curate_documents_stream,
+        read_documents_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    )
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    staging = tmp_path / "staging"
+    docs.coalesce(1).write.parquet(str(staging))
+    shutil.copy(next(staging.glob("part-*.parquet")), stream_dir / "part-000.parquet")
+    # re-delivery: same texts, new ids, slightly later arrival
+    redeliver = docs.withColumn("doc_id", F.col("doc_id") + 10_000).withColumn(
+        "ingest_ts", F.col("ingest_ts") + F.expr("INTERVAL 10 seconds")
+    )
+    staging2 = tmp_path / "staging2"
+    redeliver.coalesce(1).write.parquet(str(staging2))
+    shutil.copy(next(staging2.glob("part-*.parquet")), stream_dir / "part-001.parquet")
+
+    out = _drain(
+        curate_documents_stream(
+            read_documents_stream(spark, str(stream_dir))
+        ).writeStream.outputMode("append"),
+        spark,
+        "curated_docs",
+    )
+    got_fps = [r.fp for r in out.select("fp").collect()]
+    assert len(got_fps) == len(set(got_fps)), "duplicate fingerprints emitted"
+    want = (
+        docs.filter(F.array_size(F.split("text", " ")) >= 20)
+        .withColumn("fp", poly_fingerprint(tokens("text")))
+        .select("fp")
+        .distinct()
+        .count()
+    )
+    assert len(got_fps) == want
