@@ -30,6 +30,32 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record tolerance: 1% of payloads are deterministically
+    truncated IN-QUERY (both engines mangle identically), then parsed
+    with null-on-failure semantics — the PERMISSIVE posture a pipeline
+    needs when upstream JSON is dirty; no row errors, corrupt rows
+    surface as nulls for quarantine instead of failing the job."""
+    e = _events(spark, sf_dir)
+    mangled = F.when(
+        F.col("event_id") % 100 == 0, F.substring("props", 1, 3)
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(mangled, "k INT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        (F.col("event_id") % 100 == 0).alias("was_mangled"),
+    )
+
+
+QUERIES_ROBUST_ORACLE = """
+SELECT event_id,
+       CAST(CASE WHEN event_id % 100 = 0 THEN NULL
+                 ELSE json_extract_string(props, '$.k') END AS INTEGER) AS k,
+       event_id % 100 = 0 AS was_mangled
+FROM events"""
+
+
 def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute tumbling windows per event_type — batch twin of
     ``streaming.windowed_counts`` (same groupBy(window) plan minus the
@@ -106,6 +132,7 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "e1_json_extract": q_json_extract,
     "e6_variant_extract": q_variant_extract,
+    "e7_robust_json": q_robust_json,
     "e2_tumbling_counts": q_tumbling_counts,
     "e3_sessionize": q_sessionize,
     "e4_event_type_funnel": q_event_type_funnel,
@@ -119,6 +146,10 @@ FROM events""",
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
        'OBJECT<k: BIGINT>' AS props_schema
 FROM events""",
+    # the oracle short-circuits the known-corrupt slice to NULL (DuckDB's
+    # json_extract raises on invalid JSON rather than returning null);
+    # the VALID slice is parsed for real, pinning the non-corrupt path
+    "e7_robust_json": QUERIES_ROBUST_ORACLE,
     "e2_tumbling_counts": """
 SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n, round(sum(value), 2) AS total_value
