@@ -52,6 +52,19 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every file under
+    ``path`` (``mergeSchema``) so older files missing newly-added
+    columns surface them as nulls — the additive-evolution contract a
+    long-lived warehouse needs (writers add columns over time; readers
+    must not break on old partitions).
+
+    Cost note: schema merging reads every file's FOOTER at planning
+    (not its data); on tables with very many files, pin the schema
+    explicitly instead."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

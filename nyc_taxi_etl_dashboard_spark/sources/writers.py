@@ -251,6 +251,38 @@ def merge_parquet(
     return counts
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_mb``-sized files via a staging swap. Streaming sinks
+    and frequent incremental appends accumulate tiny files whose
+    per-file open/footer cost eventually dominates scans; periodic
+    compaction is the standard fix (what Delta's OPTIMIZE does).
+
+    File count is sized from the directory's actual bytes — never a
+    fixed coalesce(1), which would serialize a large table through one
+    task. Returns {files_before, files_after}. Same non-transactional
+    caveat as :func:`merge_parquet` full-table mode.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compact"
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    after = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    return {"files_before": len(files), "files_after": len(after)}
+
+
 def create_star_schema_sql() -> list[str]:
     """DDL for a Spark-managed star schema (S11, mirrors ``load.py:19-59``).
 

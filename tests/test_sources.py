@@ -283,3 +283,45 @@ def test_python_datasource_synthetic_events(spark):
 
     agg = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     assert sum(r.n for r in agg) == 200
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Additive schema evolution: files written before a column existed
+    read back with nulls for it; content of both eras preserved."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+    from nyc_taxi_etl_dashboard_spark.sources.readers import read_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    old = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    old.write.parquet(path)
+    new = read_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name", F.lit("v2").alias("era")
+    )
+    new.write.mode("append").parquet(path)
+    merged = read_parquet_evolving(spark, path)
+    assert set(merged.columns) == {"r_regionkey", "r_name", "era"}
+    assert merged.count() == old.count() * 2
+    assert merged.filter(F.col("era").isNull()).count() == old.count()
+    assert merged.filter(F.col("era") == "v2").count() == old.count()
+
+
+def test_compact_parquet_preserves_content(spark, sf_dir, tmp_path):
+    """Compaction collapses a sprawl of tiny files without changing a
+    row; output file count is sized from actual bytes."""
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+    from nyc_taxi_etl_dashboard_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "sprawl")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    li.repartition(40).write.parquet(path)  # simulate streaming sprawl
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny fixture -> one right-sized file
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
