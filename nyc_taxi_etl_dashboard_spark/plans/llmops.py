@@ -804,6 +804,52 @@ SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 32 AS INTEGER) AS offse
 FROM f"""
 
 
+def q_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATION: score pairs from 8-word signatures
+    alone (agreement fraction ≈ Jaccard) — at 100 TB candidate pairs are
+    scored from sketches without re-reading documents; the exact verify
+    runs only above a sketch-score floor. Output joins the estimate with
+    ground truth so the estimator's error is itself oracle-checked."""
+    from ..operators.dedup import jaccard_pairs, minhash_signature
+
+    d = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(d, threshold=0.5)
+    sigs = with_shingles(d.select("doc_id", "text")).withColumn(
+        "sig", minhash_signature(8)
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree / F.lit(8)).alias("jaccard_est"),
+            "jaccard",
+            F.abs(agree / F.lit(8) - F.col("jaccard")).alias("abs_err"),
+        )
+    )
+
+
+QUERIES["dd9_jaccard_estimate"] = q_jaccard_estimate
+ORACLES["dd9_jaccard_estimate"] = f"""
+WITH {_SHINGLES_CTE},
+p AS ({_JACCARD_PAIRS.format(thr=0.5)}),
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh),
+j AS (
+  SELECT p.id_a, p.id_b, p.jaccard,
+         (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END + CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END
+        + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END
+        + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END + CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END
+        + CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END + CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) AS agree
+  FROM p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id)
+SELECT id_a, id_b, agree / 8.0 AS jaccard_est, jaccard,
+       abs(agree / 8.0 - jaccard) AS abs_err
+FROM j"""
+
+
 def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via Python UDTF (one row per 16-token segment —
     the context-window chunking pass). The oracle reproduces the

@@ -150,6 +150,40 @@ def anomaly_split_sink(
     )
 
 
+def idempotent_batch_sink(
+    events: DataFrame, out_path: str, checkpoint: str, log_path: str
+):
+    """foreachBatch parquet sink with a batch-id commit log.
+
+    Spark guarantees foreachBatch is invoked at-LEAST-once per batch
+    (sink-side retries, checkpoint replay after recovery) — exactly-once
+    needs the sink itself to dedup on ``batch_id``. This is that
+    pattern: a tiny commit log records every batch written; a replayed
+    batch id is skipped before any data lands. Survives even checkpoint
+    LOSS: a fresh checkpoint replays batch ids from 0, and the log —
+    which lives with the DATA, not the checkpoint — rejects them.
+    (Delta's txn table does exactly this under foreachBatch.)
+    """
+    import os
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(log_path):
+            committed = {r.batch_id for r in spark.read.parquet(log_path).collect()}
+            if batch_id in committed:
+                return
+        batch_df.write.mode("append").parquet(out_path)
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(log_path)
+
+    return (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def correlate_event_pairs(
     left: DataFrame,
     right: DataFrame,

@@ -370,3 +370,31 @@ def test_streaming_corpus_curation_matches_batch(spark, sf_dir, tmp_path):
         .count()
     )
     assert len(got_fps) == want
+
+
+def test_idempotent_sink_survives_checkpoint_loss(spark, events_dir, tmp_path):
+    """The batch-id commit log makes the foreachBatch sink exactly-once
+    even when the CHECKPOINT is lost: a fresh checkpoint replays batch 0,
+    the log (living with the data) rejects it, and the sink stays
+    duplicate-free."""
+    import shutil as sh
+
+    from nyc_taxi_etl_dashboard_spark.streaming import read_events_stream
+    from nyc_taxi_etl_dashboard_spark.streaming.events import idempotent_batch_sink
+
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "commitlog")
+    ckpt1, ckpt2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+
+    def run(ckpt):
+        q = idempotent_batch_sink(
+            read_events_stream(spark, events_dir), out, ckpt, log
+        ).start()
+        q.awaitTermination(120)
+
+    run(ckpt1)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    sh.rmtree(ckpt1)  # simulate checkpoint loss
+    run(ckpt2)  # fresh checkpoint => batch 0 REPLAYS with the same id
+    assert spark.read.parquet(out).count() == n1  # log rejected the replay
