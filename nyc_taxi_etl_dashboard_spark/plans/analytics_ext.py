@@ -368,8 +368,48 @@ def q_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total measure (the dashboard cumulative line): daily
+    revenue + an unbounded-preceding cumulative sum. Sum in
+    decimal(18,2) so the running total is order-exact for the oracle.
+    The single global window runs over the tiny pre-aggregated daily
+    frame (|days| rows), not the fact — the correct place for an
+    all-rows window."""
+    li = read_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d").cast("string").alias("d"),
+        F.col("rev").cast("decimal(18,2)").alias("rev"),
+        F.sum("rev").over(w).cast("decimal(28,2)").alias("cum_rev"),
+    )
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth (the KPI-card delta): monthly
+    sums, lag(1), pct change rounded — decimal sums keep both engines'
+    monthly bases identical before the double division."""
+    li = read_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("m")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("m")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "m",
+        F.col("rev").cast("decimal(18,2)").alias("rev"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double") * 100, 4
+        ).alias("growth_pct"),
+    )
+
+
 QUERIES.update(
     {
+        "w6_cumulative_revenue": q_cumulative_revenue,
+        "a26_mom_growth": q_mom_growth,
         "a22_pivot_status_flag": q_pivot_status_flag,
         "a23_unpivot_amounts": q_unpivot_amounts,
         "x2_hash_sample": q_hash_sample,
@@ -378,6 +418,23 @@ QUERIES.update(
 )
 ORACLES.update(
     {
+        "w6_cumulative_revenue": """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY 1)
+SELECT CAST(d AS VARCHAR) AS d, CAST(rev AS DECIMAL(18,2)) AS rev,
+       CAST(sum(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2)) AS cum_rev
+FROM daily""",
+        "a26_mom_growth": """
+WITH monthly AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS m,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY 1)
+SELECT m, CAST(rev AS DECIMAL(18,2)) AS rev,
+       round(CAST(rev - lag(rev) OVER (ORDER BY m) AS DOUBLE)
+               / CAST(lag(rev) OVER (ORDER BY m) AS DOUBLE) * 100, 4) AS growth_pct
+FROM monthly""",
         "a22_pivot_status_flag": """
 SELECT o_orderstatus,
        round(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'), 2) AS qty_n,
