@@ -850,6 +850,113 @@ SELECT id_a, id_b, agree / 8.0 AS jaccard_est, jaccard,
 FROM j"""
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-corpus pipeline, composed from the
+    independently-oracle-checked stages: quality gate (t7 rules) →
+    exact dedup keep-first on fingerprint (t3/dd1) → benchmark
+    decontamination at ≥10% eval-shingle overlap (t8; eval slice
+    excluded from the corpus) → 256-token sequence packing per source
+    shard (x6). Returns the packed training sequences. One query pins
+    the COMPOSITION — stage boundaries (who feeds whom, which slice
+    each stage sees) are where pipelines rot."""
+    from ..operators.dedup import dedup_keep_first
+
+    d = _docs(spark, sf_dir)
+    feats = quality_features("text")
+    quality = d.filter(
+        (feats["n_tokens"] >= 25)
+        & (feats["distinct_ratio"] >= 0.35)
+        & (feats["stopword_ratio"] > 0)
+    )
+    fp = quality.withColumn("fp", poly_fingerprint(tokens("text")))
+    kept = dedup_keep_first(fp, ["fp"], ["doc_id"])
+    # contamination is judged against the RAW eval slice (a filtered
+    # benchmark would under-report overlap), and the eval slice itself
+    # never enters the training corpus
+    eval_sh = (
+        with_shingles(d.filter(F.col("source") == "src0").select("doc_id", "text"))
+        .select(F.explode("shingle").alias("sh"))
+        .distinct()
+    )
+    train = with_shingles(
+        kept.filter(F.col("source") != "src0").select("doc_id", "source", "text")
+    ).select("doc_id", "source", F.array_size("shingle").alias("n_sh"), "shingle")
+    hits = (
+        train.select("doc_id", F.explode("shingle").alias("sh"))
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    clean = (
+        train.join(hits, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh") < 0.1
+        )
+        .select("doc_id", "source")
+    )
+    from pyspark.sql import Window
+
+    survivors = clean.join(
+        d.select("doc_id", F.array_size(F.split("text", " ")).alias("n_tokens")),
+        "doc_id",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        survivors.withColumn(
+            "start_offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("bin_id", F.expr("start_offset div 256"))
+        .select("doc_id", "source", "n_tokens", "start_offset", "bin_id")
+    )
+
+
+QUERIES["x7_corpus_pipeline"] = q_corpus_pipeline
+ORACLES["x7_corpus_pipeline"] = f"""
+WITH toks0 AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS toks FROM documents),
+quality AS (
+  SELECT doc_id, text, source, toks FROM toks0
+  WHERE len(toks) >= 25
+    AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.35
+    AND len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) > 0),
+fp AS (SELECT doc_id, text, source, toks, {_FP_SQL} AS fp FROM quality),
+kept AS (
+  SELECT doc_id, text, source, toks FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp)
+  WHERE rn = 1),
+raw_sh AS (
+  SELECT doc_id, source, list_distinct(
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+    ELSE [] END) AS shingle
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+ev AS (SELECT DISTINCT unnest(shingle) AS s FROM raw_sh WHERE source = 'src0'),
+train AS (
+  SELECT k.doc_id, k.source, len(r.shingle) AS n_sh, r.shingle
+  FROM kept k JOIN raw_sh r ON k.doc_id = r.doc_id
+  WHERE k.source <> 'src0'),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(shingle) AS s FROM train)
+  WHERE s IN (SELECT s FROM ev) GROUP BY doc_id),
+clean AS (
+  SELECT t.doc_id, t.source FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+  WHERE coalesce(h.n_hit, 0) * 1.0 / t.n_sh < 0.1),
+surv AS (
+  SELECT c.doc_id, c.source, CAST(len(t0.toks) AS INTEGER) AS n_tokens
+  FROM clean c JOIN toks0 t0 ON c.doc_id = t0.doc_id),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM surv)
+SELECT doc_id, source, n_tokens, start_offset, start_offset // 256 AS bin_id FROM packed"""
+
+
 def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via Python UDTF (one row per 16-token segment —
     the context-window chunking pass). The oracle reproduces the
