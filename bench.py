@@ -56,6 +56,7 @@ CURATION = [
     "x6_pack_sequences",
     "dd7_simhash_pairs",
     "v7_ivf_trained",
+    "x7_corpus_pipeline",
 ]
 
 

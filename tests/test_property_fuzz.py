@@ -153,3 +153,38 @@ def test_range_join_matches_bruteforce(spark, events, intervals, bucket):
         if s <= t <= e
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=25
+    )
+)
+def test_connected_components_matches_union_find_on_random_graphs(spark, edges):
+    """Min-label propagation ≡ union-find on arbitrary random graphs —
+    hypothesis hunts for topologies (self-loops, parallel edges, long
+    chains, stars) where propagation could converge early or mislabel."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
