@@ -398,3 +398,84 @@ def test_idempotent_sink_survives_checkpoint_loss(spark, events_dir, tmp_path):
     sh.rmtree(ckpt1)  # simulate checkpoint loss
     run(ckpt2)  # fresh checkpoint => batch 0 REPLAYS with the same id
     assert spark.read.parquet(out).count() == n1  # log rejected the replay
+
+
+def test_transform_with_state_running_totals(spark, sf_dir, events_dir, tmp_path):
+    """transformWithStateInPandas (typed ValueState, RocksDB provider):
+    after draining the backlog, the LAST emitted row per user equals the
+    batch per-user totals — per-key state accumulated correctly across
+    micro-batches."""
+    import pytest as _pytest
+
+    from pyspark.sql.group import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        _pytest.skip("transformWithStateInPandas not available")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip(
+            "transformWithState's state protocol needs google.protobuf, "
+            "absent in this container (no pip installs); "
+            "applyInPandasWithState (test_scale_ops) is the tested "
+            "arbitrary-stateful surface here"
+        )
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+    from nyc_taxi_etl_dashboard_spark.streaming import read_events_stream
+    from nyc_taxi_etl_dashboard_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        running_totals_stateful,
+    )
+
+    # two DISJOINT half-files + maxFilesPerTrigger=1 => every user's
+    # state must accumulate across micro-batches, not within one
+    events = read_table(spark, sf_dir, "events")
+    src = tmp_path / "tw_src"
+    src.mkdir()
+    for i, half in enumerate(
+        (events.filter(F.col("event_id") % 2 == 0), events.filter(F.col("event_id") % 2 == 1))
+    ):
+        staging = tmp_path / f"tw_staging{i}"
+        half.coalesce(1).write.parquet(str(staging))
+        import shutil as _sh
+
+        _sh.copy(next(staging.glob("part-*.parquet")), src / f"part-00{i}.parquet")
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = running_totals_stateful(
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("twstate")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        emitted = spark.table("twstate")
+        # update mode re-emits per batch: keep each user's LAST emission
+        final = {r.user_id: (r.n, r.total) for r in emitted.collect()}
+        for r in emitted.collect():
+            prev = final[r.user_id]
+            if r.n > prev[0]:
+                final[r.user_id] = (r.n, r.total)
+        batch = (
+            read_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        )
+        want = {r.user_id: (r.n, r.total) for r in batch.collect()}
+        assert set(final) == set(want)
+        for uid, (n, total) in want.items():
+            assert final[uid][0] == n
+            assert abs(final[uid][1] - total) < 1e-6
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
