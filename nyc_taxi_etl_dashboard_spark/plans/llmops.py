@@ -957,6 +957,68 @@ packed AS (
 SELECT doc_id, source, n_tokens, start_offset, start_offset // 256 AS bin_id FROM packed"""
 
 
+def q_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (int8-style) for embedding compression: one
+    global [min,max] stats pass, per-value linear quantization to 0..255
+    (floor, not round — Spark and DuckDB round() disagree at ties),
+    cosine computed on DEQUANTIZED vectors — the 4x-memory compression
+    every large vector store applies before ANN. Estimate, exact cosine,
+    and abs error are all oracle-checked, so the compression loss itself
+    is pinned, not assumed. Stats ride a broadcast 1-row cross join (no
+    driver collect in the plan)."""
+    from ..operators.similarity import cosine
+
+    e = _embs(spark, sf_dir).filter(F.col("vec_id") < 20).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    stats = e.agg(
+        F.min(F.expr("array_min(v)")).alias("mn"),
+        F.max(F.expr("array_max(v)")).alias("mx"),
+    )
+    deq = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "v",
+        F.expr(
+            "transform(transform(v, x -> floor((x - mn) / (mx - mn) * 255)), "
+            "q -> mn + q * (mx - mn) / 255)"
+        ).alias("dv"),
+    )
+    a = deq.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("dv").alias("da")
+    )
+    b = deq.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("dv").alias("db")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    est, exact = cosine("da", "db"), cosine("va", "vb")
+    return pairs.select(
+        "id_a", "id_b",
+        est.alias("cos_sq"),
+        exact.alias("cosine"),
+        F.abs(est - exact).alias("abs_err"),
+    )
+
+
+QUERIES["v8_sq_cosine"] = q_sq_cosine
+_DEQ = (
+    "list_transform(list_transform({v}, x -> floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255)), "
+    "q -> mn + q * (mx - mn) / 255)"
+)
+ORACLES["v8_sq_cosine"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 20),
+s AS (SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM e),
+d AS (SELECT vec_id, v, {_DEQ.format(v='v')} AS dv FROM e CROSS JOIN s),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb, a.dv AS da, b.dv AS db
+      FROM d a JOIN d b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       {_DOT.format(a='da', b='db')} / (sqrt({_DOT.format(a='da', b='da')}) * sqrt({_DOT.format(a='db', b='db')})) AS cos_sq,
+       {_DOT.format(a='va', b='vb')} / (sqrt({_DOT.format(a='va', b='va')}) * sqrt({_DOT.format(a='vb', b='vb')})) AS cosine,
+       abs({_DOT.format(a='da', b='db')} / (sqrt({_DOT.format(a='da', b='da')}) * sqrt({_DOT.format(a='db', b='db')}))
+         - {_DOT.format(a='va', b='vb')} / (sqrt({_DOT.format(a='va', b='va')}) * sqrt({_DOT.format(a='vb', b='vb')}))) AS abs_err
+FROM p"""
+
+
 def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via Python UDTF (one row per 16-token segment —
     the context-window chunking pass). The oracle reproduces the
