@@ -188,3 +188,72 @@ def test_connected_components_matches_union_find_on_random_graphs(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(st.lists(_words, min_size=0, max_size=8), min_size=2, max_size=8),
+    thr=st.sampled_from([0.0, 0.34, 0.5]),
+)
+def test_jaccard_pairs_matches_bruteforce(spark, docs, thr):
+    """Inverted-index Jaccard ≡ brute-force 3-shingle Jaccard on random
+    tiny corpora — hypothesis reaches the edges (docs shorter than the
+    shingle width, identical docs, zero-overlap pairs) the fixture
+    can't."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=thr, max_shingle_freq=None).collect()
+    }
+
+    def sh(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    want = {}
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            sa, sb = sh(a), sh(docs[j])
+            inter = len(sa & sb)
+            if not inter:
+                continue  # inverted index never materializes disjoint pairs
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= thr:
+                want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert abs(want[k] - v) < 1e-12
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(st.lists(_words, min_size=1, max_size=6), min_size=2, max_size=10),
+    max_h=st.sampled_from([1, 3]),
+)
+def test_simhash_pairs_matches_bruteforce(spark, docs, max_h):
+    """Banded pigeonhole candidate generation is EXACT (every pair
+    within the hamming bound surfaces) on arbitrary random corpora —
+    including identical docs (hamming 0) and near-misses."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import simhash32, simhash_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(df, max_hamming=max_h).collect()
+    }
+    sk = {r.doc_id: r.sh for r in df.withColumn("sh", simhash32("text")).collect()}
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            hd = bin((sk[i] ^ sk[j]) & 0xFFFFFFFF).count("1")
+            if hd <= max_h:
+                want[(i, j)] = hd
+    assert got == want
