@@ -9,9 +9,13 @@ Engine lives in ``nyc_taxi_etl_dashboard_spark/`` (reference:
 1slem/1slem-nyc-taxi-etl-dashboard; the leading '1' is dropped because
 Python identifiers cannot start with a digit). Query name prefixes map
 to SURVEY.md §2 operator ids (pipe_=P5-P8/F3-F9 pipeline, a*=§2.4
-aggregations, w*=§2.5 windows, j*=§2.3 joins, u*/d*=§2.7-2.8,
-s*=§2.1 sources, e*=events/streaming-batch, t*/dd*=NEW text/dedup,
-v*=NEW similarity).
+aggregations + KPI measures, w*=§2.5 windows, j*=§2.3 joins,
+u*/dd*=§2.7-2.8 set-ops/dedup (dd7-dd9: simhash pairs, dup clusters,
+sketch scoring), s*=§2.1 sources, e*=events/streaming-batch (e6
+VARIANT, e7 robust JSON), t*=NEW text analysis (t7-t10: quality gate,
+decontamination, repetition, LM scoring), v*=NEW similarity (v7
+trained IVF, v8 scalar quantization), mm*=multimodal, x*=cross-cutting
+(x5 mixture sampling, x6 packing, x7 the end-to-end corpus pipeline).
 """
 
 from __future__ import annotations
