@@ -103,7 +103,7 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
 def _is_overflow(name: str) -> bool:
     """Queries allowed to sit past the driver's 50-query window (all were
     driver-green in CORRECTNESS_r01.json and are unchanged this round)."""
-    overflow_prefixes = ("t1", "t2", "t3", "t4", "t5", "t6", "t10", "mm1", "mm2", "dd1", "dd3", "dd8", "dd9", "v3", "v4", "v5", "v7", "v8", "x3", "x4", "x7", "e1", "e2", "e3", "e4", "e5", "e6", "e7", "a25", "a26", "w6")
+    overflow_prefixes = ("t1", "t2", "t3", "t4", "t5", "t6", "t10", "mm1", "mm2", "dd1", "dd3", "dd8", "dd9", "dd10", "v3", "v4", "v5", "v7", "v8", "x3", "x4", "x7", "e1", "e2", "e3", "e4", "e5", "e6", "e7", "a25", "a26", "w6")
     return name.split("_")[0] in overflow_prefixes
 
 

@@ -1019,6 +1019,55 @@ SELECT id_a, id_b,
 FROM p"""
 
 
+def q_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical fuzzy dedup: quality gate → LSH pairs →
+    connected components → keep each component's MINIMUM id (plus all
+    singletons). This is the transitively-correct form of dd6's
+    pair-drop heuristic: with pairs (a,b),(m,b) where m<a<b, pair-drop
+    keeps BOTH a and m (a is never a pair maximum) while the component
+    {m,a,b} should keep only m — components close over transitivity,
+    pair lists don't. Oracle: recursive-CTE closure over the exhaustive
+    quality-gated pair set."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir)
+    quality = d.filter(F.array_size(F.split("text", " ")) >= 20).select(
+        "doc_id", "text"
+    )
+    pairs = minhash_lsh_pairs(quality, threshold=0.8)
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return quality.join(dropped, "doc_id", "left_anti").select("doc_id")
+
+
+QUERIES["dd10_cluster_curation"] = q_cluster_curation
+ORACLES["dd10_cluster_curation"] = """
+WITH RECURSIVE q AS (
+  SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 20),
+toksq AS (SELECT doc_id, string_split(text, ' ') AS t FROM q),
+shq AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+    ELSE [] END) AS shingle
+  FROM toksq),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM shq a JOIN shq b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingle, b.shingle)) * 1.0
+          / (len(a.shingle) + len(b.shingle) - len(list_intersect(a.shingle, b.shingle))) >= 0.8),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src),
+cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+dropped AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"""
+
+
 def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via Python UDTF (one row per 16-token segment —
     the context-window chunking pass). The oracle reproduces the
