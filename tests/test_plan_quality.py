@@ -167,3 +167,39 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_join_probe_side(spark):
+    """Runtime bloom-filter join pruning (on by default in Spark 4): a
+    selective build side plants a bloom_filter_agg subquery whose
+    might_contain() filters the probe side BEFORE the shuffle — at
+    100 TB this drops most probe rows at the scan instead of shuffling
+    them into the join. Thresholds are scaled down so the tiny fixture
+    qualifies."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(500_000).withColumn("k", F.col("id") % 100_000).withColumn(
+            "pad", F.sha2(F.col("id").cast("string"), 256)
+        )
+        dim = spark.range(100_000).withColumn("k", F.col("id")).filter(
+            F.col("id") % 1000 == 0
+        )
+        j = big.join(dim, "k").select(F.count(F.lit(1)).alias("n"))
+        assert j.collect()[0].n == 500  # 100 surviving keys x 5 rows each
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
