@@ -66,22 +66,25 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
     for mapping in mapping_per_module:
         merged.update(mapping)
     priority = [
-        # llmops entries new or behavior-changed this round: must earn a
-        # driver-green row ahead of unchanged queries. Order keeps the
-        # total at exactly 50 with the 41 §2 queries ahead of this block;
-        # dd1/dd3/v1 (round-1 green, untouched since) absorb the overflow.
-        "t7_quality_filter",
-        "t8_decontaminate",
-        "t9_repetition",
-        "x5_stratified_sample",
-        "x6_pack_sequences",
-        "dd7_simhash_pairs",
-        "dd2_jaccard_pairs",
-        "v6_embedding_dedup",
-        "dd5_simhash",
-        # past the 50-query window from here down: all round-1 green and
-        # semantically unchanged since (dd6's operator internals changed
-        # shape, not output; dd2's oracle twin re-proves the cap).
+        # Round-3 rotation (VERDICT r02 item 1): the 11 round-2 queries that
+        # never earned a driver CORRECTNESS row move inside the 50-query
+        # window. The 9 llmops queries green in r02 (t7 t8 t9 x5 x6 dd7 dd2
+        # v6 dd5) rotate to overflow, and two §2 singletons already proven
+        # by green supersets — a6 (sub-aggregate of a12) and a8
+        # (sub-aggregate of a10) — are trimmed to make 39 + 11 = 50.
+        "e6_variant_extract",
+        "e7_robust_json",
+        "dd8_dup_clusters",
+        "dd9_jaccard_estimate",
+        "dd10_cluster_curation",
+        "x7_corpus_pipeline",
+        "w6_cumulative_revenue",
+        "a26_mom_growth",
+        "mm2_frame_samples",
+        "t10_unigram_logprob",
+        "v8_sq_cosine",
+        # past the 50-query window from here down: all driver-green in r01
+        # or r02 and semantically unchanged since.
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",
@@ -102,8 +105,15 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
 
 def _is_overflow(name: str) -> bool:
     """Queries allowed to sit past the driver's 50-query window (all were
-    driver-green in CORRECTNESS_r01.json and are unchanged this round)."""
-    overflow_prefixes = ("t1", "t2", "t3", "t4", "t5", "t6", "t10", "mm1", "mm2", "dd1", "dd3", "dd8", "dd9", "dd10", "v3", "v4", "v5", "v7", "v8", "x3", "x4", "x7", "e1", "e2", "e3", "e4", "e5", "e6", "e7", "a25", "a26", "w6")
+    driver-green in CORRECTNESS_r01 or _r02 and are unchanged this round;
+    a6/a8 are sub-aggregates of the in-window a12/a10)."""
+    overflow_prefixes = (
+        "t1", "t2", "t3", "t4", "t5", "t6", "mm1", "dd1", "dd3",
+        "v3", "v4", "v5", "v7", "x3", "x4",
+        "e1", "e2", "e3", "e4", "e5", "a25",
+        # rotated out in round 3 after going green in CORRECTNESS_r02:
+        "t7", "t8", "t9", "x5", "x6", "dd7", "dd2", "v6", "dd5", "a6", "a8",
+    )
     return name.split("_")[0] in overflow_prefixes
 
 
