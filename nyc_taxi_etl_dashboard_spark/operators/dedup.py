@@ -252,18 +252,27 @@ def jaccard_pairs(
     """
     sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k)
     sh = sh.select(id_col, F.array_size("shingle").alias("n_sh"), "shingle")
+    inv = sh.select(id_col, "n_sh", F.explode("shingle").alias("sh"))
+    if max_shingle_freq is not None:
+        # document-frequency cap as a window count partitioned on the
+        # SAME key the self-join below shuffles on: the cached index
+        # comes out hash-partitioned by ``sh``, the join reuses that
+        # partitioning, and the cap costs no extra shuffle. (The round-2
+        # formulation — separate freq agg + broadcast anti-join — added
+        # a full second shuffle pass that doubled the query even when
+        # zero shingles exceeded the cap.) ``n_sh`` is computed BEFORE
+        # the drop, so jaccard denominators still count hot shingles —
+        # only ``common`` loses them, the documented recall tradeoff.
+        w = Window.partitionBy("sh")
+        inv = (
+            inv.withColumn("df_", F.count(F.lit(1)).over(w))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .drop("df_")
+        )
     # persist: the self-join consumes the index twice; without this each
     # side re-parses and re-shingles the corpus. Callers own cleanup: the
     # driver/bench loops clearCache() between queries (query-scoped blocks)
-    inv = sh.select(id_col, "n_sh", F.explode("shingle").alias("sh")).persist()
-    if max_shingle_freq is not None:
-        # broadcast the HOT side, not the keep side: stop-shingles over
-        # the cap are a handful by construction (that's why they're
-        # droppable), while the keep set is ~every distinct shingle —
-        # left_anti against the small set is the cheap formulation
-        freq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        hot = freq.filter(F.col("df_") > max_shingle_freq).select("sh")
-        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
+    inv = inv.persist()
     a = inv.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
     )
