@@ -12,6 +12,12 @@ the row boundary.
 
 from __future__ import annotations
 
+# module-level so pandas_udf type-hint resolution (typing.get_type_hints
+# against function __globals__) can see them — function-local imports
+# leave the 'pd.Series' string annotations unresolvable under
+# `from __future__ import annotations`
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -238,39 +244,51 @@ def ivf_ann(
     )
 
 
-def _cell_distances(vec_col: str, centroids: list[list[float]]) -> Column:
-    """array<struct<d2,cell>> of squared-L2 distances from ``vec_col`` to
-    each centroid. Centroids are embedded as a LITERAL array — the model
-    is tiny (cells × dim doubles) and shipping it inside the plan makes
-    assignment a narrow per-row expression: no join, no shuffle, no
-    broadcast variable to manage."""
-    # ONE parsed SQL string, not k·dim nested F.lit calls: the model is
-    # 512+ literals and building the tree through py4j one Column at a
-    # time measurably dominates small fits (~1s/iteration saved).
-    # repr() keeps full double precision; 'd' suffix pins DoubleType
-    # (bare decimal literals parse as DECIMAL — session pin trap).
-    cells_sql = "array({})".format(
-        ", ".join(
-            "array({})".format(", ".join(f"{float(x)!r}d" for x in c))
-            for c in centroids
+def _assign_kernel(centroids: list[list[float]]):
+    """Arrow-vectorized nearest-centroid assignment: ``struct<cell:int,
+    d2:double>`` per vector. The k×dim model rides the UDF closure (tiny,
+    serialized once per iteration); the distance matrix is one dense
+    numpy broadcast-subtract-square per Arrow batch.
+
+    Why a pandas UDF and not Catalyst HOFs: higher-order functions
+    (``transform``/``zip_with``/``aggregate``) are CodegenFallback — the
+    lambda machinery evaluates interpreted at ~µs per lambda call, and
+    the assignment expression costs k·dim lambda evals per row. Measured
+    at 2k rows × dim 64 × 8 cells the HOF formulation burned ~8 s per
+    Lloyd iteration of pure interpreted eval; the vectorized kernel is
+    milliseconds, and the gap only widens with corpus size. This is the
+    canonical "built-ins genuinely can't express it fast" crossing:
+    dense linear algebra belongs in SIMD, not an expression interpreter.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("struct<cell:int,d2:double>")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        V = np.stack(v.to_numpy())
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        cell = d2.argmin(axis=1)  # first min ⇒ lowest cell id on ties
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "d2": d2[np.arange(len(cell)), cell]}
         )
-    )
-    # named_struct, not struct(alias): aliases inside HOF lambdas are
-    # discarded (fields would come out col1/col2)
-    return F.expr(
-        f"transform({cells_sql}, (cv, i) -> named_struct("
-        f"'d2', aggregate(zip_with({vec_col}, cv, (x, y) -> (x - y) * (x - y)), "
-        "cast(0.0 as double), (acc, x) -> acc + x), "
-        "'cell', cast(i as int)))"
-    )
+
+    return assign
 
 
 def nearest_cells(vec_col: str, centroids: list[list[float]], m: int = 1) -> Column:
     """The ``m`` nearest centroid ids (array<int>), nearest first.
-    Ties break on cell id (struct sort is lexicographic on (d2, cell)),
-    so assignment is deterministic."""
-    ranked = F.slice(F.array_sort(_cell_distances(vec_col, centroids)), 1, m)
-    return F.transform(ranked, lambda s: s.getField("cell"))
+    Stable argsort ⇒ ties break on cell id, so assignment is
+    deterministic. Same Arrow-vectorized rationale as
+    :func:`_assign_kernel`."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy())
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :m].astype("int32")
+        return pd.Series(list(order))
+
+    return probe(vec_col)
 
 
 def kmeans_fit(
@@ -279,64 +297,49 @@ def kmeans_fit(
     n_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_limit: int = 100_000,
 ) -> tuple[list[list[float]], list[float]]:
-    """Lloyd's k-means over an embedding column, returning (centroids,
-    per-iteration inertia history). The distributed IVF trainer.
+    """Lloyd's k-means coarse-quantizer trainer, returning (centroids,
+    per-iteration inertia history over the training sample).
 
-    Scale shape: the model state (k × dim doubles) lives on the driver —
-    that is the *correct* side for it; only the model crosses the driver
-    boundary, never data. Per iteration:
-    - assignment is a narrow literal-centroid expression (zero shuffles,
-      see :func:`_cell_distances`);
-    - the update is ONE posexplode + groupBy(cell, pos) job whose output
-      cardinality is k·dim rows — the same mergeable partial-aggregate
-      shape as :func:`centroids_by_label`, collect is k·dim doubles.
-    Inertia rides the same job (sum of d2 per (cell,pos) is identical at
-    every pos, so total inertia = Σ_{pos=0} sd2), so fitting costs exactly
-    ``n_iters`` Spark jobs. Known fixed cost: the literals change every
-    iteration, so whole-stage codegen recompiles per pass (~1.5 s each on
-    a toy corpus) — irrelevant at scale, where a pass processes far more
-    than it compiles, and the payoff is assignment without any join. Init is deterministic: the k lowest-id
-    vectors seed the cells (k-means++ would add a driver loop per seed;
-    not worth it for a coarse quantizer). Cells that lose all members
-    keep their previous centroid.
+    Scale shape — train on a sample, assign at scale: a coarse quantizer
+    never needs the full corpus to train (the standard IVF guideline is
+    tens-to-hundreds of points per centroid; FAISS trains on a bounded
+    sample for exactly this reason), so the trainer takes the
+    ``sample_limit`` lowest-id vectors — ONE distributed TakeOrdered
+    top-k pass, deterministic, never a full sort — and runs Lloyd
+    driver-side in numpy. The model (k × dim doubles) is the only thing
+    that ever crosses the driver boundary; the data-scale work —
+    assigning billions of corpus vectors to cells — stays distributed
+    via the Arrow kernel (:func:`_assign_kernel`). The previous
+    formulation ran every Lloyd pass as a Spark job; per-iteration job
+    overhead (~1 s) dwarfed the actual flops at any training-sample size
+    that makes statistical sense, and at 100 TB you'd still train on a
+    sample. Init is deterministic: the k lowest-id vectors seed the
+    cells. Cells that lose all members keep their previous centroid.
+    Memory: the n×k distance matrix is ``sample_limit × k`` doubles —
+    bound k·sample_limit accordingly (8 GB at 100k × 10k cells).
     """
-    # persist across iterations: every Lloyd pass re-reads the vectors
-    # (and the seed collect makes it n_iters+1 consumers); without this
-    # each iteration re-runs the upstream scan/shuffle chain
-    vecs = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).persist()
-    try:
-        cents = [list(r.v) for r in vecs.orderBy("id").limit(k).collect()]
-        dim = len(cents[0])
-        history: list[float] = []
-        for _ in range(n_iters):
-            sorted_cells = F.array_sort(_cell_distances("v", cents)).getItem(0)
-            assigned = vecs.select(
-                sorted_cells.getField("cell").alias("cell"),
-                sorted_cells.getField("d2").alias("d2"),
-                F.posexplode("v").alias("pos", "val"),
-            )
-            rows = (
-                assigned.groupBy("cell", "pos")
-                .agg(F.avg("val").alias("m"), F.sum("d2").alias("sd2"))
-                .collect()
-            )
-            by_cell: dict[int, dict[int, float]] = {}
-            inertia = 0.0
-            for r in rows:
-                by_cell.setdefault(r.cell, {})[r.pos] = r.m
-                if r.pos == 0:
-                    inertia += r.sd2
-            history.append(inertia)
-            cents = [
-                [by_cell[c][p] for p in range(dim)] if c in by_cell else cents[c]
-                for c in range(k)
-            ]
-    finally:
-        vecs.unpersist()
-    return cents, history
+    rows = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy("id")
+        .limit(sample_limit)
+        .collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    C = X[:k].copy()
+    history: list[float] = []
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        cell = d2.argmin(axis=1)  # first min ⇒ lowest cell id on ties
+        history.append(float(d2[np.arange(len(cell)), cell].sum()))
+        for c in range(k):
+            members = X[cell == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in C], history
 
 
 def ivf_ann_trained(
@@ -355,7 +358,7 @@ def ivf_ann_trained(
     label-cell variant stands in for.
 
     Corpus vectors assign to their single nearest trained cell (narrow
-    literal-centroid expression); each query probes its ``n_probes``
+    Arrow-vectorized kernel); each query probes its ``n_probes``
     nearest cells (explode to slim (query, cell) rows — the corpus is
     never duplicated) and brute-forces within them. ``n_probes =
     n_cells`` degrades gracefully to exact brute force (every cell
