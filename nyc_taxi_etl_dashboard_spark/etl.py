@@ -140,9 +140,11 @@ def load(valid: DataFrame, warehouse_path: str) -> dict[str, int]:
         "time_pk",
         attr_cols=["hour", "day_of_week", "time_period"],
     )
+    # borough: declared NOT NULL DEFAULT 'Inconnu' in the reference DDL
+    # (load.py:33) and never back-filled — parity is the constant default
     dim_location = union_distinct_dim(
         valid, ["PULocationID", "DOLocationID"], "location_id", "location_pk"
-    )
+    ).withColumn("borough", F.lit("Inconnu"))
     dim_payment = build_dim(
         valid.select(F.col("payment_label").alias("payment_type")),
         ["payment_type"],

@@ -43,11 +43,14 @@ def dim_time(valid: DataFrame, oracle_mode: bool = False) -> DataFrame:
 
 def dim_location(valid: DataFrame, oracle_mode: bool = False) -> DataFrame:
     """dim_location: U2 union of pickup+dropoff ids, dedup, surrogate
-    keys (``load.py:127-137``)."""
+    keys (``load.py:127-137``), plus the ``borough`` attribute the
+    reference declares as ``VARCHAR(50) NOT NULL DEFAULT 'Inconnu'``
+    (``load.py:33``) and never back-fills — so every row carries the
+    default, exactly like the reference warehouse."""
     return union_distinct_dim(
         valid, ["pu_location_id", "do_location_id"], "location_id", "location_pk",
         oracle_mode=oracle_mode,
-    )
+    ).withColumn("borough", F.lit("Inconnu"))
 
 
 def dim_payment(valid: DataFrame, oracle_mode: bool = False) -> DataFrame:
@@ -80,7 +83,9 @@ def q_dim_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dim_location(_valid(spark, sf_dir), oracle_mode=True).select("location_pk", "location_id")
+    return dim_location(_valid(spark, sf_dir), oracle_mode=True).select(
+        "location_pk", "location_id", "borough"
+    )
 
 
 def q_dim_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,7 +227,7 @@ ORACLES = {
 SELECT time_pk, strftime(datetime, '%Y-%m-%d %H:%M:%S') AS datetime,
        hour, day_of_week, time_period
 FROM dim_time""",
-    "st2_dim_location": f"{_V}{_DIMS} SELECT location_pk, location_id FROM dim_location",
+    "st2_dim_location": f"{_V}{_DIMS} SELECT location_pk, location_id, 'Inconnu' AS borough FROM dim_location",
     "st3_dim_payment": f"{_V}{_DIMS} SELECT payment_pk, payment_type FROM dim_payment",
     "st4_fact_resolved": f"""{_V}{_DIMS}
 SELECT v.order_key, v.line_number, t.time_pk,
