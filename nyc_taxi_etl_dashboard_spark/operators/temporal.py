@@ -29,10 +29,14 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
-    ``right_ts <= left_ts`` within the same ``by`` group (backward
-    direction; nulls where no right row precedes)."""
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: flip the sort order")
+    ``right_ts <= left_ts`` within the same ``by`` group (``backward``,
+    the default; nulls where no right row precedes), or the earliest
+    right row with ``right_ts >= left_ts`` (``forward``). Both
+    directions share the union-window kernel — forward mirrors the
+    frame ([current, unboundedFollowing] + ``first``) and flips the
+    tie order so an exact timestamp tie still matches (>= semantics)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     lt = left.withColumn("__t", F.col(left_ts).cast("timestamp")).withColumn(
         "__is_left", F.lit(1)
     )
@@ -47,16 +51,27 @@ def asof_join(
     for c in left_only:
         rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
     unioned = lt.select(sorted(lt.columns)).unionByName(rt.select(sorted(rt.columns)))
-    # right rows sort BEFORE left rows at equal timestamps so an exact
-    # tie matches (asof semantics: <=)
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col("__t"), F.col("__is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal timestamps so an
+        # exact tie falls inside the trailing frame (asof semantics: <=)
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col("__t"), F.col("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # forward: right rows sort AFTER left rows at equal timestamps
+        # so an exact tie falls inside the leading frame (>=)
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col("__t"), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     filled = unioned
     for c in payload_cols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        filled = filled.withColumn(c, pick(c))
     return filled.filter(F.col("__is_left") == 1).drop("__is_left", "__t")
 
 

@@ -24,15 +24,16 @@ _ts = st.integers(min_value=0, max_value=500)
 _vals = st.integers(min_value=-5, max_value=5)
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
 @settings(**SETTINGS)
 @given(
     left=st.lists(st.tuples(_uids, _ts), min_size=1, max_size=12),
     right=st.lists(st.tuples(_uids, _ts, _vals), min_size=1, max_size=12),
 )
-def test_asof_join_matches_pandas_merge_asof(spark, left, right):
-    """asof_join (union-window formulation) ≡ pandas merge_asof
-    backward, including exact-timestamp ties. Right (uid, ts) pairs are
-    deduped: with duplicates the 'most recent' row is ambiguous in both
+def test_asof_join_matches_pandas_merge_asof(spark, direction, left, right):
+    """asof_join (union-window formulation) ≡ pandas merge_asof in BOTH
+    directions, including exact-timestamp ties. Right (uid, ts) pairs
+    are deduped: with duplicates the matched row is ambiguous in both
     engines (input-order dependent), so no stable property exists."""
     from nyc_taxi_etl_dashboard_spark.operators.temporal import asof_join
 
@@ -44,12 +45,13 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     got = {
         r.lid: r.payload
         for r in asof_join(
-            ldf, rdf, by="uid", left_ts="lts", right_ts="rts", payload_cols=["payload"]
+            ldf, rdf, by="uid", left_ts="lts", right_ts="rts",
+            payload_cols=["payload"], direction=direction,
         ).collect()
     }
     lp = pd.DataFrame([(i, u, t) for i, (u, t) in enumerate(left)], columns=["lid", "uid", "lts"]).sort_values("lts", kind="stable")
     rp = pd.DataFrame(right, columns=["uid", "rts", "payload"]).sort_values("rts", kind="stable")
-    want_df = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="uid", direction="backward")
+    want_df = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="uid", direction=direction)
     want = {
         int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
         for r in want_df.itertuples()
