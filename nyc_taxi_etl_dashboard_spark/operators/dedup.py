@@ -177,16 +177,24 @@ def connected_components(
     (id, cluster_id) for every node appearing in a pair; cluster_id is
     the component's minimum node id.
 
-    Algorithm: iterative min-label propagation (the simple form of
-    GraphX/Pregel CC): each round every node takes the min of its own
-    label and its neighbors' labels; converges in O(component diameter)
-    rounds — near-dup components are shallow (dups of a common source),
-    so a handful of rounds suffices; ``max_iters`` bounds pathological
-    chains. Scale shape per round: one equi-join labels⋈edges + one
-    groupBy min — both shuffle on node id; labels are
-    ``localCheckpoint``-ed each round so lineage doesn't deepen with
-    iteration count. The driver holds only the convergence counter.
+    Algorithm: min-label propagation with POINTER JUMPING: each round
+    every node takes the min over its closed neighborhood, then chases
+    its label one hop (label ← label(label)), which halves the
+    remaining path to the component minimum — O(log diameter) rounds
+    instead of O(diameter), so the default ``max_iters`` covers
+    diameters past 2^20 rather than 20. Scale shape per round: the
+    neighbor join + groupBy min, the jump self-join, and ONE job — the
+    convergence counter rides the checkpoint job via ``observe`` rather
+    than a second compare-join pass. Labels are ``localCheckpoint``-ed
+    each round so lineage doesn't deepen with iteration count; the
+    driver holds only the convergence counter.
+
+    Raises ``RuntimeError`` if the labels are still moving after
+    ``max_iters`` rounds — silently returning unconverged labels would
+    corrupt downstream dedup decisions (clusters would split).
     """
+    from pyspark.sql import Observation
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -204,25 +212,40 @@ def connected_components(
             .agg(F.min("dl").alias("nbr_label"))
             .select(F.col("src").alias("id"), "nbr_label")
         )
-        new_labels = (
-            labels.join(nbr, "id", "left")
+        prop = labels.join(nbr, "id", "left").select(
+            "id",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "mid"
+            ),
+        )
+        # pointer jump: labels are node ids, so resolve one more hop
+        # through the previous round's label table. Monotone: jl >= the
+        # component min and final <= mid <= old, so labels only descend.
+        jump = labels.select(F.col("id").alias("mid"), F.col("label").alias("jl"))
+        obs = Observation()
+        labels = (
+            prop.join(jump, "mid", "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "label"
-                ),
+                "old",
+                F.least(F.col("mid"), F.coalesce("jl", F.col("mid"))).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed"),
+            )
+            .select("id", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if not obs.get["changed"]:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components: labels still moving after {max_iters} rounds; "
+            "raise max_iters (components deeper than 2^max_iters are implausible "
+            "for near-dup graphs — check the pair generator for a degenerate hub)"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
