@@ -131,8 +131,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # one query (inverted indexes, shingle tables); the previous
             # query's blocks are dead by the time the next one starts, so
             # drop them here — otherwise a long-lived driver/bench session
-            # accumulates every query's cache.
+            # accumulates every query's cache. The partition-count memo
+            # goes stale the same way (a prior query may have rewritten a
+            # path), so it drops with the cache.
+            from nyc_taxi_etl_dashboard_spark.operators import clear_nparts_memo
+
             spark.catalog.clearCache()
+            clear_nparts_memo()
             return fn(_pin(spark), sf_dir)
 
         run.__doc__ = fn.__doc__

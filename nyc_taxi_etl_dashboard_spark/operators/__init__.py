@@ -15,7 +15,17 @@ from pyspark.sql import DataFrame
 #: re-derive identical scan plans constantly (every llmops query calls
 #: scale_out on the same table read), so memoize per logical plan.
 #: Bounded: distinct (table, sf_dir) plans per session are few.
+#: Staleness: a path REWRITE (merge_parquet/compact_parquet) can change
+#: a semantically-equal plan's partition count — those writers call
+#: :func:`clear_nparts_memo`, as does the driver's per-query wrapper.
 _NPARTS_MEMO: dict[int, int] = {}
+
+
+def clear_nparts_memo() -> None:
+    """Drop memoized partition counts. Call after anything that rewrites
+    files under a previously-scanned path (the count is a property of
+    the files, not the plan, so a rewrite invalidates it)."""
+    _NPARTS_MEMO.clear()
 
 
 def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

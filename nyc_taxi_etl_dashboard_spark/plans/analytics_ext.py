@@ -379,6 +379,10 @@ def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
     )
+    # INVARIANT: this unpartitioned Window is safe ONLY because its input
+    # is the pre-aggregated daily frame (|days| rows, ≤ thousands) — the
+    # WindowExec single-partition warning is harmless by construction.
+    # Never feed it the raw fact; aggregate first.
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         F.col("d").cast("string").alias("d"),
@@ -395,6 +399,9 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("m")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
     )
+    # INVARIANT: unpartitioned Window over the pre-aggregated monthly
+    # frame (|months| rows) — single-partition by construction, same
+    # rationale as q_cumulative_revenue; never point it at the raw fact.
     w = Window.orderBy("m")
     prev = F.lag("rev").over(w)
     return monthly.select(

@@ -265,6 +265,9 @@ def refresh_hourly_rollup(spark: SparkSession, rollup_path: str, new_events: Dat
         combined.select(*existing.columns),
         keys=["bucket_hour", "event_type"],
         partition_by=["bucket_day"],
+        # bucket_day is derived from the bucket_hour key, so a key can
+        # never migrate partitions — skip the target-side key scan
+        stable_partition_keys=True,
     )
 
 

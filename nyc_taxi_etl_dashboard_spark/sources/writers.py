@@ -191,6 +191,7 @@ def merge_parquet(
     source: DataFrame,
     keys: list[str],
     partition_by: list[str] | None = None,
+    stable_partition_keys: bool = False,
 ) -> dict[str, int]:
     """MERGE upsert onto a plain-parquet table (S9's "or Delta MERGE"
     alternative; this environment has no Delta/Iceberg, so this is the
@@ -205,6 +206,19 @@ def merge_parquet(
     table size — the same shape Delta MERGE executes for partitioned
     tables. The merged frame is localCheckpoint-ed first because Spark
     (correctly) refuses to overwrite a path it is still reading.
+
+    Key-partition migration: if a matched key's target row can live in a
+    DIFFERENT partition than its source row (the partition column is not
+    derivable from the key), the old row's partition must also be
+    rewritten or the stale row survives as a duplicate key. The default
+    therefore widens the affected set with the partitions of target rows
+    matching source keys — one keyed semi-join pass over the target
+    (file-level stats pruning applies; the same pass Delta MERGE does to
+    find matches). Callers whose partition columns are functionally
+    dependent on the key — the hourly-rollup refresh, where bucket_day
+    derives from the bucket_hour key — pass
+    ``stable_partition_keys=True`` to skip that pass and keep cost
+    strictly proportional to churned partitions.
 
     Full-table mode (no ``partition_by``) stages to a sibling directory
     and swaps — rewrite cost is the whole table, the honest price of
@@ -221,6 +235,9 @@ def merge_parquet(
 
     from pyspark.sql import functions as F
 
+    from ..operators import clear_nparts_memo
+
+    clear_nparts_memo()  # this rewrite invalidates memoized scan widths
     if not os.path.exists(target_path):
         write_parquet(source, target_path, partition_by=partition_by)
         return {"inserted_or_updated": source.count(), "kept": 0}
@@ -228,18 +245,48 @@ def merge_parquet(
     source = source.select(*target.columns)  # align column order
     if partition_by:
         affected = source.select(*partition_by).distinct()
+        if not stable_partition_keys:
+            # a key may have migrated partitions: its old partition must
+            # be rewritten too, or the stale row survives the merge
+            affected = (
+                affected.unionByName(
+                    target.join(
+                        F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
+                    )
+                    .select(*partition_by)
+                    .distinct()
+                )
+                .distinct()
+            )
         in_scope = target.join(F.broadcast(affected), partition_by, "left_semi")
         kept = in_scope.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = source.unionByName(kept).localCheckpoint(eager=True)
         # counts must resolve BEFORE the overwrite invalidates the lazy
-        # reads of the target's current files
+        # reads of the target's current files; the partition sets are
+        # collected now for the same reason (both are broadcast-small by
+        # the operator's own contract)
         counts = {"inserted_or_updated": source.count(), "kept": kept.count()}
+        affected_parts = {
+            tuple(str(v) for v in r) for r in affected.collect()
+        }
+        merged_parts = {
+            tuple(str(v) for v in r)
+            for r in merged.select(*partition_by).distinct().collect()
+        }
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             merged.write.mode("overwrite").partitionBy(*partition_by).parquet(target_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # dynamic overwrite only replaces partitions it writes rows INTO:
+        # an affected partition whose every row migrated away gets no
+        # rewrite and would keep its stale files — drop those directories
+        for vals in affected_parts - merged_parts:
+            stale = os.path.join(
+                target_path, *[f"{c}={v}" for c, v in zip(partition_by, vals)]
+            )
+            shutil.rmtree(stale, ignore_errors=True)
         return counts
     kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
     merged = source.unionByName(kept)
@@ -271,6 +318,9 @@ def compact_parquet(
     import os
     import shutil
 
+    from ..operators import clear_nparts_memo
+
+    clear_nparts_memo()  # this rewrite invalidates memoized scan widths
     files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))

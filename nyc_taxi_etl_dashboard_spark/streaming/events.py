@@ -163,6 +163,15 @@ def idempotent_batch_sink(
     LOSS: a fresh checkpoint replays batch ids from 0, and the log —
     which lives with the DATA, not the checkpoint — rejects them.
     (Delta's txn table does exactly this under foreachBatch.)
+
+    The data write itself is ALSO idempotent: each batch lands in its
+    own ``batch=<id>`` partition directory with mode=overwrite, so the
+    crash window between the data write and the log append cannot
+    duplicate rows — a replay of an unlogged batch overwrites the same
+    directory rather than appending beside it. The log remains the fast
+    path (skip before any write) and the replay-safety proof for
+    checkpoint loss; the partition layout is what makes the two
+    non-atomic writes safe. Readers see a ``batch`` partition column.
     """
     import os
 
@@ -172,7 +181,7 @@ def idempotent_batch_sink(
             committed = {r.batch_id for r in spark.read.parquet(log_path).collect()}
             if batch_id in committed:
                 return
-        batch_df.write.mode("append").parquet(out_path)
+        batch_df.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
         spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(log_path)

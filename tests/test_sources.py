@@ -165,6 +165,35 @@ def test_merge_parquet_partition_scoped(spark, tmp_path):
     assert untouched_before == untouched_after  # partition not rewritten
 
 
+def test_merge_parquet_key_partition_migration(spark, tmp_path):
+    """A matched key whose source row lands in a DIFFERENT partition
+    than its target row must not leave the stale row behind: the
+    affected-partition set includes partitions of target rows matching
+    source keys, so the old partition is rewritten and the key stays
+    unique."""
+    from nyc_taxi_etl_dashboard_spark.sources.writers import merge_parquet
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "id int, d string, v double",
+    )
+    merge_parquet(spark, path, base, keys=["id"], partition_by=["d"])
+    # key 1 migrates from d=2024-01-01 to d=2024-01-03
+    src = spark.createDataFrame([(1, "2024-01-03", 11.0)], "id int, d string, v double")
+    merge_parquet(spark, path, src, keys=["id"], partition_by=["d"])
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            # partition-dir inference reads d back as DATE; normalize
+            .select("id", F.col("d").cast("string").alias("d"), "v")
+            .collect(),
+        )
+    )
+    assert got == [(1, "2024-01-03", 11.0), (2, "2024-01-02", 20.0)]
+
+
 def test_cluster_by_writes_disjoint_ranges(spark, sf_dir, tmp_path):
     """cluster_by lays files out as disjoint sorted ranges: parquet
     row-group min/max stats must form non-overlapping intervals (the
