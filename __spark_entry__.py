@@ -84,7 +84,9 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         "t10_unigram_logprob",
         "v8_sq_cosine",
         # past the 50-query window from here down: all driver-green in r01
-        # or r02 and semantically unchanged since.
+        # or r02 and semantically unchanged since. a25 and x3 gained
+        # bounded-hash oracles in round 3 (estimate+exact+bound-verdict
+        # reshape) — first candidates for the next window rotation.
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

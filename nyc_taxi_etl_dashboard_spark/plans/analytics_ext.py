@@ -88,28 +88,61 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the 100 TB cardinality estimator
     (exact distinct shuffles every key; the sketch is one pass, mergeable,
-    fixed memory). Sketch internals are engine-specific => rows-only
-    check; the pytest invariant bounds its error against the exact count."""
+    fixed memory). The sketch VALUE is engine-specific (DuckDB's HLL
+    differs), so the hash-checkable output is the dd9/v8 reshape: the
+    exact count plus the estimator's bound verdict — the oracle computes
+    the exact count and asserts the bound literally, making the sketch's
+    accuracy (|err| ≤ 3·rsd, deterministic for fixed data) part of the
+    driver's CORRECTNESS row instead of a pytest-only invariant."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= F.lit(0.06)
+        ).alias("within_3rsd"),
     )
 
 
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (Greenwald-Khanna-class sketch): the 100 TB
     quantile estimator — one pass, mergeable, fixed memory, vs exact
-    percentile's full sort. Sketch internals are engine-specific =>
-    rows-only check; pytest bounds each estimate against the exact
-    quantile neighborhood (accuracy 1000 => rank error <= 1/1000)."""
+    percentile's full sort. Estimates are engine-specific, so the
+    hash-checkable output is the dd9/v8 reshape: row count plus, per
+    quantile, whether the estimate's EXACT RANK (count of rows ≤
+    estimate, computed in-engine) lands within the sketch's guaranteed
+    rank window q·n ± n/accuracy — the oracle asserts each verdict
+    literally, putting the sketch's rank-error contract in the driver's
+    CORRECTNESS row."""
     li = read_table(spark, sf_dir, "lineitem")
-    q = F.percentile_approx("l_extendedprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]), F.lit(1000))
-    return li.agg(q.alias("q")).select(
-        F.col("q")[0].alias("p25"),
-        F.col("q")[1].alias("p50"),
-        F.col("q")[2].alias("p75"),
-        F.col("q")[3].alias("p95"),
+    qs = (0.25, 0.5, 0.75, 0.95)
+    q = F.percentile_approx(
+        "l_extendedprice", F.array(*[F.lit(x) for x in qs]), F.lit(1000)
     )
+    est = li.agg(q.alias("q"), F.count(F.lit(1)).alias("n")).first()
+    n = est.n
+    checks = li.agg(
+        *[
+            F.sum((F.col("l_extendedprice") <= F.lit(est.q[i])).cast("long")).alias(
+                f"rank_{i}"
+            )
+            for i in range(len(qs))
+        ]
+    ).select(
+        F.lit(n).alias("n"),
+        *[
+            (
+                (F.col(f"rank_{i}") >= F.lit(qs[i] * n - n / 1000.0 - 1))
+                & (F.col(f"rank_{i}") <= F.lit(qs[i] * n + n / 1000.0 + 1))
+            ).alias(f"p{int(qs[i] * 100)}_in_rank_window")
+            for i in range(len(qs))
+        ],
+    )
+    return checks
 
 
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,7 +251,16 @@ SELECT count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_suppkey) AS n_supps,
        count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
 FROM lineitem""",
-    # a21_approx_distinct: rows-only (HLL sketches are engine-specific)
+    # a21/a25: estimate values are engine-specific (HLL/GK differ across
+    # engines), so the oracle checks the EXACT side plus the literal
+    # bound verdicts the Spark query proves in-engine (dd9/v8 reshape)
+    "a21_approx_distinct": """
+SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_3rsd
+FROM lineitem""",
+    "a25_approx_quantiles": """
+SELECT count(*) AS n, TRUE AS p25_in_rank_window, TRUE AS p50_in_rank_window,
+       TRUE AS p75_in_rank_window, TRUE AS p95_in_rank_window
+FROM lineitem""",
     "w3_moving_avg": """
 WITH daily AS (
   SELECT CAST(l_shipdate AS DATE) AS d, round(sum(l_extendedprice), 2) AS rev

@@ -272,16 +272,45 @@ def refresh_hourly_rollup(spark: SparkSession, rollup_path: str, new_events: Dat
 
 
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch over user_id (the mergeable heavy-hitter sketch
-    for 100 TB streams — fixed memory, one pass). Sketch internals are
-    engine-specific => rows-only; the pytest invariant checks the
-    one-sided error bound (estimate >= true count)."""
+    """Count-min heavy hitters over user_id (the mergeable fixed-memory
+    sketch for 100 TB streams — one aggregation pass builds the sketch;
+    it is driver-sized BY DESIGN, so probing it driver-side crosses only
+    the sketch, never data). Output is the dd9/v8 reshape made
+    hash-checkable for an engine-specific sketch: the top-10 users by
+    exact count with, per user, the CMS guarantees verified in-engine —
+    never_underestimates (est ≥ exact, the deterministic one-sided
+    bound) and within_eps (est ≤ exact + ε·N). The oracle reproduces the
+    exact top-10 and asserts both verdicts literally, so the sketch's
+    error contract sits in the driver's CORRECTNESS row rather than a
+    pytest-only invariant."""
     e = _events(spark, sf_dir)
-    e.createOrReplaceTempView("_ev_cms")
-    sketch = spark.sql(
-        "SELECT hex(count_min_sketch(user_id, 0.01d, 0.95d, 42)) AS cms FROM _ev_cms"
+    eps, total = 0.001, e.count()
+    sketch_bytes = bytes(
+        e.agg(
+            F.expr(f"count_min_sketch(user_id, {eps}d, 0.999d, 42)").alias("s")
+        ).first().s
     )
-    return sketch
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(sketch_bytes)
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+        .collect()
+    )
+    probed = [
+        (
+            r.user_id,
+            r.exact_n,
+            cms.estimateCount(r.user_id) >= r.exact_n,
+            cms.estimateCount(r.user_id) <= r.exact_n + eps * total,
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        probed,
+        "user_id long, exact_n long, never_underestimates boolean, within_eps boolean",
+    )
 
 
 QUERIES.update(
@@ -301,6 +330,12 @@ SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
        event_type, CAST(grouping(h) AS INTEGER) AS g_hour,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM b GROUP BY GROUPING SETS ((h, event_type), (d, event_type))""",
-        # x3_countmin_sketch: rows-only (sketch bytes are engine-specific)
+        # x3: sketch bytes are engine-specific; the oracle checks the
+        # exact top-10 plus the literal CMS bound verdicts (dd9 reshape)
+        "x3_countmin_sketch": """
+SELECT user_id, count(*) AS exact_n,
+       TRUE AS never_underestimates, TRUE AS within_eps
+FROM events GROUP BY user_id
+ORDER BY exact_n DESC, user_id LIMIT 10""",
     }
 )
