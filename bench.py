@@ -66,7 +66,11 @@ CURATION = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_label = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf: float | str = float(sf_label)
+    except ValueError:  # non-numeric dir names (e.g. the 10x rehearsal)
+        sf = sf_label
 
     import __spark_entry__ as entrymod
     from nyc_taxi_etl_dashboard_spark.session import get_spark
@@ -160,7 +164,7 @@ def main() -> None:
                 "queries": timings,
                 "curation_queries": curation,
                 "curation_total": round(sum(curation.values()), 3),
-                "sf": float(sf),
+                "sf": sf,
                 "pipe_transform_rows": n_rows,
                 "pipe_transform_rps": round(n_rows / pipeline_sec),
                 "pipe_transform_bronze_rps": round(n_rows / bronze_sec),
