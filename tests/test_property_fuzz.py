@@ -164,9 +164,11 @@ def test_range_join_matches_bruteforce(spark, events, intervals, bucket):
     )
 )
 def test_connected_components_matches_union_find_on_random_graphs(spark, edges):
-    """Min-label propagation ≡ union-find on arbitrary random graphs —
-    hypothesis hunts for topologies (self-loops, parallel edges, long
-    chains, stars) where propagation could converge early or mislabel."""
+    """BOTH execution paths (driver-local union-find and distributed
+    min-label propagation, forced via local_threshold=0) ≡ an
+    independent union-find on arbitrary random graphs — hypothesis
+    hunts for topologies (self-loops, parallel edges, long chains,
+    stars) where propagation could converge early or mislabel."""
     from nyc_taxi_etl_dashboard_spark.operators.dedup import connected_components
 
     edges = [(a, b) for a, b in edges if a != b]
@@ -174,6 +176,11 @@ def test_connected_components_matches_union_find_on_random_graphs(spark, edges):
         return
     df = spark.createDataFrame(edges, "id_a int, id_b int")
     got = {r.id: r.cluster_id for r in connected_components(df).collect()}
+    got_dist = {
+        r.id: r.cluster_id
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert got == got_dist
 
     parent: dict[int, int] = {}
 
