@@ -155,10 +155,16 @@ def knn_lsh(
                 F.expr(f"concat(array(sig), transform({flip_order}, s -> sig ^ shiftleft(cast(1 as bigint), s.p)))")
             ),
         )
-    q = q.select("query_id", F.col("embedding_d").alias("q_vec"), "sig")
+    q = q.select("query_id", F.col("embedding_d").alias("q_vec"), F.col("sig").alias("q_sig"))
     c = c.select("neighbor_id", F.col("embedding_d").alias("c_vec"), "sig")
+    # null-safe equality ON PURPOSE: a null-intolerant join key lets
+    # Catalyst infer isnotnull(sig) and push the whole signature fold
+    # into the corpus scan filter, computing it twice per vector (the
+    # dd7 constraint-pushdown trap). <=> is null-tolerant — no
+    # inference — and still plans as a broadcast hash join. Embeddings
+    # are non-null by contract, so the match semantics are identical.
     scored = (
-        c.join(F.broadcast(q), "sig")
+        c.join(F.broadcast(q), F.col("sig").eqNullSafe(F.col("q_sig")))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine("q_vec", "c_vec"))
     )
@@ -426,18 +432,30 @@ def embedding_candidate_pairs(
     equi-join and the pair-dedup — both shuffle id-pairs, never vectors,
     so candidate volume (not corpus size squared) bounds the work.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("embedding_d"),
-    ).withColumn("sig", rhp_signature(n_planes=n_planes))
+    # persist the slim (id, sig) projection: both join sides consume it,
+    # so the signature fold computes ONCE per vector instead of once per
+    # side — and the cache boundary stops Catalyst from inferring
+    # isnotnull(sig) off the equi-join key and pushing the whole
+    # signature recomputation into the parquet scan filter (the dd7
+    # constraint-pushdown trap, caught by the round-3 plan audit).
+    # Callers own cleanup: driver/bench wrappers clearCache() per query.
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("embedding_d"),
+        )
+        .withColumn("sig", rhp_signature(n_planes=n_planes))
+        .select("id", "sig")
+        .persist()
+    )
     masks = _probe_masks(n_planes, probe_radius)
-    a = base.select(
+    a = sigs.select(
         F.col("id").alias("id_a"),
         F.explode(
             F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("sig_p"),
     )
-    b = base.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_p"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_p"))
     return (
         a.join(b, "sig_p")
         .filter(F.col("id_a") < F.col("id_b"))

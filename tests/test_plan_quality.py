@@ -203,3 +203,34 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_hof_recompute_in_scan_filters(spark, sf_dir):
+    """Constraint-pushdown regression guard (the dd7/v4/v6 trap): a
+    null-INTOLERANT predicate or join key built on an expensive
+    higher-order-function column lets Catalyst infer isnotnull(<HOF>)
+    and push the entire expression recomputation into the parquet scan
+    filter — silently doubling per-row work. Every HOF-heavy query's
+    executed plan must be free of isnotnull(<HOF>) markers."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    hof_heavy = [
+        "dd2_jaccard_pairs", "dd4_lsh_pairs", "dd5_simhash",
+        "dd7_simhash_pairs", "dd8_dup_clusters", "dd10_cluster_curation",
+        "v4_knn_lsh", "v6_embedding_dedup", "t3_fingerprints",
+        "t9_repetition", "x7_corpus_pipeline",
+    ]
+    markers = (
+        "isnotnull(transform(", "isnotnull(aggregate(",
+        "isnotnull(filter(", "isnotnull(zip_with(",
+    )
+    for name in hof_heavy:
+        plan = (
+            qs[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker in markers:
+            assert marker not in plan, (name, marker)
