@@ -426,10 +426,14 @@ def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WindowExec single-partition warning is harmless by construction.
     # Never feed it the raw fact; aggregate first.
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    # Accumulate in decimal (order-exact), but EMIT doubles: the repo's
+    # float-parity convention (SURVEY §8) — a decimal(_,2)→double cast is
+    # correctly rounded in both engines, while raw DECIMAL output hashes
+    # differently across engines in the driver's value-hasher.
     return daily.select(
         F.col("d").cast("string").alias("d"),
-        F.col("rev").cast("decimal(18,2)").alias("rev"),
-        F.sum("rev").over(w).cast("decimal(28,2)").alias("cum_rev"),
+        F.col("rev").cast("double").alias("rev"),
+        F.sum("rev").over(w).cast("decimal(28,2)").cast("double").alias("cum_rev"),
     )
 
 
@@ -446,9 +450,11 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rationale as q_cumulative_revenue; never point it at the raw fact.
     w = Window.orderBy("m")
     prev = F.lag("rev").over(w)
+    # Decimal internally (identical monthly bases), doubles on the wire —
+    # same float-parity rationale as q_cumulative_revenue.
     return monthly.select(
         "m",
-        F.col("rev").cast("decimal(18,2)").alias("rev"),
+        F.col("rev").cast("double").alias("rev"),
         F.round(
             (F.col("rev") - prev).cast("double") / prev.cast("double") * 100, 4
         ).alias("growth_pct"),
@@ -472,15 +478,15 @@ WITH daily AS (
   SELECT CAST(l_shipdate AS DATE) AS d,
          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
   FROM lineitem GROUP BY 1)
-SELECT CAST(d AS VARCHAR) AS d, CAST(rev AS DECIMAL(18,2)) AS rev,
-       CAST(sum(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2)) AS cum_rev
+SELECT CAST(d AS VARCHAR) AS d, CAST(rev AS DOUBLE) AS rev,
+       CAST(CAST(sum(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,2)) AS DOUBLE) AS cum_rev
 FROM daily""",
         "a26_mom_growth": """
 WITH monthly AS (
   SELECT strftime(l_shipdate, '%Y-%m') AS m,
          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
   FROM lineitem GROUP BY 1)
-SELECT m, CAST(rev AS DECIMAL(18,2)) AS rev,
+SELECT m, CAST(rev AS DOUBLE) AS rev,
        round(CAST(rev - lag(rev) OVER (ORDER BY m) AS DOUBLE)
                / CAST(lag(rev) OVER (ORDER BY m) AS DOUBLE) * 100, 4) AS growth_pct
 FROM monthly""",
