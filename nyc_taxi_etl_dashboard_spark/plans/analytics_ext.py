@@ -387,13 +387,26 @@ def q_unpivot_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mod-reduce keys below this prime BEFORE the Knuth multiply so the
+#: product stays < 2^63 for ANY int64 key (1000002 * 2654435761 ≈ 2.7e15):
+#: a raw key * 2654435761 overflows int64 past keys ~3.5e9, where
+#: non-ANSI Spark wraps but DuckDB promotes to HUGEINT — the two engines
+#: would silently disagree on membership at exactly the scale a
+#: deterministic cross-engine sample exists for.
+HASH_SAMPLE_PRIME = 1000003
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% sample via key hashing — the reproducible
     sampling technique for training-data pipelines (re-runs and
     different engines agree on membership, unlike RNG-based
-    ``df.sample``). Portable mix: multiply by a large odd constant, mod."""
+    ``df.sample``). Portable mix: mod-reduce by a prime (keeps the
+    product in int64 on every engine — see HASH_SAMPLE_PRIME), multiply
+    by a large odd constant, mod the bucket count."""
     o = read_table(spark, sf_dir, "orders")
-    bucket = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(100)
+    bucket = (
+        (F.col("o_orderkey") % F.lit(HASH_SAMPLE_PRIME)) * F.lit(2654435761)
+    ) % F.lit(100)
     return o.filter(bucket < 10).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
@@ -504,7 +517,7 @@ FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
 UNPIVOT (amount FOR amount_kind IN (l_extendedprice, l_discount, l_tax))""",
         "x2_hash_sample": """
 SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders WHERE (o_orderkey * 2654435761) % 100 < 10""",
+FROM orders WHERE ((o_orderkey % 1000003) * 2654435761) % 100 < 10""",
         "a24_stat_moments": """
 SELECT l_returnflag,
        round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 
@@ -62,3 +63,43 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert df.columns
+
+
+def test_hash_sample_agrees_past_int32_keys(spark):
+    """x2's deterministic sample must give identical membership in Spark
+    and DuckDB for keys FAR past 2^32: the raw Knuth multiply
+    (key * 2654435761) overflows int64 at keys ~3.5e9 — non-ANSI Spark
+    wraps, DuckDB promotes to HUGEINT, and the engines silently diverge.
+    The mod-reduce by HASH_SAMPLE_PRIME keeps the product < 2^63 on both
+    sides for any int64 key; this pins the agreement at 2^33..2^62."""
+    import duckdb
+
+    from nyc_taxi_etl_dashboard_spark.plans.analytics_ext import HASH_SAMPLE_PRIME
+
+    keys = [
+        2**32 + 5,
+        2**33 + 123,
+        7_000_000_000,
+        2**40 + 7,
+        2**52 + 99991,
+        2**62 + 12345,
+        (2**63) - 1,
+    ]
+    sdf = spark.createDataFrame([(k,) for k in keys], "k long").select(
+        "k",
+        (((F.col("k") % F.lit(HASH_SAMPLE_PRIME)) * F.lit(2654435761)) % F.lit(100)).alias(
+            "bucket"
+        ),
+    )
+    got = {r.k: r.bucket for r in sdf.collect()}
+    con = duckdb.connect()
+    orows = con.execute(
+        "SELECT k, ((k % 1000003) * 2654435761) % 100 AS bucket "
+        "FROM (SELECT unnest(?::BIGINT[]) AS k)",
+        [keys],
+    ).fetchall()
+    con.close()
+    want = {k: b for k, b in orows}
+    assert got == want
+    # and pure-python ground truth (int is unbounded — no overflow at all)
+    assert got == {k: ((k % HASH_SAMPLE_PRIME) * 2654435761) % 100 for k in keys}
