@@ -271,6 +271,53 @@ def refresh_hourly_rollup(spark: SparkSession, rollup_path: str, new_events: Dat
     )
 
 
+class _CountMinSketch:
+    """Pure-Python reader for Spark's serialized CountMinSketch (the
+    binary that SQL ``count_min_sketch(...)`` emits). Replaces the old
+    ``spark._jvm`` probe — private API, one minor release from breaking
+    — with a decoder of the PUBLIC, versioned wire format from Apache
+    Spark ``common/sketch`` (CountMinSketchImpl.writeTo, format V1:
+    big-endian int version, long totalCount, int depth, int width,
+    long hashA[depth], long table[depth][width]). The version field is
+    checked so a future V2 fails loudly, not wrongly; estimates are
+    pinned bit-equal to the JVM implementation in
+    tests/test_scale_ops.py::test_cms_python_reader_matches_jvm."""
+
+    _PRIME_MODULUS = (1 << 31) - 1
+    _MASK64 = (1 << 64) - 1
+
+    def __init__(self, data: bytes) -> None:
+        import struct
+
+        version, self.total_count, self.depth, self.width = struct.unpack_from(
+            ">iqii", data, 0
+        )
+        if version != 1:
+            raise ValueError(
+                f"CountMinSketch wire format v{version} unsupported (expected v1); "
+                "re-derive the layout from Apache Spark common/sketch"
+            )
+        off = 4 + 8 + 4 + 4
+        self.hash_a = struct.unpack_from(f">{self.depth}q", data, off)
+        off += self.depth * 8
+        self.table = [
+            struct.unpack_from(f">{self.width}q", data, off + i * self.width * 8)
+            for i in range(self.depth)
+        ]
+
+    def estimate_count(self, item: int) -> int:
+        """min over rows of table[i][hashLong(item, i)] — Java 64-bit
+        wrapping arithmetic reproduced with explicit masks."""
+        est = None
+        for i in range(self.depth):
+            h = (self.hash_a[i] * (item & self._MASK64)) & self._MASK64
+            h = (h + (h >> 32)) & self._MASK64
+            h &= self._PRIME_MODULUS
+            c = self.table[i][h % self.width]
+            est = c if est is None else min(est, c)
+        return est
+
+
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters over user_id (the mergeable fixed-memory
     sketch for 100 TB streams — one aggregation pass builds the sketch;
@@ -290,7 +337,7 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"count_min_sketch(user_id, {eps}d, 0.999d, 42)").alias("s")
         ).first().s
     )
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(sketch_bytes)
+    cms = _CountMinSketch(sketch_bytes)
     top = (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("exact_n"))
@@ -302,8 +349,8 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             r.user_id,
             r.exact_n,
-            cms.estimateCount(r.user_id) >= r.exact_n,
-            cms.estimateCount(r.user_id) <= r.exact_n + eps * total,
+            cms.estimate_count(r.user_id) >= r.exact_n,
+            cms.estimate_count(r.user_id) <= r.exact_n + eps * total,
         )
         for r in top
     ]

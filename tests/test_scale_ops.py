@@ -287,3 +287,41 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir, duck):
             f"       quantile_disc(l_extendedprice, {min(p + eps, 1.0)}) FROM lineitem"
         ).fetchone()
         assert lo <= e_val <= hi, (p, e_val, lo, hi)
+
+
+def test_cms_python_reader_matches_jvm(spark, sf_dir):
+    """The pure-Python CountMinSketch wire-format reader (replaces the
+    old spark._jvm probe in plans/events.py) must estimate bit-equal to
+    the JVM implementation for every probed key — including keys absent
+    from the data. _jvm IS allowed here: the test exists to pin the
+    public wire format against the reference implementation."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_dashboard_spark.plans.events import _CountMinSketch
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    raw = bytes(
+        e.agg(F.expr("count_min_sketch(user_id, 0.001d, 0.999d, 42)").alias("s"))
+        .first()
+        .s
+    )
+    py = _CountMinSketch(raw)
+    jvm = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(raw)
+    probes = [r.user_id for r in e.select("user_id").distinct().limit(50).collect()]
+    probes += [-1, 0, 2**40 + 7, 2**62 + 3, -(2**40)]
+    for item in probes:
+        assert py.estimate_count(item) == jvm.estimateCount(item), item
+    assert py.total_count == jvm.totalCount()
+
+
+def test_cms_reader_rejects_unknown_version():
+    import struct
+
+    import pytest as _pytest
+
+    from nyc_taxi_etl_dashboard_spark.plans.events import _CountMinSketch
+
+    blob = struct.pack(">iqii", 2, 0, 1, 1) + struct.pack(">qq", 1, 0)
+    with _pytest.raises(ValueError, match="v2 unsupported"):
+        _CountMinSketch(blob)
