@@ -113,6 +113,7 @@ def knn_lsh(
     n_planes: int = 8,
     dim: int = 64,
     n_probes: int = 0,
+    exhaustive: bool = False,
 ) -> DataFrame:
     """ANN scale path: bucket corpus and queries by RHP signature, then
     exact cosine top-k *within* matching buckets.
@@ -128,6 +129,17 @@ def knn_lsh(
     approximate. A (query, neighbor) pair can match at most one probe
     signature (probes are distinct values), so no candidate dedup is
     needed.
+
+    ``exhaustive=True`` probes ALL ``2**n_planes`` buckets (every XOR
+    mask): the candidate set is then the whole corpus, so the result
+    PROVABLY equals :func:`knn_bruteforce` — same fold, same window,
+    same tiebreak — through the full LSH machinery (signatures, probe
+    explode, bucket join, local top-k). That makes the LSH path
+    hash-certifiable against a brute-force SQL oracle while the
+    approximate configurations stay recall-tested. Query-side rows grow
+    to ``2**n_planes`` per query — keep ``n_planes`` small and the query
+    set bounded when using it (a certification/debug mode, not the
+    production path).
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -144,7 +156,13 @@ def knn_lsh(
             "acc + (CASE WHEN proj[p] > 0 THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))"
         ),
     )
-    if n_probes > 0:
+    if exhaustive:
+        masks = _probe_masks(n_planes, n_planes)  # all 2**n_planes masks
+        q = q.withColumn(
+            "sig",
+            F.explode(F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
+    elif n_probes > 0:
         flip_order = (
             f"slice(array_sort(transform(sequence(0, {n_planes - 1}), "
             f"p -> named_struct('m', abs(proj[p]), 'p', p))), 1, {n_probes})"

@@ -165,15 +165,50 @@ def q_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane bucketing then exact in-bucket
-    top-k. Approximate candidate generation => rows-only check (no
-    oracle); pytest asserts in-bucket results ⊆ exact results with equal
-    scores, plus recall@k vs the brute-force baseline: the multi-probe
-    knob (n_probes lowest-|margin| bit flips) lifts recall@4 from 0.60
-    to 0.94 at 16 planes on a planted near-neighbor corpus
-    (test_multiprobe_lsh_recall_floor)."""
+    """ANN scale path made hash-certifiable (the dd9/v8 reshape): the
+    exhaustive-probe LSH top-k — all 2^n_planes buckets probed, so the
+    candidate set is PROVABLY the whole corpus and the result equals
+    brute force through the full LSH machinery (signatures, probe
+    explode, bucket join, in-bucket scoring, local top-k) — plus two
+    verdicts proven in-engine and asserted literally by the oracle:
+    ``lsh_matches_exact`` (exhaustive LSH ≡ knn_bruteforce, bit-equal
+    cosine and same neighbor at every rank) and ``approx_admissible``
+    (the DEFAULT bucket-only configuration's rank-r score never exceeds
+    the exact rank-r score — candidate subsets are dominated rank-wise).
+    The approximate path's recall stays pinned by pytest: the
+    multi-probe knob (n_probes lowest-|margin| bit flips) lifts
+    recall@4 from 0.60 to 0.94 at 16 planes on a planted near-neighbor
+    corpus (test_multiprobe_lsh_recall_floor)."""
     e = _embs(spark, sf_dir)
-    return knn_lsh(e, e.filter(F.col("vec_id") < 3), k=5)
+    qs = e.filter(F.col("vec_id") < 3)
+    exact = knn_bruteforce(e, qs, k=5).select(
+        "query_id",
+        "rnk",
+        F.col("neighbor_id").alias("bf_neighbor"),
+        F.col("cosine").alias("bf_cosine"),
+    )
+    exhaustive = knn_lsh(e, qs, k=5, exhaustive=True)
+    approx = knn_lsh(e, qs, k=5).select(
+        "query_id", "rnk", F.col("cosine").alias("approx_cosine")
+    )
+    return (
+        exhaustive.join(exact, ["query_id", "rnk"])
+        # left join: a bucket-only query may return fewer than k rows
+        .join(approx, ["query_id", "rnk"], "left")
+        .select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            "cosine",
+            (
+                (F.col("neighbor_id") == F.col("bf_neighbor"))
+                & (F.col("cosine") == F.col("bf_cosine"))
+            ).alias("lsh_matches_exact"),
+            F.coalesce(
+                F.col("approx_cosine") <= F.col("bf_cosine"), F.lit(True)
+            ).alias("approx_admissible"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
