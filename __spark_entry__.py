@@ -83,10 +83,15 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         "mm2_frame_samples",
         "t10_unigram_logprob",
         "v8_sq_cosine",
+        # Round-6 rotation (VERDICT r05 item 1): a25/x3 (bounded-hash
+        # oracles ready since r3) and v4 (round-5 exhaustive-LSH reshape,
+        # oracle added this round) enter the window; u3/u4/a20 — green
+        # since r1, semantically frozen — rotate to overflow to make room.
+        "a25_approx_quantiles",
+        "x3_countmin_sketch",
+        "v4_knn_lsh",
         # past the 50-query window from here down: all driver-green in r01
-        # or r02 and semantically unchanged since. a25 and x3 gained
-        # bounded-hash oracles in round 3 (estimate+exact+bound-verdict
-        # reshape) — first candidates for the next window rotation.
+        # or r02 and semantically unchanged since.
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",
@@ -111,10 +116,13 @@ def _is_overflow(name: str) -> bool:
     a6/a8 are sub-aggregates of the in-window a12/a10)."""
     overflow_prefixes = (
         "t1", "t2", "t3", "t4", "t5", "t6", "mm1", "dd1", "dd3",
-        "v3", "v4", "v5", "v7", "x3", "x4",
-        "e1", "e2", "e3", "e4", "e5", "a25",
+        "v3", "v5", "v7", "x4",
+        "e1", "e2", "e3", "e4", "e5",
         # rotated out in round 3 after going green in CORRECTNESS_r02:
         "t7", "t8", "t9", "x5", "x6", "dd7", "dd2", "v6", "dd5", "a6", "a8",
+        # rotated out in round 6 (green since r1, frozen) to admit
+        # a25/x3/v4 into the window:
+        "u3", "u4", "a20",
     )
     return name.split("_")[0] in overflow_prefixes
 

@@ -347,8 +347,26 @@ n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
 SELECT m.label, n.n_vecs, round(sqrt(sum(mean_val * mean_val)), 6) AS centroid_l2
 FROM m JOIN n ON m.label = n.label
 GROUP BY m.label, n.n_vecs""",
-    # v4_knn_lsh: intentionally no oracle (approximate candidate set);
-    # invariants asserted in tests/test_llmops.py instead
+    # v4: exhaustive-probe LSH ≡ brute force (same fold, same window,
+    # same tiebreak), so the oracle IS the brute-force top-k — and the
+    # two in-engine verdict columns are asserted literally TRUE:
+    # lsh_matches_exact because exhaustive candidates = whole corpus,
+    # approx_admissible because a candidate-subset's rank-r score can
+    # never exceed the exact rank-r score. A hash mismatch on either
+    # boolean means the LSH machinery broke equivalence/admissibility.
+    "v4_knn_lsh": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qv', b='cv')}
+           / (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+SELECT query_id, rnk, neighbor_id, cosine,
+       TRUE AS lsh_matches_exact, TRUE AS approx_admissible
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM scored) WHERE rnk <= 5""",
     "mm1_media_features": f"""
 SELECT doc_id, 'text/plain' AS mime,
        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,

@@ -27,6 +27,35 @@ def test_knn_lsh_subset_of_exact(spark, sf_dir):
         assert abs(ex[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
 
 
+def test_knn_lsh_exhaustive_equals_bruteforce(spark, sf_dir):
+    """``knn_lsh(exhaustive=True)`` probes all 2**n_planes buckets, so it
+    must equal ``knn_bruteforce`` BIT-exactly at every rank (same fold,
+    same window, same tiebreak) — the equivalence the v4 oracle asserts
+    as a literal-true ``lsh_matches_exact`` column. Also pins the
+    admissibility invariant behind ``approx_admissible``: the default
+    bucket-only path's rank-r cosine never exceeds the exact rank-r
+    cosine (candidate subsets are dominated rank-wise)."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import knn_bruteforce, knn_lsh
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in knn_bruteforce(e, qs, k=5).collect()
+    }
+    exhaustive = knn_lsh(e, qs, k=5, exhaustive=True).collect()
+    assert len(exhaustive) == len(exact) > 0
+    for r in exhaustive:
+        nb, cos = exact[(r.query_id, r.rnk)]
+        assert r.neighbor_id == nb, f"rank {r.rnk}: {r.neighbor_id} != {nb}"
+        assert r.cosine == cos, f"rank {r.rnk}: cosine not bit-equal"
+    for r in knn_lsh(e, qs, k=5).collect():  # default bucket-only path
+        assert r.cosine <= exact[(r.query_id, r.rnk)][1] + 0.0, (
+            f"approx rank-{r.rnk} cosine exceeds exact rank-{r.rnk}"
+        )
+
+
 def test_lsh_pairs_subset_of_exact_jaccard(spark, sf_dir):
     from nyc_taxi_etl_dashboard_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
     from nyc_taxi_etl_dashboard_spark.sources import read_table
