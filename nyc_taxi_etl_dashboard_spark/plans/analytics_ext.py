@@ -442,7 +442,12 @@ def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Accumulate in decimal (order-exact), but EMIT doubles: the repo's
     # float-parity convention (SURVEY §8) — a decimal(_,2)→double cast is
     # correctly rounded in both engines, while raw DECIMAL output hashes
-    # differently across engines in the driver's value-hasher.
+    # differently across engines in the driver's value-hasher. The cast
+    # is EXACT (not merely correctly rounded) while the value in cents
+    # stays below 2^53 ≈ 9.0e15, i.e. totals under ~$90 trillion — far
+    # above any per-key cumulative sum this engine will emit; past that
+    # regime both engines would round identically anyway (IEEE 754
+    # round-to-nearest-even), so parity still holds.
     return daily.select(
         F.col("d").cast("string").alias("d"),
         F.col("rev").cast("double").alias("rev"),
