@@ -90,6 +90,11 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         "a25_approx_quantiles",
         "x3_countmin_sketch",
         "v4_knn_lsh",
+        # v5/v7 gained the same exhaustive-probe oracles in round 6
+        # (probe-all IVF ≡ brute force, quantizer-independent);
+        # a22/a23 — green r3/r4/r5, frozen — absorb the overflow.
+        "v5_ivf_ann",
+        "v7_ivf_trained",
         # past the 50-query window from here down: all driver-green in r01
         # or r02 and semantically unchanged since.
         "dd6_corpus_curation",
@@ -116,13 +121,13 @@ def _is_overflow(name: str) -> bool:
     a6/a8 are sub-aggregates of the in-window a12/a10)."""
     overflow_prefixes = (
         "t1", "t2", "t3", "t4", "t5", "t6", "mm1", "dd1", "dd3",
-        "v3", "v5", "v7", "x4",
+        "v3", "x4",
         "e1", "e2", "e3", "e4", "e5",
         # rotated out in round 3 after going green in CORRECTNESS_r02:
         "t7", "t8", "t9", "x5", "x6", "dd7", "dd2", "v6", "dd5", "a6", "a8",
-        # rotated out in round 6 (green since r1, frozen) to admit
-        # a25/x3/v4 into the window:
-        "u3", "u4", "a20",
+        # rotated out in round 6 (multi-round green, frozen) to admit
+        # a25/x3/v4/v5/v7 into the window:
+        "u3", "u4", "a20", "a22", "a23",
     )
     return name.split("_")[0] in overflow_prefixes
 

@@ -222,6 +222,7 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    probe_all: bool = False,
 ) -> DataFrame:
     """IVF-style ANN with label centroids as the coarse quantizer.
 
@@ -232,6 +233,13 @@ def ivf_ann(
     brute-force within it. The centroid table is tiny (cells x dim) —
     collected once, broadcast everywhere; the corpus is scanned once for
     assignment and once per probe join.
+
+    ``probe_all=True`` probes EVERY cell (the v4 exhaustive pattern):
+    each corpus vector lives in exactly one cell, so probing all cells
+    makes the candidate set the whole corpus and the result PROVABLY
+    equals :func:`knn_bruteforce` — same fold, same window, same
+    tiebreak — through the full IVF machinery. Certification/debug
+    mode; query-side rows grow to |cells| per query.
     """
     cents = centroids_by_label(corpus, label_col=label_col, vec_col=vec_col)
     cells = cents.select(
@@ -252,9 +260,16 @@ def ivf_ann(
     c = assign(corpus.select(id_col, vec_col), id_col, "neighbor_id").select(
         "neighbor_id", F.col(vec_col).alias("c_vec"), "cell"
     )
-    q = assign(queries.select(id_col, vec_col), id_col, "query_id").select(
-        "query_id", F.col(vec_col).alias("q_vec"), "cell"
-    )
+    if probe_all:
+        # every query probes every cell; no candidate dedup needed since
+        # each corpus vector is assigned to exactly one cell
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).crossJoin(F.broadcast(cells.select("cell")))
+    else:
+        q = assign(queries.select(id_col, vec_col), id_col, "query_id").select(
+            "query_id", F.col(vec_col).alias("q_vec"), "cell"
+        )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

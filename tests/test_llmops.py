@@ -127,6 +127,29 @@ def test_ivf_ann_subset_of_exact(spark, sf_dir):
         assert abs(exact[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
 
 
+def test_ivf_probe_all_equals_bruteforce(spark, sf_dir):
+    """``ivf_ann(probe_all=True)`` probes every cell, so the candidate
+    set is the whole corpus and the result must equal ``knn_bruteforce``
+    bit-exactly at every rank — the equivalence the v5 oracle asserts as
+    a literal-true ``ivf_matches_exact`` column (the v4 pattern; v7's
+    twin is pinned by test_ivf_trained_full_probe_is_exact)."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import ivf_ann, knn_bruteforce
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in knn_bruteforce(e, qs, k=5).collect()
+    }
+    got = ivf_ann(e, qs, k=5, probe_all=True).collect()
+    assert len(got) == len(exact) > 0
+    for r in got:
+        nb, cos = exact[(r.query_id, r.rnk)]
+        assert r.neighbor_id == nb, f"rank {r.rnk}: {r.neighbor_id} != {nb}"
+        assert r.cosine == cos, f"rank {r.rnk}: cosine not bit-equal"
+
+
 def test_corpus_curation_monotone(spark, sf_dir):
     """Curation output is a subset of the quality gate and excludes the
     higher id of every surviving near-dup pair."""
