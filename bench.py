@@ -56,6 +56,11 @@ CURATION = [
     "x5_stratified_sample",
     "x6_pack_sequences",
     "dd7_simhash_pairs",
+    # NOTE: from round 6 the registered v7 query is the certification
+    # reshape (k-means fit + probe-all + nprobe=2 + brute-force verdict
+    # joins) — roughly 3x the round-5 production-only path. A step up in
+    # this series at r6 is that definition change, not a regression; the
+    # production operator is ivf_ann_trained called once.
     "v7_ivf_trained",
     "x7_corpus_pipeline",
     # round-3: the iterative-join dedup path (connected components +

@@ -121,3 +121,41 @@ def langid_en_heuristic(text: Column | str, threshold: float = 0.04) -> Column:
     n-gram profiles scored the same way (argmax over a small map —
     still pure column expressions)."""
     return F.when(stopword_ratio(text) >= threshold, "en").otherwise("other")
+
+
+#: (category, pattern, placeholder) in REDACTION ORDER (earlier patterns
+#: consume their matches before later ones run). Patterns restrict to
+#: the regex subset Java (Spark) and RE2 (DuckDB/production scanners)
+#: interpret identically — char classes, bounded repeats, (?:) groups,
+#: \b anchors; no lookaround, no backrefs — so a DuckDB oracle can
+#: verify the scrub cross-engine and a Go/Rust scanner agrees with the
+#: Spark job byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts on the UNREDACTED text — the audit
+    row a compliance report wants next to the scrub. Pure Catalyst
+    (``regexp_count``), runs in the scan stage."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        f"n_{cat}": F.regexp_count(c, F.lit(pat)) for cat, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub PII spans to typed placeholders: sequential
+    ``regexp_replace`` per category in ``PII_PATTERNS`` order (emails
+    first — their digits must not be half-eaten by the looser numeric
+    patterns). Idempotent: placeholders contain no digits or ``@`` so no
+    later (or repeated) pattern can re-match inside one. JVM-side
+    expression chain — the whole scrub stays in whole-stage codegen; at
+    100 TB this is a map-only stage with zero shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, placeholder in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, placeholder)
+    return c

@@ -26,8 +26,11 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import centroids_by_label, knn_bruteforce, knn_lsh, l2_norm
 from ..operators.text import (
+    PII_PATTERNS,
     langid_en_heuristic,
+    pii_counts,
     quality_features,
+    redact_pii,
     tokens,
     with_shingles,
 )
@@ -192,9 +195,9 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rnk", F.col("cosine").alias("approx_cosine")
     )
     return (
-        exhaustive.join(exact, ["query_id", "rnk"])
+        exhaustive.join(F.broadcast(exact), ["query_id", "rnk"])
         # left join: a bucket-only query may return fewer than k rows
-        .join(approx, ["query_id", "rnk"], "left")
+        .join(F.broadcast(approx), ["query_id", "rnk"], "left")
         .select(
             "query_id",
             "rnk",
@@ -460,9 +463,9 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rnk", F.col("cosine").alias("approx_cosine")
     )
     return (
-        exhaustive.join(exact, ["query_id", "rnk"])
+        exhaustive.join(F.broadcast(exact), ["query_id", "rnk"])
         # left join: a single-cell probe may return fewer than k rows
-        .join(approx, ["query_id", "rnk"], "left")
+        .join(F.broadcast(approx), ["query_id", "rnk"], "left")
         .select(
             "query_id",
             "rnk",
@@ -642,8 +645,8 @@ def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, qs, k=5, n_cells=8, n_probes=2, centroids=model
     ).select("query_id", "rnk", F.col("cosine").alias("approx_cosine"))
     return (
-        exhaustive.join(exact, ["query_id", "rnk"])
-        .join(approx, ["query_id", "rnk"], "left")
+        exhaustive.join(F.broadcast(exact), ["query_id", "rnk"])
+        .join(F.broadcast(approx), ["query_id", "rnk"], "left")
         .select(
             "query_id",
             "rnk",
@@ -931,6 +934,81 @@ tot AS (SELECT count(*) AS n FROM toks)
 SELECT t.doc_id, round(avg(ln(f.tf / (tot.n * 1.0))), 6) AS avg_logprob
 FROM toks t JOIN freq f USING (token) CROSS JOIN tot
 GROUP BY t.doc_id"""
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + audit counts (the compliance stage every production
+    corpus pipeline runs before training). The synthetic corpus carries
+    no PII, so the query first INJECTS deterministic email/IPv4/phone
+    spans keyed off doc_id (the mm1 attach-payload pattern — documented
+    synthetic, reproduced verbatim by the oracle), then scrubs them with
+    ``redact_pii`` and reports per-category match counts from
+    ``pii_counts``. The oracle re-runs injection + scrub + counts in
+    DuckDB's RE2 engine, certifying the patterns behave identically
+    across regex engines — the property that lets a Go/Rust scanner
+    validate a Spark-scrubbed corpus. Map-only, zero shuffle."""
+    d = _docs(spark, sf_dir)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return injected.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        *[col.alias(name) for name, col in counts.items()],
+    )
+
+
+QUERIES["t11_pii_redaction"] = q_pii_redaction
+
+_PII_INJECT_SQL = """
+SELECT doc_id,
+       text ||
+       CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END ||
+       CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+FROM documents"""
+
+# scrub = nested regexp_replace in PII_PATTERNS order; counts on the
+# unredacted text — both generated from the SAME pattern table the
+# engine uses, so the two sides cannot drift
+_PII_SCRUB_SQL = "text"
+for _cat, _pat, _ph in PII_PATTERNS:
+    _PII_SCRUB_SQL = f"regexp_replace({_PII_SCRUB_SQL}, '{_pat}', '{_ph}', 'g')"
+_PII_COUNT_SQL = ", ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{cat}"
+    for cat, pat, _ in PII_PATTERNS
+)
+ORACLES["t11_pii_redaction"] = f"""
+WITH inj AS ({_PII_INJECT_SQL})
+SELECT doc_id, {_PII_SCRUB_SQL} AS redacted, {_PII_COUNT_SQL}
+FROM inj"""
 
 
 def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,6 +150,31 @@ def test_ivf_probe_all_equals_bruteforce(spark, sf_dir):
         assert r.cosine == cos, f"rank {r.rnk}: cosine not bit-equal"
 
 
+def test_pii_redaction_scrubs_everything_and_is_idempotent(spark, sf_dir):
+    """After redact_pii, no PII pattern matches anywhere (the scrub is
+    complete); counts equal the injected cardinalities; and scrubbing a
+    second time is a no-op (placeholders can't re-match)."""
+    from nyc_taxi_etl_dashboard_spark.operators.text import PII_PATTERNS, redact_pii
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import q_pii_redaction
+
+    out = q_pii_redaction(spark, sf_dir)
+    residual = out.select(
+        *[
+            F.sum(F.regexp_count("redacted", F.lit(pat))).alias(cat)
+            for cat, pat, _ in PII_PATTERNS
+        ]
+    ).collect()[0]
+    assert all(v == 0 for v in residual.asDict().values()), residual
+    rows = out.collect()
+    assert sum(r.n_email for r in rows) == sum(1 for r in rows if r.doc_id % 3 == 0)
+    assert sum(r.n_ipv4 for r in rows) == sum(1 for r in rows if r.doc_id % 5 == 0)
+    assert sum(r.n_phone for r in rows) == sum(1 for r in rows if r.doc_id % 7 == 0)
+    assert sum(r.n_email for r in rows) > 0  # injection actually fired
+    twice = out.select("doc_id", redact_pii("redacted").alias("again")).collect()
+    once = {r.doc_id: r.redacted for r in rows}
+    assert all(once[r.doc_id] == r.again for r in twice)
+
+
 def test_corpus_curation_monotone(spark, sf_dir):
     """Curation output is a subset of the quality gate and excludes the
     higher id of every surviving near-dup pair."""

@@ -34,6 +34,19 @@ def test_star_fact_resolution_all_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 5
 
 
+def test_ann_certification_queries_stay_broadcast(spark, sf_dir):
+    """The v4/v5/v7 certification reshapes triple the join count (exact +
+    exhaustive + approx legs); all of it must stay broadcast-shaped — the
+    corpus scan is the only large input, so a SortMergeJoin or a
+    non-broadcast cartesian anywhere means a leg lost its broadcast hint
+    and would shuffle the corpus at scale."""
+    for name in ("v4_knn_lsh", "v5_ivf_ann", "v7_ivf_trained"):
+        plan = _plan(spark, sf_dir, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
 def test_aggregation_is_partial_then_final(spark, sf_dir):
     """Map-side combine: grouped aggregations must show two
     HashAggregate levels around the exchange."""
