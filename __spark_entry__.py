@@ -99,6 +99,10 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         # certification); w5 — green r3/r4/r5, frozen, lag machinery
         # still evidenced in-window by w6/a26 — absorbs the overflow.
         "t11_pii_redaction",
+        # NEW in round 6: water-filling mixture planner; a18 — green
+        # r3/r4/r5, frozen, Expand-operator machinery still evidenced
+        # in-window by a19's grouping sets — absorbs the overflow.
+        "x8_mixture_plan",
         # past the 50-query window from here down: all driver-green in r01
         # or r02 and semantically unchanged since.
         "dd6_corpus_curation",
@@ -131,7 +135,7 @@ def _is_overflow(name: str) -> bool:
         "t7", "t8", "t9", "x5", "x6", "dd7", "dd2", "v6", "dd5", "a6", "a8",
         # rotated out in round 6 (multi-round green, frozen) to admit
         # a25/x3/v4/v5/v7 and the new t11 into the window:
-        "u3", "u4", "a20", "a22", "a23", "w5",
+        "u3", "u4", "a20", "a22", "a23", "w5", "a18",
     )
     return name.split("_")[0] in overflow_prefixes
 

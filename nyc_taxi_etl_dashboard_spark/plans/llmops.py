@@ -786,6 +786,73 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["x5_stratified_sample"] = q_stratified_sample
+
+#: target corpus mixture by language (sums to 1.0) — the spec a training
+#: run hands the pipeline; x8 turns it into per-stratum sampling rates
+TARGET_MIX = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planner (the step UPSTREAM of x5's stratified
+    sample): given target shares per language, compute the LARGEST
+    corpus achievable without upsampling any stratum (water-filling:
+    ``max_corpus = min over strata of n_l / w_l``) and each stratum's
+    sampling rate / planned row count / achieved share. The binding
+    stratum gets rate 1.0; everything else is downsampled to keep the
+    mixture exact. Cost shape: one partial-agg count per stratum plus a
+    broadcast 1-row min — no data-sized shuffle at any corpus size; the
+    plan table then parameterizes the x5-style deterministic-hash
+    filter. All arithmetic is double with identical operation order in
+    the oracle, so results hash-match bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    mix = F.create_map(*[F.lit(x) for k, v in TARGET_MIX.items() for x in (k, v)])
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("target_share", F.element_at(mix, F.col("lang")))
+    )
+    max_corpus = counts.agg(
+        F.min(F.col("n_docs") / F.col("target_share")).alias("max_corpus")
+    )
+    planned = (
+        counts.crossJoin(F.broadcast(max_corpus))
+        .withColumn("sample_rate", F.round(
+            F.least(F.lit(1.0), F.col("target_share") * F.col("max_corpus") / F.col("n_docs")), 6))
+        .withColumn("planned_docs", F.floor(F.col("target_share") * F.col("max_corpus")))
+    )
+    from pyspark.sql import Window
+
+    total = Window.partitionBy()  # 5-row frame: the stratum plan table
+    return planned.select(
+        "lang",
+        "n_docs",
+        "target_share",
+        F.round("max_corpus", 6).alias("max_corpus"),
+        "sample_rate",
+        "planned_docs",
+        F.round(
+            F.col("planned_docs") / F.sum("planned_docs").over(total), 6
+        ).alias("achieved_share"),
+    )
+
+
+QUERIES["x8_mixture_plan"] = q_mixture_plan
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in TARGET_MIX.items()
+) + " END"
+ORACLES["x8_mixture_plan"] = f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+w AS (SELECT lang, n_docs, {_MIX_CASE} AS target_share FROM c),
+m AS (SELECT min(n_docs / target_share) AS max_corpus FROM w),
+p AS (
+  SELECT lang, n_docs, target_share, max_corpus,
+         round(least(1.0, target_share * max_corpus / n_docs), 6) AS sample_rate,
+         CAST(floor(target_share * max_corpus) AS BIGINT) AS planned_docs
+  FROM w CROSS JOIN m)
+SELECT lang, n_docs, target_share, round(max_corpus, 6) AS max_corpus,
+       sample_rate, planned_docs,
+       round(planned_docs / sum(planned_docs) OVER (), 6) AS achieved_share
+FROM p"""
 _STRATA_CASE = "CASE lang " + " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items()
 ) + " END"

@@ -175,6 +175,22 @@ def test_pii_redaction_scrubs_everything_and_is_idempotent(spark, sf_dir):
     assert all(once[r.doc_id] == r.again for r in twice)
 
 
+def test_mixture_plan_water_filling_invariants(spark, sf_dir):
+    """Exactly one binding stratum at rate 1.0; nothing upsampled
+    (planned <= available); achieved shares reproduce the target mix to
+    rounding (floor costs at most 1 doc per stratum)."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import TARGET_MIX, q_mixture_plan
+
+    rows = q_mixture_plan(spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(TARGET_MIX)
+    assert sum(1 for r in rows if r.sample_rate == 1.0) >= 1
+    total_planned = sum(r.planned_docs for r in rows)
+    for r in rows:
+        assert r.planned_docs <= r.n_docs, f"{r.lang} upsampled"
+        assert r.sample_rate <= 1.0
+        assert abs(r.achieved_share - TARGET_MIX[r.lang]) < 2.0 / total_planned
+
+
 def test_corpus_curation_monotone(spark, sf_dir):
     """Curation output is a subset of the quality gate and excludes the
     higher id of every surviving near-dup pair."""
