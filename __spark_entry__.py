@@ -103,6 +103,11 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         # r3/r4/r5, frozen, Expand-operator machinery still evidenced
         # in-window by a19's grouping sets — absorbs the overflow.
         "x8_mixture_plan",
+        # NEW in round 6: composed quality-gate → mixture-plan →
+        # deterministic-sample pipeline; w3 — green r3/r4/r5, frozen,
+        # window-frame machinery still evidenced in-window by w1/w4/w6 —
+        # absorbs the overflow.
+        "x9_planned_sample",
         # past the 50-query window from here down: all driver-green in r01
         # or r02 and semantically unchanged since.
         "dd6_corpus_curation",
@@ -135,7 +140,7 @@ def _is_overflow(name: str) -> bool:
         "t7", "t8", "t9", "x5", "x6", "dd7", "dd2", "v6", "dd5", "a6", "a8",
         # rotated out in round 6 (multi-round green, frozen) to admit
         # a25/x3/v4/v5/v7 and the new t11 into the window:
-        "u3", "u4", "a20", "a22", "a23", "w5", "a18",
+        "u3", "u4", "a20", "a22", "a23", "w5", "a18", "w3",
     )
     return name.split("_")[0] in overflow_prefixes
 

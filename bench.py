@@ -63,6 +63,10 @@ CURATION = [
     # production operator is ivf_ann_trained called once.
     "v7_ivf_trained",
     "x7_corpus_pipeline",
+    # joined in round 6 (definition change for curation_total at r6):
+    # PII scrub (map-only regex) and the mixture planner (stratum agg)
+    "t11_pii_redaction",
+    "x8_mixture_plan",
     # round-3: the iterative-join dedup path (connected components +
     # cluster-canonical curation) tracked end-to-end
     "dd8_dup_clusters",

@@ -837,9 +837,65 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["x8_mixture_plan"] = q_mixture_plan
+
+
+def q_planned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x9: the composed corpus-build sampler — quality gate (t7's rule
+    bank) → water-fill mixture plan on the SURVIVING population (x8's
+    math, recomputed post-gate: gating shifts the language balance, so
+    planning on raw counts would miss the target mix) → deterministic
+    hash sample at each stratum's PLANNED rate (x5's portable-hash
+    membership with a runtime rate instead of a config constant).
+    Returns the member set. Scale shape: the plan table is 5 rows
+    broadcast into a map-side filter — the full pass over documents
+    happens exactly once, gate and sample fused in one codegen stage."""
+    d = _docs(spark, sf_dir)
+    feats = quality_features("text")
+    gated = d.filter(
+        (feats["n_tokens"] >= 25)
+        & (feats["distinct_ratio"] >= 0.35)
+        & (feats["stopword_ratio"] > 0)
+    ).select("doc_id", "lang")
+    mix = F.create_map(*[F.lit(x) for k, v in TARGET_MIX.items() for x in (k, v)])
+    counts = (
+        gated.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("target_share", F.element_at(mix, F.col("lang")))
+    )
+    max_corpus = counts.agg(
+        F.min(F.col("n_docs") / F.col("target_share")).alias("max_corpus")
+    )
+    rates = counts.crossJoin(F.broadcast(max_corpus)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), F.col("target_share") * F.col("max_corpus") / F.col("n_docs")
+        ).alias("rate"),
+    )
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(100)
+    return (
+        gated.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("rate") * 100)
+        .select("doc_id", "lang")
+    )
+
+
+QUERIES["x9_planned_sample"] = q_planned_sample
 _MIX_CASE = "CASE lang " + " ".join(
     f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in TARGET_MIX.items()
 ) + " END"
+ORACLES["x9_planned_sample"] = f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, lang FROM t
+      WHERE len(toks) >= 25
+        AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.35
+        AND len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) > 0),
+c AS (SELECT lang, count(*) AS n_docs FROM g GROUP BY lang),
+w AS (SELECT lang, n_docs, {_MIX_CASE} AS target_share FROM c),
+m AS (SELECT min(n_docs / target_share) AS max_corpus FROM w),
+r AS (SELECT lang, least(1.0, target_share * max_corpus / n_docs) AS rate
+      FROM w CROSS JOIN m)
+SELECT g.doc_id, g.lang FROM g JOIN r USING (lang)
+WHERE (g.doc_id * 2654435761) % 100 < r.rate * 100"""
 ORACLES["x8_mixture_plan"] = f"""
 WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
 w AS (SELECT lang, n_docs, {_MIX_CASE} AS target_share FROM c),

@@ -191,6 +191,31 @@ def test_mixture_plan_water_filling_invariants(spark, sf_dir):
         assert abs(r.achieved_share - TARGET_MIX[r.lang]) < 2.0 / total_planned
 
 
+def test_planned_sample_hits_target_mixture(spark, sf_dir):
+    """x9's sampled corpus reproduces TARGET_MIX on the quality-gated
+    population: per-lang share within floor+hash-quantization tolerance,
+    membership is a subset of the gate, and the binding stratum keeps
+    every survivor."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        TARGET_MIX,
+        q_mixture_plan,
+        q_planned_sample,
+        q_quality_filter,
+    )
+
+    kept = {r.doc_id for r in q_quality_filter(spark, sf_dir).collect() if r.keep}
+    rows = q_planned_sample(spark, sf_dir).collect()
+    assert rows and all(r.doc_id in kept for r in rows)
+    by_lang = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    total = sum(by_lang.values())
+    for lang, share in TARGET_MIX.items():
+        # the hash-bucket filter quantizes rates to 1/100: allow the
+        # corresponding slack on top of the target share
+        assert abs(by_lang.get(lang, 0) / total - share) < 0.05, (lang, by_lang, total)
+
+
 def test_corpus_curation_monotone(spark, sf_dir):
     """Curation output is a subset of the quality gate and excludes the
     higher id of every surviving near-dup pair."""
