@@ -191,6 +191,25 @@ def test_mixture_plan_water_filling_invariants(spark, sf_dir):
         assert abs(r.achieved_share - TARGET_MIX[r.lang]) < 2.0 / total_planned
 
 
+def test_pii_patterns_boundary_semantics(spark):
+    """Edge cases pinned as literals so a pattern edit that shifts
+    boundary behavior fails loudly: 9-digit phone-ish runs don't match
+    (\\b forbids a trailing digit), a 5-octet dotted run redacts its
+    first 4 octets, and adjacent/multiple spans all redact."""
+    from nyc_taxi_etl_dashboard_spark.operators.text import redact_pii
+
+    cases = [
+        ("call 555-12345 now", "call 555-12345 now"),  # \b blocks match
+        ("v 1.2.3.4.5 end", "v <IP>.5 end"),  # greedy 4-octet match
+        ("a@b.co c@d.io", "<EMAIL> <EMAIL>"),
+        ("ip:10.0.0.1,mail:x.y@z.org", "ip:<IP>,mail:<EMAIL>"),
+        ("556-0000555-0001", "556-0000555-0001"),  # glued digits: no \b
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [r.red for r in df.select(redact_pii("text").alias("red")).collect()]
+    assert got == [want for _, want in cases], got
+
+
 def test_planned_sample_hits_target_mixture(spark, sf_dir):
     """x9's sampled corpus reproduces TARGET_MIX on the quality-gated
     population: per-lang share within floor+hash-quantization tolerance,
