@@ -58,9 +58,10 @@ CURATION = [
     "dd7_simhash_pairs",
     # NOTE: from round 6 the registered v7 query is the certification
     # reshape (k-means fit + probe-all + nprobe=2 + brute-force verdict
-    # joins) — roughly 3x the round-5 production-only path. A step up in
-    # this series at r6 is that definition change, not a regression; the
-    # production operator is ivf_ann_trained called once.
+    # joins). Measured impact at sf0.1: ~nothing (median 2.0 s vs 2.3 s
+    # before) — the model is fit once and shared, and the verdict legs
+    # are k x |queries| broadcast rows. The production operator is
+    # ivf_ann_trained called once.
     "v7_ivf_trained",
     "x7_corpus_pipeline",
     # joined in round 6 (definition change for curation_total at r6):
