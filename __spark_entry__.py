@@ -104,9 +104,11 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         # in-window by a19's grouping sets — absorbs the overflow.
         "x8_mixture_plan",
         # NEW in round 6: composed quality-gate → mixture-plan →
-        # deterministic-sample pipeline; w3 — green r3/r4/r5, frozen,
-        # window-frame machinery still evidenced in-window by w1/w4/w6 —
-        # absorbs the overflow.
+        # deterministic-sample pipeline; w3/w4 — green r3/r4/r5, frozen,
+        # window machinery still evidenced in-window by w1 (rank) and
+        # w6 (running frame) — absorb the overflow. t12 (LM percentile
+        # gate, also new) sits in the window at its natural group-1
+        # position.
         "x9_planned_sample",
         # past the 50-query window from here down: all driver-green in r01
         # or r02 and semantically unchanged since.
@@ -140,7 +142,7 @@ def _is_overflow(name: str) -> bool:
         "t7", "t8", "t9", "x5", "x6", "dd7", "dd2", "v6", "dd5", "a6", "a8",
         # rotated out in round 6 (multi-round green, frozen) to admit
         # a25/x3/v4/v5/v7 and the new t11 into the window:
-        "u3", "u4", "a20", "a22", "a23", "w5", "a18", "w3",
+        "u3", "u4", "a20", "a22", "a23", "w5", "a18", "w3", "w4",
     )
     return name.split("_")[0] in overflow_prefixes
 

@@ -672,6 +672,13 @@ QUERIES["v7_ivf_trained"] = q_ivf_trained
 #: order — the Gopher/C4-style rule bank over the t2 feature set.
 #: Thresholds sit inside the fixture's feature distributions so every
 #: rule fires (75 / 99 / 15 drops, 311 keepers at sf0.01).
+#: shared quality-gate thresholds (t7 rule bank = x7/x9 keep-predicate):
+#: single source of truth so the gate and every downstream composition
+#: (and their oracles) cannot drift apart
+GATE_MIN_TOKENS = 25
+GATE_MIN_DISTINCT_RATIO = 0.35
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality gate with per-document drop reason: first matching
     rule wins (same first-match contract as the taxi anomaly bank P6) —
@@ -683,8 +690,8 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = quality_features("text")
     n, div, stop = feats["n_tokens"], feats["distinct_ratio"], feats["stopword_ratio"]
     reason = (
-        F.when(n < 25, "too_short")
-        .when(div < 0.35, "low_diversity")
+        F.when(n < GATE_MIN_TOKENS, "too_short")
+        .when(div < GATE_MIN_DISTINCT_RATIO, "low_diversity")
         .when(stop <= 0, "no_stopwords")
     )
     return d.select(
@@ -693,11 +700,11 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["t7_quality_filter"] = q_quality_filter
-ORACLES["t7_quality_filter"] = """
+ORACLES["t7_quality_filter"] = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 r AS (SELECT doc_id,
-        CASE WHEN len(toks) < 25 THEN 'too_short'
-             WHEN len(list_distinct(toks)) * 1.0 / len(toks) < 0.35 THEN 'low_diversity'
+        CASE WHEN len(toks) < {GATE_MIN_TOKENS} THEN 'too_short'
+             WHEN len(list_distinct(toks)) * 1.0 / len(toks) < {GATE_MIN_DISTINCT_RATIO} THEN 'low_diversity'
              WHEN len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) <= 0 THEN 'no_stopwords'
         END AS drop_reason
       FROM t)
@@ -852,8 +859,8 @@ def q_planned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     feats = quality_features("text")
     gated = d.filter(
-        (feats["n_tokens"] >= 25)
-        & (feats["distinct_ratio"] >= 0.35)
+        (feats["n_tokens"] >= GATE_MIN_TOKENS)
+        & (feats["distinct_ratio"] >= GATE_MIN_DISTINCT_RATIO)
         & (feats["stopword_ratio"] > 0)
     ).select("doc_id", "lang")
     mix = F.create_map(*[F.lit(x) for k, v in TARGET_MIX.items() for x in (k, v)])
@@ -886,8 +893,8 @@ _MIX_CASE = "CASE lang " + " ".join(
 ORACLES["x9_planned_sample"] = f"""
 WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
 g AS (SELECT doc_id, lang FROM t
-      WHERE len(toks) >= 25
-        AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.35
+      WHERE len(toks) >= {GATE_MIN_TOKENS}
+        AND len(list_distinct(toks)) * 1.0 / len(toks) >= {GATE_MIN_DISTINCT_RATIO}
         AND len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) > 0),
 c AS (SELECT lang, count(*) AS n_docs FROM g GROUP BY lang),
 w AS (SELECT lang, n_docs, {_MIX_CASE} AS target_share FROM c),
@@ -1049,7 +1056,52 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t12: the data-driven LM quality gate on top of t10's scores —
+    drop the bottom decile PER LANGUAGE (a global cutoff would mostly
+    delete whichever language the unigram LM likes least; per-stratum
+    percentile is the CCNet shape). Exact threshold via percent_rank
+    over the (lang, score) window; scores are pre-rounded to 6 so the
+    rank order (and every tie) is identical across engines.
+
+    Scale shape: the window partitions by lang — a bounded-cardinality
+    shuffle of slim (doc_id, lang, score) rows, NOT documents. At
+    100 TB, swap the exact window for per-lang approx-quantile
+    thresholds broadcast into the same keep-filter; the emitted
+    contract (score, pct_rank, keep) is unchanged."""
+    scores = q_unigram_logprob(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("avg_logprob")
+    return (
+        scores.join(d, "doc_id")
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            "pct_rank",
+            (F.col("pct_rank") >= 0.1).alias("keep"),
+        )
+    )
+
+
 QUERIES["t10_unigram_logprob"] = q_unigram_logprob
+QUERIES["t12_lm_percentile_gate"] = q_lm_percentile_gate
+ORACLES["t12_lm_percentile_gate"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+tot AS (SELECT count(*) AS n FROM toks),
+s AS (
+  SELECT t.doc_id, round(avg(ln(f.tf / (tot.n * 1.0))), 6) AS avg_logprob
+  FROM toks t JOIN freq f USING (token) CROSS JOIN tot
+  GROUP BY t.doc_id),
+r AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob,
+         round(percent_rank() OVER (PARTITION BY d.lang ORDER BY s.avg_logprob), 6) AS pct_rank
+  FROM s JOIN documents d USING (doc_id))
+SELECT doc_id, lang, avg_logprob, pct_rank, pct_rank >= 0.1 AS keep FROM r"""
 ORACLES["t10_unigram_logprob"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
@@ -1220,8 +1272,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     feats = quality_features("text")
     quality = d.filter(
-        (feats["n_tokens"] >= 25)
-        & (feats["distinct_ratio"] >= 0.35)
+        (feats["n_tokens"] >= GATE_MIN_TOKENS)
+        & (feats["distinct_ratio"] >= GATE_MIN_DISTINCT_RATIO)
         & (feats["stopword_ratio"] > 0)
     )
     fp = quality.withColumn("fp", poly_fingerprint(tokens("text")))
@@ -1276,8 +1328,8 @@ ORACLES["x7_corpus_pipeline"] = f"""
 WITH toks0 AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS toks FROM documents),
 quality AS (
   SELECT doc_id, text, source, toks FROM toks0
-  WHERE len(toks) >= 25
-    AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.35
+  WHERE len(toks) >= {GATE_MIN_TOKENS}
+    AND len(list_distinct(toks)) * 1.0 / len(toks) >= {GATE_MIN_DISTINCT_RATIO}
     AND len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) > 0),
 fp AS (SELECT doc_id, text, source, toks, {_FP_SQL} AS fp FROM quality),
 kept AS (

@@ -210,6 +210,25 @@ def test_pii_patterns_boundary_semantics(spark):
     assert got == [want for _, want in cases], got
 
 
+def test_lm_gate_drops_bottom_decile_per_lang(spark, sf_dir):
+    """t12 keeps ~90% per language and every dropped doc scores <= every
+    kept doc within its language (the gate is a clean score cut)."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import q_lm_percentile_gate
+
+    rows = q_lm_percentile_gate(spark, sf_dir).collect()
+    langs = {r.lang for r in rows}
+    assert langs and all(r.pct_rank is not None for r in rows)
+    for lang in langs:
+        grp = [r for r in rows if r.lang == lang]
+        kept = [r for r in grp if r.keep]
+        dropped = [r for r in grp if not r.keep]
+        assert 0.85 <= len(kept) / len(grp) <= 0.95, (lang, len(kept), len(grp))
+        if dropped:
+            assert max(r.avg_logprob for r in dropped) <= min(
+                r.avg_logprob for r in kept
+            ), lang
+
+
 def test_planned_sample_hits_target_mixture(spark, sf_dir):
     """x9's sampled corpus reproduces TARGET_MIX on the quality-gated
     population: per-lang share within floor+hash-quantization tolerance,
