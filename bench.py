@@ -65,9 +65,11 @@ CURATION = [
     "v7_ivf_trained",
     "x7_corpus_pipeline",
     # joined in round 6 (definition change for curation_total at r6):
-    # PII scrub (map-only regex) and the mixture planner (stratum agg)
+    # PII scrub (map-only regex), mixture planner (stratum agg), and
+    # the per-language LM percentile gate (wordcount join + lang window)
     "t11_pii_redaction",
     "x8_mixture_plan",
+    "t12_lm_percentile_gate",
     # round-3: the iterative-join dedup path (connected components +
     # cluster-canonical curation) tracked end-to-end
     "dd8_dup_clusters",

@@ -47,6 +47,16 @@ def test_ann_certification_queries_stay_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
 
 
+def test_lm_gate_window_shuffles_by_lang_not_globally(spark, sf_dir):
+    """t12's percent_rank window must exchange on the lang hash only —
+    a rangepartitioning exchange would mean Catalyst planned a global
+    sort, which turns the per-stratum gate into an all-data total order
+    at scale."""
+    plan = _plan(spark, sf_dir, "t12_lm_percentile_gate")
+    assert "Exchange hashpartitioning(lang" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_aggregation_is_partial_then_final(spark, sf_dir):
     """Map-side combine: grouped aggregations must show two
     HashAggregate levels around the exchange."""
