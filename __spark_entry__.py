@@ -143,6 +143,9 @@ def _is_overflow(name: str) -> bool:
         # rotated out in round 6 (multi-round green, frozen) to admit
         # a25/x3/v4/v5/v7 and the new t11 into the window:
         "u3", "u4", "a20", "a22", "a23", "w5", "a18", "w3", "w4",
+        # a21 out for v9 (round 6): HLL bound-verdict machinery mirrored
+        # in-window by a25's quantile bound verdicts
+        "a21",
     )
     return name.split("_")[0] in overflow_prefixes
 

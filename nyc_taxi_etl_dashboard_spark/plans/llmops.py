@@ -24,7 +24,7 @@ from ..operators.dedup import (
     simhash32,
     simhash_pairs,
 )
-from ..operators.similarity import centroids_by_label, knn_bruteforce, knn_lsh, l2_norm
+from ..operators.similarity import centroids_by_label, cosine, knn_bruteforce, knn_lsh, l2_norm
 from ..operators.text import (
     PII_PATTERNS,
     langid_en_heuristic,
@@ -214,6 +214,39 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v9: embedding-space decontamination — the semantic upgrade of
+    t8's n-gram check: flag TRAIN vectors whose cosine against ANY
+    eval-set vector clears 0.5 (paraphrased eval leakage that shares no
+    shingles). Eval slice = ``vec_id % 20 == 0`` (the x5-style
+    deterministic split). Scale shape: eval sets are bounded (benchmark
+    suites, thousands of rows), so broadcast eval and fold the cosine in
+    the train scan, then a per-vector max — one pass over the corpus, no
+    shuffle of train data; for eval sets too big to broadcast, the
+    RHP-blocked kernel (v6) is the same computation on candidates only.
+    Exact + deterministic fold ⇒ hash-certifiable against the DuckDB
+    twin with no verdict scaffolding."""
+    e = _embs(spark, sf_dir)
+    ev = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_vec")
+    )
+    train = e.filter(F.col("vec_id") % 20 != 0)
+    return (
+        train.crossJoin(F.broadcast(ev))
+        .withColumn("cos", cosine("embedding", "e_vec"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_eval_cosine"))
+        .select(
+            "vec_id",
+            "max_eval_cosine",
+            (F.col("max_eval_cosine") >= 0.5).alias("contaminated"),
+        )
+    )
+
+
+# (v9 registered below, after the QUERIES dict literal exists)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -370,6 +403,18 @@ SELECT query_id, rnk, neighbor_id, cosine,
 FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
   FROM scored) WHERE rnk <= 5""",
+    # v9: exact embedding decontamination — deterministic folds, no
+    # approximation anywhere, so the oracle is the same computation
+    "v9_embedding_decontam": f"""
+WITH ev AS (SELECT vec_id AS eval_id, embedding AS e_vec FROM embeddings WHERE vec_id % 20 = 0),
+tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0),
+sc AS (
+  SELECT tr.vec_id,
+         {_DOT.format(a='embedding', b='e_vec')}
+           / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='e_vec', b='e_vec')})) AS cos
+  FROM tr CROSS JOIN ev),
+m AS (SELECT vec_id, max(cos) AS max_eval_cosine FROM sc GROUP BY vec_id)
+SELECT vec_id, max_eval_cosine, max_eval_cosine >= 0.5 AS contaminated FROM m""",
     "mm1_media_features": f"""
 SELECT doc_id, 'text/plain' AS mime,
        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
@@ -488,6 +533,7 @@ QUERIES.update(
         "t6_top_tokens": q_top_tokens,
         "dd6_corpus_curation": q_corpus_curation,
         "v5_ivf_ann": q_ivf_ann,
+        "v9_embedding_decontam": q_embedding_decontam,
     }
 )
 

@@ -210,6 +210,29 @@ def test_pii_patterns_boundary_semantics(spark):
     assert got == [want for _, want in cases], got
 
 
+def test_embedding_decontam_covers_train_only(spark, sf_dir):
+    """v9 scores every train vector exactly once, never an eval vector;
+    the flag is consistent with the max cosine; and the max agrees with
+    a brute-force Python recomputation on a spot-checked vector."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import q_embedding_decontam
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    rows = q_embedding_decontam(spark, sf_dir).collect()
+    e = read_table(spark, sf_dir, "embeddings").collect()
+    train_ids = {r.vec_id for r in e if r.vec_id % 20 != 0}
+    assert {r.vec_id for r in rows} == train_ids
+    assert all((r.max_eval_cosine >= 0.5) == r.contaminated for r in rows)
+    import math
+
+    vecs = {r.vec_id: r.embedding for r in e}
+    probe = rows[0]
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(y * y for y in b))
+    want = max(cos(vecs[probe.vec_id], vecs[i]) for i in vecs if i % 20 == 0)
+    assert abs(want - probe.max_eval_cosine) < 1e-9
+
+
 def test_lm_gate_drops_bottom_decile_per_lang(spark, sf_dir):
     """t12 keeps ~90% per language and every dropped doc scores <= every
     kept doc within its language (the gate is a clean score cut)."""
