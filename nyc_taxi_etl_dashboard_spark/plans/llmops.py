@@ -24,7 +24,7 @@ from ..operators.dedup import (
     simhash32,
     simhash_pairs,
 )
-from ..operators.similarity import centroids_by_label, cosine, knn_bruteforce, knn_lsh, l2_norm
+from ..operators.similarity import centroids_by_label, cosine, dot, knn_bruteforce, knn_lsh, l2_norm
 from ..operators.text import (
     PII_PATTERNS,
     langid_en_heuristic,
@@ -227,13 +227,23 @@ def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact + deterministic fold ⇒ hash-certifiable against the DuckDB
     twin with no verdict scaffolding."""
     e = _embs(spark, sf_dir)
-    ev = e.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_vec")
+    # norms once per SIDE, not once per PAIR: higher-order-function
+    # folds are CodegenFallback (interpreted), so hoisting the two norm
+    # folds out of the |train|x|eval| loop cuts the per-pair work to
+    # one dot fold — same value bits (same expressions, same order)
+    ev = (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_vec"))
+        .withColumn("e_nrm", l2_norm("e_vec"))
     )
-    train = e.filter(F.col("vec_id") % 20 != 0)
+    train = e.filter(F.col("vec_id") % 20 != 0).withColumn(
+        "t_nrm", l2_norm("embedding")
+    )
     return (
         train.crossJoin(F.broadcast(ev))
-        .withColumn("cos", cosine("embedding", "e_vec"))
+        .withColumn(
+            "cos", dot("embedding", "e_vec") / (F.col("t_nrm") * F.col("e_nrm"))
+        )
         .groupBy("vec_id")
         .agg(F.max("cos").alias("max_eval_cosine"))
         .select(
