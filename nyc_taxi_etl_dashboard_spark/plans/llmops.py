@@ -24,7 +24,7 @@ from ..operators.dedup import (
     simhash32,
     simhash_pairs,
 )
-from ..operators.similarity import centroids_by_label, cosine, dot, knn_bruteforce, knn_lsh, l2_norm
+from ..operators.similarity import centroids_by_label, dot, knn_bruteforce, knn_lsh, l2_norm
 from ..operators.text import (
     PII_PATTERNS,
     langid_en_heuristic,
