@@ -143,9 +143,10 @@ def _is_overflow(name: str) -> bool:
         # rotated out in round 6 (multi-round green, frozen) to admit
         # a25/x3/v4/v5/v7 and the new t11 into the window:
         "u3", "u4", "a20", "a22", "a23", "w5", "a18", "w3", "w4",
-        # a21 out for v9 (round 6): HLL bound-verdict machinery mirrored
-        # in-window by a25's quantile bound verdicts
-        "a21",
+        # a21 out for v9, a24 out for t13 (round 6): HLL bound-verdict
+        # machinery mirrored in-window by a25; moment aggregates
+        # evidenced by the in-window a7-a17 suite
+        "a21", "a24",
     )
     return name.split("_")[0] in overflow_prefixes
 

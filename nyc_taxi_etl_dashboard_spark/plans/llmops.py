@@ -1145,6 +1145,75 @@ def q_lm_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t10_unigram_logprob"] = q_unigram_logprob
 QUERIES["t12_lm_percentile_gate"] = q_lm_percentile_gate
+
+
+def q_lm_gate_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t13: t12's 100 TB form — per-language decile thresholds from a
+    GK-class quantile sketch (``percentile_approx``, one pass, mergeable,
+    fixed memory) instead of an exact per-stratum sort. Certification is
+    the a25 bound-verdict reshape EXTENDED TO GROUPS: sketch estimates
+    are engine-specific, so the hash-checked output is each language's
+    row count, its EXACT decile score (sorted-rank definition, tie-broken
+    by doc_id), and a verdict proven in-engine — the approx threshold's
+    exact rank lands inside the sketch's guaranteed window
+    q·n ± n/accuracy — that the oracle asserts literally. Unlike a25,
+    the 5-row estimate table stays IN-PLAN (broadcast join, no driver
+    round-trip), so the same code runs with thousands of strata."""
+    from pyspark.sql import Window
+
+    acc = 1000
+    scores = q_unigram_logprob(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    est = scores.groupBy("lang").agg(
+        F.percentile_approx("avg_logprob", F.lit(0.1), F.lit(acc)).alias("thr"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = Window.partitionBy("lang").orderBy("avg_logprob", "doc_id")
+    ranked = scores.withColumn("r", F.row_number().over(w)).join(
+        F.broadcast(est), "lang"
+    )
+    exact_p10 = ranked.filter(
+        F.col("r") == F.greatest(F.lit(1), F.ceil(F.col("n_docs") * 0.1))
+    ).select("lang", F.col("avg_logprob").alias("exact_p10"))
+    thr_rank = ranked.groupBy("lang").agg(
+        F.sum((F.col("avg_logprob") <= F.col("thr")).cast("long")).alias("rk"),
+        F.first("n_docs").alias("n_docs"),
+    )
+    verdict = thr_rank.select(
+        "lang",
+        "n_docs",
+        (
+            (F.col("rk") >= 0.1 * F.col("n_docs") - F.col("n_docs") / acc - 1)
+            & (F.col("rk") <= 0.1 * F.col("n_docs") + F.col("n_docs") / acc + 1)
+        ).alias("thr_rank_in_window"),
+    )
+    return verdict.join(exact_p10, "lang").select(
+        "lang", "n_docs", "exact_p10", "thr_rank_in_window"
+    )
+
+
+QUERIES["t13_lm_gate_at_scale"] = q_lm_gate_at_scale
+ORACLES["t13_lm_gate_at_scale"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+tot AS (SELECT count(*) AS n FROM toks),
+s AS (
+  SELECT t.doc_id, round(avg(ln(f.tf / (tot.n * 1.0))), 6) AS avg_logprob
+  FROM toks t JOIN freq f USING (token) CROSS JOIN tot
+  GROUP BY t.doc_id),
+j AS (SELECT s.doc_id, d.lang, s.avg_logprob FROM s JOIN documents d USING (doc_id)),
+n AS (SELECT lang, count(*) AS n_docs FROM j GROUP BY lang),
+rk AS (
+  SELECT lang, doc_id, avg_logprob,
+         row_number() OVER (PARTITION BY lang ORDER BY avg_logprob, doc_id) AS r
+  FROM j),
+p10 AS (
+  SELECT rk.lang, avg_logprob AS exact_p10
+  FROM rk JOIN n USING (lang)
+  WHERE r = greatest(1, ceil(n_docs * 0.1)))
+SELECT n.lang, n.n_docs, p10.exact_p10, TRUE AS thr_rank_in_window
+FROM n JOIN p10 USING (lang)"""
 ORACLES["t12_lm_percentile_gate"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),

@@ -252,6 +252,25 @@ def test_lm_gate_drops_bottom_decile_per_lang(spark, sf_dir):
             ), lang
 
 
+def test_lm_gate_at_scale_sketch_agrees_with_exact(spark, sf_dir):
+    """t13's sketch verdict is true for every language (the GK rank
+    bound holds), and its exact decile score is consistent with t12's
+    exact percentile machinery: the doc at pct_rank just under 0.1 in
+    t12 scores <= exact_p10."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        q_lm_gate_at_scale,
+        q_lm_percentile_gate,
+    )
+
+    t13 = {r.lang: r for r in q_lm_gate_at_scale(spark, sf_dir).collect()}
+    t12 = q_lm_percentile_gate(spark, sf_dir).collect()
+    assert t13 and all(r.thr_rank_in_window for r in t13.values())
+    for lang, r in t13.items():
+        dropped = [x.avg_logprob for x in t12 if x.lang == lang and not x.keep]
+        if dropped:
+            assert max(dropped) <= r.exact_p10, lang
+
+
 def test_planned_sample_hits_target_mixture(spark, sf_dir):
     """x9's sampled corpus reproduces TARGET_MIX on the quality-gated
     population: per-lang share within floor+hash-quantization tolerance,
