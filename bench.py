@@ -70,6 +70,7 @@ CURATION = [
     "t11_pii_redaction",
     "x8_mixture_plan",
     "t12_lm_percentile_gate",
+    "t13_lm_gate_at_scale",
     "v9_embedding_decontam",
     # round-3: the iterative-join dedup path (connected components +
     # cluster-canonical curation) tracked end-to-end
