@@ -855,25 +855,18 @@ QUERIES["x5_stratified_sample"] = q_stratified_sample
 TARGET_MIX = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
 
 
-def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture planner (the step UPSTREAM of x5's stratified
-    sample): given target shares per language, compute the LARGEST
-    corpus achievable without upsampling any stratum (water-filling:
-    ``max_corpus = min over strata of n_l / w_l``) and each stratum's
-    sampling rate / planned row count / achieved share. The binding
-    stratum gets rate 1.0; everything else is downsampled to keep the
-    mixture exact. Cost shape: one partial-agg count per stratum plus a
-    broadcast 1-row min — no data-sized shuffle at any corpus size; the
-    plan table then parameterizes the x5-style deterministic-hash
-    filter. All arithmetic is double with identical operation order in
-    the oracle, so results hash-match bit-for-bit."""
-    d = _docs(spark, sf_dir)
-    mix = F.create_map(*[F.lit(x) for k, v in TARGET_MIX.items() for x in (k, v)])
-    counts = (
-        d.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .withColumn("target_share", F.element_at(mix, F.col("lang")))
-    )
+def water_fill_plan(counts: DataFrame, mix: dict[str, float]) -> DataFrame:
+    """Water-filling mixture planner over a ``(lang, n_docs)`` frame:
+    the LARGEST corpus achievable without upsampling any stratum
+    (``max_corpus = min over strata of n_l / w_l``) plus each stratum's
+    sampling rate / planned rows / achieved share. The binding stratum
+    gets rate 1.0; everything else is downsampled so the mixture is
+    exact. Cost shape: a broadcast 1-row min joined back to the stratum
+    table — no data-sized shuffle for any corpus size or strata count.
+    Property-fuzzed against a pure-Python reference
+    (test_property_fuzz); hash-certified on the fixture via x8."""
+    mix_col = F.create_map(*[F.lit(x) for k, v in mix.items() for x in (k, v)])
+    counts = counts.withColumn("target_share", F.element_at(mix_col, F.col("lang")))
     max_corpus = counts.agg(
         F.min(F.col("n_docs") / F.col("target_share")).alias("max_corpus")
     )
@@ -885,7 +878,7 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    total = Window.partitionBy()  # 5-row frame: the stratum plan table
+    total = Window.partitionBy()  # |strata|-row frame: the plan table
     return planned.select(
         "lang",
         "n_docs",
@@ -897,6 +890,16 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("planned_docs") / F.sum("planned_docs").over(total), 6
         ).alias("achieved_share"),
     )
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planner (the step UPSTREAM of x5's stratified
+    sample): per-language counts fed to :func:`water_fill_plan` with
+    the TARGET_MIX spec. All arithmetic is double with identical
+    operation order in the oracle, so results hash-match bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return water_fill_plan(counts, TARGET_MIX)
 
 
 QUERIES["x8_mixture_plan"] = q_mixture_plan

@@ -266,3 +266,42 @@ def test_simhash_pairs_matches_bruteforce(spark, docs, max_h):
             if hd <= max_h:
                 want[(i, j)] = hd
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    strata=st.dictionaries(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        st.tuples(
+            st.integers(min_value=1, max_value=1000),  # n_docs
+            st.integers(min_value=1, max_value=10),  # raw weight
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_water_fill_plan_matches_python(spark, strata):
+    """x8's water-filling math vs a pure-Python reference on adversarial
+    stratum counts/weights: max_corpus and planned_docs exact, rates
+    within float tolerance, nothing upsampled, and the planner is
+    invariant to which stratum binds."""
+    import math
+
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import water_fill_plan
+
+    wsum = sum(w for _, w in strata.values())
+    mix = {lang: w / wsum for lang, (_, w) in strata.items()}
+    counts = spark.createDataFrame(
+        [(lang, n) for lang, (n, _) in strata.items()], "lang string, n_docs long"
+    )
+    got = {r.lang: r for r in water_fill_plan(counts, mix).collect()}
+
+    max_corpus = min(n / mix[lang] for lang, (n, _) in strata.items())
+    for lang, (n, _) in strata.items():
+        r = got[lang]
+        assert r.n_docs == n
+        assert abs(r.max_corpus - max_corpus) < 1e-6 * max(1.0, max_corpus)
+        want_rate = min(1.0, mix[lang] * max_corpus / n)
+        assert abs(r.sample_rate - want_rate) < 1e-6
+        assert r.planned_docs == math.floor(mix[lang] * max_corpus)
+        assert r.planned_docs <= n  # never upsample
