@@ -305,3 +305,47 @@ def test_water_fill_plan_matches_python(spark, strata):
         assert abs(r.sample_rate - want_rate) < 1e-6
         assert r.planned_docs == math.floor(mix[lang] * max_corpus)
         assert r.planned_docs <= n  # never upsample
+
+
+@settings(**SETTINGS)
+@given(
+    parts=st.lists(
+        st.one_of(
+            st.text(
+                alphabet="abz09._- @", min_size=0, max_size=12
+            ),  # adversarial near-miss soup
+            st.sampled_from(
+                [
+                    "a@b.co",
+                    "x.y+z@mail.example.org",
+                    "10.0.0.1",
+                    "1.2.3.4.5",
+                    "555-0100",
+                    "555-12345",
+                    "256.999.1.1",
+                    "a@b",
+                    "@b.co",
+                    "1-2",
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_pii_redaction_matches_python_re(spark, parts):
+    """t11's portability contract fuzzed against a THIRD regex engine:
+    Spark's Java scrub must equal the same pattern chain run through
+    Python ``re`` on adversarial ASCII soup mixing near-miss and real
+    PII shapes (the DuckDB RE2 agreement is pinned by the oracle)."""
+    import re
+
+    from nyc_taxi_etl_dashboard_spark.operators.text import PII_PATTERNS, redact_pii
+
+    text = " ".join(parts)
+    want = text
+    for _, pat, ph in PII_PATTERNS:
+        want = re.sub(pat, ph, want)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(redact_pii("text").alias("red")).collect()[0].red
+    assert got == want, (text, got, want)
