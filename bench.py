@@ -1,7 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "sf": ...}.
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line with
+the verdict-grade numbers ({"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {...}, "sf": ...}) and writes the FULL result —
+per-query spreads, curation per-query detail — to ``BENCH_local.json``
+next to this file. Round-6 lesson: the driver's artifact is a
+2,000-char stdout tail; the r6 full-JSON line outgrew it and the
+headline total had to be reconstructed, so stdout now carries only what
+must survive and the file carries everything.
 
 Comparable (BASELINE.md): the reference's single transform run moves 2M
 rows in 6.654 s ≈ 300k rows/s single-threaded pandas; the engine target
@@ -13,7 +18,19 @@ materialized).
 Each query executes to completion via the noop sink (forces full
 computation, no collect/IO skew); each timing is the median of
 ``N_RUNS`` (default 3) full executions after a shared session warm-up,
-with per-query [min, median, max] under "spread".
+with per-query [min, median, max] under "spread" in BENCH_local.json.
+Alongside each median total, ``value_min``/``curation_min`` sum the
+per-query minimums — the plan-cost estimator on a noisy box (ADVICE
+r6), keeping round-over-round comparisons honest across the
+median-estimator change.
+
+``prod_paths`` times the PRODUCTION shapes (v4_prod multi-probe LSH,
+v7_prod trained IVF at nprobe=2, x7_prod sketch-gated corpus pipeline):
+the registered v4/v7/x7 queries are the certification shapes
+(exhaustive probe / exact percentile cut), which do strictly more work
+than any 100 TB user runs — the split keeps CORRECTNESS exhaustive and
+BENCH representative (VERDICT r6 items 1b and 4). They are reported
+separately and excluded from both totals.
 """
 
 from __future__ import annotations
@@ -63,6 +80,10 @@ CURATION = [
     # are k x |queries| broadcast rows. The production operator is
     # ivf_ann_trained called once.
     "v7_ivf_trained",
+    # NOTE: from round 7, x7 composes the per-language LM decile gate
+    # (VERDICT r6 item 4) — its corpus-wide wordcount join adds ~1.5 s
+    # at sf0.1 vs the r6 definition; x7_prod (prod_paths) is the same
+    # composition with the sketch-threshold cut
     "x7_corpus_pipeline",
     # joined in round 6 (definition change for curation_total at r6):
     # PII scrub (map-only regex), mixture planner (stratum agg), and
@@ -136,6 +157,19 @@ def main() -> None:
     timings = run_suite(HEADLINE)
     curation = run_suite(CURATION)
 
+    # production-path shapes (not in QUERIES: v4/v7_prod output is
+    # approximate so it is recall-tested, not oracle-hashed; x7_prod's
+    # sketch cut is engine-specific — t13's bound verdict certifies it)
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import BENCH_ONLY
+
+    prod_paths: dict[str, float] = {}
+    for name, fn in BENCH_ONLY.items():
+        med, lo, hi = _timed(
+            lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        )
+        prod_paths[name] = round(med, 3)
+        spread[name] = [round(lo, 3), round(med, 3), round(hi, 3)]
+
     # rows/s through the full transform pipeline INCLUDING the parquet
     # writes of both branches (the reference's 300k rows/s covers load →
     # classify → write, transform.log:1,10): one scan, one partitioned
@@ -146,7 +180,20 @@ def main() -> None:
     from nyc_taxi_etl_dashboard_spark.plans.pipeline import dual_sink_write
 
     out_dir = tempfile.mkdtemp(prefix="bench_sink_")
-    bronze_dir = tempfile.mkdtemp(prefix="bench_bronze_")
+    # The raw fixture files are single-row-group parquet: that scan can
+    # never exceed ONE core no matter the cluster size, so the raw
+    # number is scan-serial by construction. The engine's answer is a
+    # bronze-layer ingest (one-time layout normalization it would own in
+    # production). Since round 7 the bronze layout is a DETERMINISTIC
+    # ON-DISK fixture (repartition(32), same recipe as the 10x
+    # generator), built once and reused across bench runs, so
+    # pipe_transform_bronze measures a real multi-file scan from disk —
+    # not an ingest that ran seconds earlier in the same JVM.
+    # bronze_ingest reports the build cost only on the run that builds.
+    bronze_dir = os.environ.get(
+        "SPARK_GRAFT_BRONZE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", f"bronze_sf{sf_label}"),
+    )
     try:
         obs_box: dict = {}
 
@@ -157,25 +204,22 @@ def main() -> None:
         spread["pipe_transform_full"] = [round(p_lo, 3), round(pipeline_sec, 3), round(p_hi, 3)]
         n_rows = obs_box["total"]
 
-        # The fixture files are single-row-group parquet: the scan can
-        # never exceed ONE core no matter the cluster size. The engine's
-        # answer is a bronze-layer ingest (one-time layout normalization
-        # it would own in production); report its cost separately and
-        # the transform over the normalized layout as the steady-state
-        # number.
-        ingest_start = time.perf_counter()
-        for t in ("lineitem", "orders"):
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").repartition(32).write.mode(
-                "overwrite"
-            ).parquet(f"{bronze_dir}/{t}.parquet")
-        ingest_sec = time.perf_counter() - ingest_start
+        ingest_sec = 0.0
+        if not all(
+            os.path.isdir(f"{bronze_dir}/{t}.parquet") for t in ("lineitem", "orders")
+        ):
+            ingest_start = time.perf_counter()
+            for t in ("lineitem", "orders"):
+                spark.read.parquet(f"{sf_dir}/{t}.parquet").repartition(32).write.mode(
+                    "overwrite"
+                ).parquet(f"{bronze_dir}/{t}.parquet")
+            ingest_sec = time.perf_counter() - ingest_start
         bronze_sec, b_lo, b_hi = _timed(
             lambda: dual_sink_write(spark, bronze_dir, out_dir)
         )
         spread["pipe_transform_bronze"] = [round(b_lo, 3), round(bronze_sec, 3), round(b_hi, 3)]
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
-        shutil.rmtree(bronze_dir, ignore_errors=True)
     timings["pipe_transform_full"] = round(pipeline_sec, 3)
     timings["bronze_ingest"] = round(ingest_sec, 3)
     timings["pipe_transform_bronze"] = round(bronze_sec, 3)
@@ -189,28 +233,42 @@ def main() -> None:
     # r01 26.923 / r02 23.603 without.
     total = round(sum(v for k, v in timings.items() if k != "bronze_ingest"), 3)
     total_with_ingest = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                # every per-query value (and therefore the totals) is the
-                # MEDIAN of runs_per_query executions; "spread" carries
-                # [min, median, max] so regressions separate from noise
-                "value": total,
-                "value_with_ingest": total_with_ingest,
-                "unit": "sec",
-                "runs_per_query": N_RUNS,
-                "queries": timings,
-                "curation_queries": curation,
-                "curation_total": round(sum(curation.values()), 3),
-                "spread": spread,
-                "sf": sf,
-                "pipe_transform_rows": n_rows,
-                "pipe_transform_rps": round(n_rows / pipeline_sec),
-                "pipe_transform_bronze_rps": round(n_rows / bronze_sec),
-            }
-        )
+
+    def _suite_min(names: list[str]) -> float:
+        return round(sum(spread[n][0] for n in names if n in spread), 3)
+
+    # every per-query value (and therefore the totals) is the MEDIAN of
+    # runs_per_query executions; value_min/curation_min sum the per-query
+    # MINIMUMS (the plan-cost estimator on a noisy box — ADVICE r6);
+    # "spread" in BENCH_local.json carries [min, median, max] per query
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "value_min": _suite_min([*HEADLINE, "pipe_transform_full", "pipe_transform_bronze"]),
+        "value_with_ingest": total_with_ingest,
+        "unit": "sec",
+        "runs_per_query": N_RUNS,
+        "queries": timings,
+        "curation_total": round(sum(curation.values()), 3),
+        "curation_min": _suite_min(CURATION),
+        "prod_paths": prod_paths,
+        "sf": sf,
+        "pipe_transform_rows": n_rows,
+        "pipe_transform_rps": round(n_rows / pipeline_sec),
+        "pipe_transform_bronze_rps": round(n_rows / bronze_sec),
+        "detail": "BENCH_local.json",
+    }
+    full = dict(summary)
+    full["curation_queries"] = curation
+    full["spread"] = spread
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )
+    with open(local_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # stdout stays ONE compact line (the driver keeps a 2,000-char tail)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

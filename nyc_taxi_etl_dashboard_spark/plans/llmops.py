@@ -214,7 +214,16 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: v9 guard: eval sets are benchmark suites (thousands of rows); past
+#: this the broadcast would copy a corpus-sized frame to every executor
+V9_MAX_BROADCAST_EVAL_ROWS = 100_000
+
+
+def q_embedding_decontam(
+    spark: SparkSession,
+    sf_dir: str,
+    max_eval_rows: int = V9_MAX_BROADCAST_EVAL_ROWS,
+) -> DataFrame:
     """v9: embedding-space decontamination — the semantic upgrade of
     t8's n-gram check: flag TRAIN vectors whose cosine against ANY
     eval-set vector clears 0.5 (paraphrased eval leakage that shares no
@@ -222,10 +231,14 @@ def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic split). Scale shape: eval sets are bounded (benchmark
     suites, thousands of rows), so broadcast eval and fold the cosine in
     the train scan, then a per-vector max — one pass over the corpus, no
-    shuffle of train data; for eval sets too big to broadcast, the
-    RHP-blocked kernel (v6) is the same computation on candidates only.
-    Exact + deterministic fold ⇒ hash-certifiable against the DuckDB
-    twin with no verdict scaffolding."""
+    shuffle of train data. A ``limit(n+1).count()`` probe (the dd8
+    bounded-probe pattern — never a full count of an unbounded frame)
+    REFUSES to broadcast an eval side larger than ``max_eval_rows``
+    (VERDICT r6 item 3): route such "eval sets" through the v6
+    RHP-blocked kernel (:func:`..operators.similarity.
+    embedding_candidate_pairs`), which runs the same cosine on blocked
+    candidates only. Exact + deterministic fold ⇒ hash-certifiable
+    against the DuckDB twin with no verdict scaffolding."""
     e = _embs(spark, sf_dir)
     # norms once per SIDE, not once per PAIR: higher-order-function
     # folds are CodegenFallback (interpreted), so hoisting the two norm
@@ -236,6 +249,14 @@ def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_vec"))
         .withColumn("e_nrm", l2_norm("e_vec"))
     )
+    if ev.limit(max_eval_rows + 1).count() > max_eval_rows:
+        raise ValueError(
+            f"v9 eval side exceeds {max_eval_rows} rows: broadcasting it "
+            "would ship a corpus-sized frame to every executor. Use the "
+            "v6 RHP-blocked kernel (operators.similarity."
+            "embedding_candidate_pairs) for corpus-vs-corpus "
+            "decontamination, or raise max_eval_rows deliberately."
+        )
     train = e.filter(F.col("vec_id") % 20 != 0).withColumn(
         "t_nrm", l2_norm("embedding")
     )
@@ -255,6 +276,41 @@ def q_embedding_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (v9 registered below, after the QUERIES dict literal exists)
+
+
+def q_knn_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v4_prod: the PRODUCTION multi-probe LSH path a 100 TB user runs —
+    default 8-plane bucketing plus 2 extra probes, exact-scored top-5.
+    No exhaustive reshape, no brute-force leg, no verdict joins (those
+    are v4, the certification shape; VERDICT r6 item 1b split the two so
+    bench measures production cost). Bench-only: approximate output is
+    recall-floor-tested in pytest, not hash-certified."""
+    e = _embs(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < 3)
+    return knn_lsh(e, qs, k=5, n_probes=2)
+
+
+def q_ivf_trained_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v7_prod: the PRODUCTION trained-IVF path — bounded-sample k-means
+    fit (amortized across query batches in production; included here so
+    the number is end-to-end honest) + nprobe=2 probe join. No probe-all
+    leg, no verdict joins (those are v7, the certification shape).
+    Bench-only; recall and inertia floors pinned in pytest."""
+    from ..operators.similarity import ivf_ann_trained
+
+    e = _embs(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < 3)
+    return ivf_ann_trained(e, qs, k=5, n_cells=8, n_iters=3, n_probes=2)
+
+
+#: production-path ANN shapes timed by bench.py but NOT registered in
+#: QUERIES: their output is approximate (bucket-dependent), so they are
+#: recall-tested rather than oracle-hashed — registering them would
+#: reintroduce rows-only correctness checks for no evidence gain.
+BENCH_ONLY = {
+    "v4_prod": q_knn_lsh_prod,
+    "v7_prod": q_ivf_trained_prod,
+}
 
 
 # --------------------------------------------------------------------------
@@ -863,17 +919,27 @@ def water_fill_plan(counts: DataFrame, mix: dict[str, float]) -> DataFrame:
     gets rate 1.0; everything else is downsampled so the mixture is
     exact. Cost shape: a broadcast 1-row min joined back to the stratum
     table — no data-sized shuffle for any corpus size or strata count.
-    Property-fuzzed against a pure-Python reference
-    (test_property_fuzz); hash-certified on the fixture via x8."""
+    A stratum whose lang is NOT in ``mix`` gets target_share 0 and rate
+    0 (excluded), not NULL: ``least(1.0, NULL * ...)`` would skip the
+    NULL in both Spark and DuckDB and silently sample off-mix strata at
+    full rate (ADVICE r6). Zero-share strata are filtered out of the
+    min so the ANSI-mode plan never divides by zero. Property-fuzzed
+    against a pure-Python reference (test_property_fuzz, including
+    off-mix strata); hash-certified on the fixture via x8."""
     mix_col = F.create_map(*[F.lit(x) for k, v in mix.items() for x in (k, v)])
-    counts = counts.withColumn("target_share", F.element_at(mix_col, F.col("lang")))
-    max_corpus = counts.agg(
+    counts = counts.withColumn(
+        "target_share",
+        F.coalesce(F.element_at(mix_col, F.col("lang")), F.lit(0.0)),
+    )
+    max_corpus = counts.filter(F.col("target_share") > 0).agg(
         F.min(F.col("n_docs") / F.col("target_share")).alias("max_corpus")
     )
     planned = (
         counts.crossJoin(F.broadcast(max_corpus))
-        .withColumn("sample_rate", F.round(
-            F.least(F.lit(1.0), F.col("target_share") * F.col("max_corpus") / F.col("n_docs")), 6))
+        .withColumn("sample_rate", F.when(
+            F.col("target_share") > 0,
+            F.round(F.least(F.lit(1.0), F.col("target_share") * F.col("max_corpus") / F.col("n_docs")), 6),
+        ).otherwise(F.lit(0.0)))
         .withColumn("planned_docs", F.floor(F.col("target_share") * F.col("max_corpus")))
     )
     from pyspark.sql import Window
@@ -926,16 +992,26 @@ def q_planned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         gated.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .withColumn("target_share", F.element_at(mix, F.col("lang")))
+        # off-mix langs: share 0 → rate 0 (excluded), never NULL → rate
+        # 1.0 via NULL-skipping least (ADVICE r6); zero shares stay out
+        # of the min so ANSI mode never divides by zero
+        .withColumn(
+            "target_share",
+            F.coalesce(F.element_at(mix, F.col("lang")), F.lit(0.0)),
+        )
     )
-    max_corpus = counts.agg(
+    max_corpus = counts.filter(F.col("target_share") > 0).agg(
         F.min(F.col("n_docs") / F.col("target_share")).alias("max_corpus")
     )
     rates = counts.crossJoin(F.broadcast(max_corpus)).select(
         "lang",
-        F.least(
-            F.lit(1.0), F.col("target_share") * F.col("max_corpus") / F.col("n_docs")
-        ).alias("rate"),
+        F.when(
+            F.col("target_share") > 0,
+            F.least(
+                F.lit(1.0),
+                F.col("target_share") * F.col("max_corpus") / F.col("n_docs"),
+            ),
+        ).otherwise(F.lit(0.0)).alias("rate"),
     )
     bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(100)
     return (
@@ -956,19 +1032,23 @@ g AS (SELECT doc_id, lang FROM t
         AND len(list_distinct(toks)) * 1.0 / len(toks) >= {GATE_MIN_DISTINCT_RATIO}
         AND len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) > 0),
 c AS (SELECT lang, count(*) AS n_docs FROM g GROUP BY lang),
-w AS (SELECT lang, n_docs, {_MIX_CASE} AS target_share FROM c),
-m AS (SELECT min(n_docs / target_share) AS max_corpus FROM w),
-r AS (SELECT lang, least(1.0, target_share * max_corpus / n_docs) AS rate
+w AS (SELECT lang, n_docs, coalesce({_MIX_CASE}, 0.0) AS target_share FROM c),
+m AS (SELECT min(n_docs / target_share) AS max_corpus FROM w WHERE target_share > 0),
+r AS (SELECT lang, CASE WHEN target_share > 0
+                        THEN least(1.0, target_share * max_corpus / n_docs)
+                        ELSE 0.0 END AS rate
       FROM w CROSS JOIN m)
 SELECT g.doc_id, g.lang FROM g JOIN r USING (lang)
 WHERE (g.doc_id * 2654435761) % 100 < r.rate * 100"""
 ORACLES["x8_mixture_plan"] = f"""
 WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
-w AS (SELECT lang, n_docs, {_MIX_CASE} AS target_share FROM c),
-m AS (SELECT min(n_docs / target_share) AS max_corpus FROM w),
+w AS (SELECT lang, n_docs, coalesce({_MIX_CASE}, 0.0) AS target_share FROM c),
+m AS (SELECT min(n_docs / target_share) AS max_corpus FROM w WHERE target_share > 0),
 p AS (
   SELECT lang, n_docs, target_share, max_corpus,
-         round(least(1.0, target_share * max_corpus / n_docs), 6) AS sample_rate,
+         CASE WHEN target_share > 0
+              THEN round(least(1.0, target_share * max_corpus / n_docs), 6)
+              ELSE 0.0 END AS sample_rate,
          CAST(floor(target_share * max_corpus) AS BIGINT) AS planned_docs
   FROM w CROSS JOIN m)
 SELECT lang, n_docs, target_share, round(max_corpus, 6) AS max_corpus,
@@ -1150,6 +1230,51 @@ QUERIES["t10_unigram_logprob"] = q_unigram_logprob
 QUERIES["t12_lm_percentile_gate"] = q_lm_percentile_gate
 
 
+def lm_thresholds_exact(scores_with_lang: DataFrame) -> DataFrame:
+    """Per-language exact decile cut as a ``(lang, thr)`` table: the
+    smallest score whose (6dp-rounded) percent_rank clears 0.1 —
+    exactly t12's keep semantics re-expressed as a threshold, so
+    ``score >= thr`` reproduces the window gate bit-for-bit. Pays a
+    per-language full sort: the CERTIFICATION shape. A language with
+    every row below the cut (singletons: percent_rank 0) yields no
+    row, matching t12's keep=false."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("avg_logprob")
+    return (
+        scores_with_lang.withColumn(
+            "pr", F.round(F.percent_rank().over(w), 6)
+        )
+        .filter(F.col("pr") >= 0.1)
+        .groupBy("lang")
+        .agg(F.min("avg_logprob").alias("thr"))
+    )
+
+
+def lm_thresholds_sketch(scores_with_lang: DataFrame, acc: int = 1000) -> DataFrame:
+    """t13's production form of :func:`lm_thresholds_exact`: per-language
+    decile thresholds from a GK-class one-pass mergeable sketch
+    (``percentile_approx``) — fixed memory, no per-stratum sort, works
+    at thousands of strata. The threshold lands within rank
+    0.1·n ± n/acc (certified group-by-group by the registered t13
+    query's bound verdict)."""
+    return scores_with_lang.groupBy("lang").agg(
+        F.percentile_approx("avg_logprob", F.lit(0.1), F.lit(acc)).alias("thr")
+    )
+
+
+def lm_gate(scores_with_lang: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """Keep-side of the per-language LM quality gate: broadcast the
+    (lang, thr) table into a map-side ``score >= thr`` filter — no
+    window, no sort, one pass over the score table, identical code for
+    exact and sketch thresholds. Returns the surviving doc_ids."""
+    return (
+        scores_with_lang.join(F.broadcast(thresholds), "lang")
+        .filter(F.col("avg_logprob") >= F.col("thr"))
+        .select("doc_id")
+    )
+
+
 def q_lm_gate_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t13: t12's 100 TB form — per-language decile thresholds from a
     GK-class quantile sketch (``percentile_approx``, one pass, mergeable,
@@ -1179,16 +1304,24 @@ def q_lm_gate_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_p10 = ranked.filter(
         F.col("r") == F.greatest(F.lit(1), F.ceil(F.col("n_docs") * 0.1))
     ).select("lang", F.col("avg_logprob").alias("exact_p10"))
+    # tie-robust verdict (ADVICE r6): the sketch threshold is a data
+    # value, so a tie mass sitting exactly AT it occupies the rank
+    # interval [count(< thr)+1, count(<= thr)]; requiring the upper tie
+    # rank alone to land in the GK window can spuriously fail even when
+    # percentile_approx met its guarantee. The verdict therefore checks
+    # the tie interval INTERSECTS the guaranteed window
+    # q·n ± n/accuracy (±1 slack for the rank-definition off-by-one).
     thr_rank = ranked.groupBy("lang").agg(
-        F.sum((F.col("avg_logprob") <= F.col("thr")).cast("long")).alias("rk"),
+        F.sum((F.col("avg_logprob") < F.col("thr")).cast("long")).alias("rk_below"),
+        F.sum((F.col("avg_logprob") <= F.col("thr")).cast("long")).alias("rk_at_or_below"),
         F.first("n_docs").alias("n_docs"),
     )
     verdict = thr_rank.select(
         "lang",
         "n_docs",
         (
-            (F.col("rk") >= 0.1 * F.col("n_docs") - F.col("n_docs") / acc - 1)
-            & (F.col("rk") <= 0.1 * F.col("n_docs") + F.col("n_docs") / acc + 1)
+            (F.col("rk_at_or_below") >= 0.1 * F.col("n_docs") - F.col("n_docs") / acc - 1)
+            & (F.col("rk_below") + 1 <= 0.1 * F.col("n_docs") + F.col("n_docs") / acc + 1)
         ).alias("thr_rank_in_window"),
     )
     return verdict.join(exact_p10, "lang").select(
@@ -1386,15 +1519,29 @@ SELECT id_a, id_b, agree / 8.0 AS jaccard_est, jaccard,
 FROM j"""
 
 
-def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_pipeline(
+    spark: SparkSession, sf_dir: str, sketch_gate: bool = False
+) -> DataFrame:
     """THE end-to-end training-corpus pipeline, composed from the
     independently-oracle-checked stages: quality gate (t7 rules) →
-    exact dedup keep-first on fingerprint (t3/dd1) → benchmark
+    per-language LM decile gate (t10 scores + t12/t13 cut) → exact
+    dedup keep-first on fingerprint (t3/dd1) → benchmark
     decontamination at ≥10% eval-shingle overlap (t8; eval slice
     excluded from the corpus) → 256-token sequence packing per source
     shard (x6). Returns the packed training sequences. One query pins
     the COMPOSITION — stage boundaries (who feeds whom, which slice
-    each stage sees) are where pipelines rot."""
+    each stage sees) are where pipelines rot.
+
+    The LM gate's CANONICAL production form is the t13 sketch path
+    (``sketch_gate=True``, benched as ``x7_prod``): per-language
+    ``percentile_approx`` thresholds broadcast into a map-side filter —
+    no per-stratum sort anywhere in the curation stack (VERDICT r6
+    item 4). The registered query runs ``sketch_gate=False``, swapping
+    in :func:`lm_thresholds_exact` — same gate code, deterministic
+    thresholds — because a sketch cut is engine-specific and would
+    un-certify every downstream stage; t13's bound verdict is what
+    certifies the sketch itself. The LM is fit corpus-wide (t10) and
+    the cut applied to quality survivors."""
     from ..operators.dedup import dedup_keep_first
 
     d = _docs(spark, sf_dir)
@@ -1404,6 +1551,13 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (feats["distinct_ratio"] >= GATE_MIN_DISTINCT_RATIO)
         & (feats["stopword_ratio"] > 0)
     )
+    scores = q_unigram_logprob(spark, sf_dir).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    thresholds = (
+        lm_thresholds_sketch(scores) if sketch_gate else lm_thresholds_exact(scores)
+    )
+    quality = quality.join(lm_gate(scores, thresholds), "doc_id")
     fp = quality.withColumn("fp", poly_fingerprint(tokens("text")))
     kept = dedup_keep_first(fp, ["fp"], ["doc_id"])
     # contamination is judged against the RAW eval slice (a filtered
@@ -1452,13 +1606,34 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["x7_corpus_pipeline"] = q_corpus_pipeline
+BENCH_ONLY["x7_prod"] = lambda spark, sf_dir: q_corpus_pipeline(
+    spark, sf_dir, sketch_gate=True
+)
 ORACLES["x7_corpus_pipeline"] = f"""
 WITH toks0 AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS toks FROM documents),
-quality AS (
+q0 AS (
   SELECT doc_id, text, source, toks FROM toks0
   WHERE len(toks) >= {GATE_MIN_TOKENS}
     AND len(list_distinct(toks)) * 1.0 / len(toks) >= {GATE_MIN_DISTINCT_RATIO}
     AND len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) > 0),
+lmtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+lmfreq AS (SELECT token, count(*) AS tf FROM lmtoks GROUP BY token),
+lmtot AS (SELECT count(*) AS n FROM lmtoks),
+lms AS (
+  SELECT t.doc_id, round(avg(ln(f.tf / (lmtot.n * 1.0))), 6) AS avg_logprob
+  FROM lmtoks t JOIN lmfreq f USING (token) CROSS JOIN lmtot
+  GROUP BY t.doc_id),
+lmj AS (SELECT lms.doc_id, d.lang, lms.avg_logprob
+        FROM lms JOIN documents d USING (doc_id)),
+lmthr AS (
+  SELECT lang, min(avg_logprob) AS thr FROM (
+    SELECT lang, avg_logprob,
+           round(percent_rank() OVER (PARTITION BY lang ORDER BY avg_logprob), 6) AS pr
+    FROM lmj)
+  WHERE pr >= 0.1 GROUP BY lang),
+lmkeep AS (SELECT lmj.doc_id FROM lmj JOIN lmthr USING (lang)
+           WHERE avg_logprob >= thr),
+quality AS (SELECT q0.* FROM q0 JOIN lmkeep USING (doc_id)),
 fp AS (SELECT doc_id, text, source, toks, {_FP_SQL} AS fp FROM quality),
 kept AS (
   SELECT doc_id, text, source, toks FROM (

@@ -233,6 +233,19 @@ def test_embedding_decontam_covers_train_only(spark, sf_dir):
     assert abs(want - probe.max_eval_cosine) < 1e-9
 
 
+def test_embedding_decontam_guards_oversized_eval_broadcast(spark, sf_dir):
+    """v9 refuses to broadcast an eval side past max_eval_rows (VERDICT
+    r6 item 3): the bounded limit(n+1).count() probe trips BEFORE any
+    broadcast is planned, and the error routes the caller to the v6
+    RHP-blocked kernel."""
+    import pytest
+
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import q_embedding_decontam
+
+    with pytest.raises(ValueError, match="RHP-blocked"):
+        q_embedding_decontam(spark, sf_dir, max_eval_rows=10)
+
+
 def test_lm_gate_drops_bottom_decile_per_lang(spark, sf_dir):
     """t12 keeps ~90% per language and every dropped doc scores <= every
     kept doc within its language (the gate is a clean score cut)."""

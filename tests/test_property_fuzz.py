@@ -274,7 +274,10 @@ def test_simhash_pairs_matches_bruteforce(spark, docs, max_h):
         st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
         st.tuples(
             st.integers(min_value=1, max_value=1000),  # n_docs
-            st.integers(min_value=1, max_value=10),  # raw weight
+            # weight 0 = stratum present in the corpus but ABSENT from the
+            # target mix (ADVICE r6: off-mix strata must get rate 0, not
+            # the NULL-skipping-least rate of 1.0)
+            st.integers(min_value=0, max_value=10),
         ),
         min_size=2,
         max_size=5,
@@ -283,27 +286,31 @@ def test_simhash_pairs_matches_bruteforce(spark, docs, max_h):
 def test_water_fill_plan_matches_python(spark, strata):
     """x8's water-filling math vs a pure-Python reference on adversarial
     stratum counts/weights: max_corpus and planned_docs exact, rates
-    within float tolerance, nothing upsampled, and the planner is
-    invariant to which stratum binds."""
+    within float tolerance, nothing upsampled, off-mix strata planned at
+    rate 0, and the planner is invariant to which stratum binds."""
     import math
+
+    from hypothesis import assume
 
     from nyc_taxi_etl_dashboard_spark.plans.llmops import water_fill_plan
 
     wsum = sum(w for _, w in strata.values())
-    mix = {lang: w / wsum for lang, (_, w) in strata.items()}
+    assume(wsum > 0)
+    mix = {lang: w / wsum for lang, (_, w) in strata.items() if w > 0}
     counts = spark.createDataFrame(
         [(lang, n) for lang, (n, _) in strata.items()], "lang string, n_docs long"
     )
     got = {r.lang: r for r in water_fill_plan(counts, mix).collect()}
 
-    max_corpus = min(n / mix[lang] for lang, (n, _) in strata.items())
+    max_corpus = min(n / mix[lang] for lang, (n, _) in strata.items() if lang in mix)
     for lang, (n, _) in strata.items():
         r = got[lang]
         assert r.n_docs == n
         assert abs(r.max_corpus - max_corpus) < 1e-6 * max(1.0, max_corpus)
-        want_rate = min(1.0, mix[lang] * max_corpus / n)
+        share = mix.get(lang, 0.0)
+        want_rate = min(1.0, share * max_corpus / n) if share > 0 else 0.0
         assert abs(r.sample_rate - want_rate) < 1e-6
-        assert r.planned_docs == math.floor(mix[lang] * max_corpus)
+        assert r.planned_docs == math.floor(share * max_corpus)
         assert r.planned_docs <= n  # never upsample
 
 
