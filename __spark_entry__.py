@@ -147,6 +147,10 @@ def _is_overflow(name: str) -> bool:
         # machinery mirrored in-window by a25; moment aggregates
         # evidenced by the in-window a7-a17 suite
         "a21", "a24",
+        # x1 out for dd11 (round 7): grouped EWM green r2-r6, frozen;
+        # running-window-fold machinery still evidenced in-window by w6
+        # (running frame) and x6 (window cumsum)
+        "x1",
     )
     return name.split("_")[0] in overflow_prefixes
 

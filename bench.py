@@ -97,6 +97,9 @@ CURATION = [
     # cluster-canonical curation) tracked end-to-end
     "dd8_dup_clusters",
     "dd10_cluster_curation",
+    # round-7: cross-run incremental dedup (increment vs persisted
+    # signature table; banded equi-join + signature-agreement verify)
+    "dd11_incremental_dedup",
 ]
 
 

@@ -438,3 +438,105 @@ def minhash_lsh_pairs(
         )
     )
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """``(id, sig array<bigint>)`` — the persisted warehouse form of a
+    corpus's MinHash sketch (NEW vs reference: cross-run incremental
+    dedup). Computing it is one map-only pass; once written (parquet /
+    ``merge_parquet``), every future increment dedups against the
+    corpus from ~16 bytes x num_hashes per doc WITHOUT re-reading or
+    re-shingling the historical text — the property that makes
+    recurring training-data refreshes O(increment), not O(corpus).
+
+    ``portable=True`` (token_value hash) keeps signatures
+    oracle-reproducible; production uses ``portable=False`` (xxhash64)
+    for collision resistance — same table schema either way."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, k)
+    return sh.select(
+        id_col, minhash_signature(num_hashes, portable=portable).alias("sig")
+    )
+
+
+def _banded(sigs: DataFrame, id_out: str, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a signature table into ``bands`` slim rows keyed by the
+    band's raw hash slice (array<bigint>). The SLICE ITSELF is the join
+    key — engine-portable (no Spark-specific hash()), and Spark
+    hash-partitions array columns fine."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        F.col("doc_id").alias(id_out),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, 'key', slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("bk"),
+    ).select(id_out, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def incremental_dedup(
+    increment_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW increment against an EXISTING corpus signature table
+    (both from :func:`minhash_signature_table`) without ever re-pairing
+    the corpus with itself — the every-refresh operation of a recurring
+    training-data pipeline.
+
+    Shape: band both sides (slim (id, band, key-slice) rows), equi-join
+    on (band, key) — candidates are only (increment x corpus) collisions,
+    never corpus x corpus — then score each candidate by MinHash
+    agreement (dd9: est = matching components / num_hashes; no text is
+    ever fetched). Verdict per increment doc: ``n_corpus_matches``
+    (corpus docs with a shared band AND est >= threshold), ``best_est``
+    (max est over matches, NULL if none), ``is_dup``. Survivors'
+    signatures are what callers append back to the table
+    (``merge_parquet``) so the next increment sees them.
+
+    At 100 TB: one shuffle keyed on (band, slice) whose corpus side can
+    be bucketed-by-key on disk; the increment side is small by
+    definition. Intra-increment dups are dd1/dd8's job — compose before
+    or after."""
+    inc_b = _banded(increment_sigs, "inc_id", num_hashes, bands)
+    cor_b = _banded(corpus_sigs, "cor_id", num_hashes, bands)
+    cand = (
+        inc_b.join(cor_b, ["band", "key"])
+        .select("inc_id", "cor_id")
+        .dropDuplicates(["inc_id", "cor_id"])
+    )
+    inc_s = increment_sigs.select(F.col("doc_id").alias("inc_id"), F.col("sig").alias("sig_i"))
+    cor_s = corpus_sigs.select(F.col("doc_id").alias("cor_id"), F.col("sig").alias("sig_c"))
+    agree = F.expr(
+        "size(filter(zip_with(sig_i, sig_c, (a, b) -> a = b), x -> x))"
+    )
+    scored = (
+        cand.join(inc_s, "inc_id")
+        .join(cor_s, "cor_id")
+        .withColumn("est", F.round(agree / F.lit(float(num_hashes)), 6))
+        .filter(F.col("est") >= threshold)
+    )
+    verdicts = scored.groupBy("inc_id").agg(
+        F.count(F.lit(1)).alias("n_corpus_matches"),
+        F.max("est").alias("best_est"),
+    )
+    return (
+        increment_sigs.select(F.col("doc_id"))
+        .join(verdicts, F.col("doc_id") == F.col("inc_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
+            "best_est",
+            (F.coalesce("n_corpus_matches", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )

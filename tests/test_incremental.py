@@ -44,3 +44,63 @@ def test_incremental_rollup_equals_full_recompute(spark, sf_dir, tmp_path):
         .count()
     )
     assert overlap > 0
+
+
+def test_incremental_dedup_across_two_increments(spark, tmp_path):
+    """dd11's warehouse round-trip on a planted corpus: increment 1's
+    SURVIVOR (novel doc C) is appended to the signature table via
+    merge_parquet, and increment 2's near-dup of C is then flagged
+    against it — the cross-run property that makes a recurring refresh
+    O(increment): the base text is never re-read, only its signatures."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signature_table,
+    )
+    from nyc_taxi_etl_dashboard_spark.sources.writers import merge_parquet
+
+    base_a = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    base_b = "a completely different document about weather patterns across the northern coastal plains region"
+    doc_c = "machine learning corpora require careful deduplication before any serious training run begins tomorrow"
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+    table = str(tmp_path / "corpus_sigs")
+    merge_parquet(
+        spark, table, minhash_signature_table(docs([(1, base_a), (2, base_b)])), ["doc_id"]
+    )
+
+    # increment 1: A' = near-dup of base A (one trailing word changed), C = novel
+    inc1 = docs([(10, base_a.replace("today", "tonight")), (11, doc_c)])
+    v1 = {
+        r.doc_id: r
+        for r in incremental_dedup(
+            minhash_signature_table(inc1), spark.read.parquet(table)
+        ).collect()
+    }
+    assert v1[10].is_dup and v1[10].n_corpus_matches >= 1 and v1[10].best_est >= 0.5
+    assert not v1[11].is_dup and v1[11].best_est is None
+    survivors1 = [i for i, r in v1.items() if not r.is_dup]
+    merge_parquet(
+        spark,
+        table,
+        minhash_signature_table(inc1.filter(F.col("doc_id").isin(survivors1))),
+        ["doc_id"],
+    )
+    assert spark.read.parquet(table).count() == 3  # A, B, +C only
+
+    # increment 2: C' = near-dup of the doc appended FROM increment 1, D = novel
+    inc2 = docs([(20, doc_c.replace("tomorrow", "yesterday")), (21, base_b.upper())])
+    v2 = {
+        r.doc_id: r
+        for r in incremental_dedup(
+            minhash_signature_table(inc2), spark.read.parquet(table)
+        ).collect()
+    }
+    assert v2[20].is_dup  # caught ONLY because C's signatures were merged in
+    assert not v2[21].is_dup  # casing changes every shingle: novel to MinHash
+    merge_parquet(
+        spark,
+        table,
+        minhash_signature_table(inc2.filter(~F.col("doc_id").isin([20]))),
+        ["doc_id"],
+    )
+    assert spark.read.parquet(table).count() == 4
