@@ -151,6 +151,12 @@ def _is_overflow(name: str) -> bool:
         # running-window-fold machinery still evidenced in-window by w6
         # (running frame) and x6 (window cumsum)
         "x1",
+        # x2 out for x10, dd9 out for v10 (round 7): hash-sample
+        # membership evidenced in-window by x9 (same deterministic
+        # bucket filter at planned rates); signature-agreement scoring
+        # evidenced in-window by dd11 (same estimator on the
+        # increment-vs-corpus join)
+        "x2", "dd9",
     )
     return name.split("_")[0] in overflow_prefixes
 

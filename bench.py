@@ -98,8 +98,11 @@ CURATION = [
     "dd8_dup_clusters",
     "dd10_cluster_curation",
     # round-7: cross-run incremental dedup (increment vs persisted
-    # signature table; banded equi-join + signature-agreement verify)
+    # signature table; banded equi-join + signature-agreement verify),
+    # per-domain quota cap, and SemDeDup-style semantic keep-list
     "dd11_incremental_dedup",
+    "x10_domain_quota",
+    "v10_semantic_dedup",
 ]
 
 

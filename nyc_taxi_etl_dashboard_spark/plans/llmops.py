@@ -703,6 +703,60 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.45"""
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v10: SEMANTIC dedup keep-list (SemDeDup shape) — the
+    embedding-space analogue of dd10's cluster curation: v6's
+    RHP-blocked cosine pairs (threshold 0.45, blocked ≡ exact at this
+    config — measured, see v6) feed the dd8 connected-components kernel,
+    and the decision is keep = vec_id == cluster minimum; singletons
+    keep themselves. Where dd10 drops near-dup TEXT (shared shingles),
+    this drops near-dup MEANING (paraphrases sharing no n-grams) — the
+    two compose: run dd10 first (cheap), v10 on the survivors. Scale
+    shape: candidate pairs are RHP-bucketed (never all-pairs), CC is
+    O(log diameter) pointer-jumping, and the final keep-list join is on
+    the slim (vec_id, cluster_id) frame. Oracle: exhaustive pair list +
+    recursive-CTE closure (the dd8 pattern)."""
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import embedding_dedup_pairs
+
+    e = _embs(spark, sf_dir)
+    pairs = embedding_dedup_pairs(e, threshold=0.45)
+    cc = connected_components(pairs).select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    return (
+        e.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col("vec_id")) == F.col("vec_id")).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+QUERIES["v10_semantic_dedup"] = q_semantic_dedup
+ORACLES["v10_semantic_dedup"] = f"""
+WITH RECURSIVE
+n AS (SELECT vec_id, embedding, sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.45),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src),
+cl AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)
+SELECT em.vec_id, coalesce(cl.cluster_id, em.vec_id) AS cluster_id,
+       coalesce(cl.cluster_id, em.vec_id) = em.vec_id AS keep
+FROM embeddings em LEFT JOIN cl USING (vec_id)"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-ball near-dup pairs (<=3 differing sketch bits)
     via banded pigeonhole bucketing — candidates are a (band, band-bits)
@@ -1022,6 +1076,64 @@ def q_planned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["x9_planned_sample"] = q_planned_sample
+
+#: per-source document caps (web pipelines cap crawl domains so no single
+#: domain dominates the mix); sources absent from the dict get DEFAULT.
+#: Fixture sources hold 25 docs each at sf0.01 (250 at sf0.1), so src0's
+#: cap binds at both scales, src1's never does, and the default binds
+#: only at sf0.1 — all three quota regimes exercised.
+SOURCE_QUOTA = {"src0": 10, "src1": 1_000_000}
+SOURCE_QUOTA_DEFAULT = 60
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x10: per-domain quota cap — keep at most quota(source) documents
+    per source (deterministic keep-first by doc_id), the domain-balance
+    gate web corpora apply so one hot crawl domain cannot dominate
+    training mix. Per-source quotas ride a broadcast map with a default
+    for unlisted domains.
+
+    Scale shape: ONE window partitioned by source over slim
+    (doc_id, source) rows — a bounded-cardinality shuffle, the same
+    shape as x6's packing window, never a global sort. At extreme
+    per-domain skew the row_number window still funnels a hot domain
+    into one task; production would pre-filter with an approximate
+    per-domain count (x8's one-agg shape) and only window the domains
+    near their quota."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    quota = F.create_map(
+        *[F.lit(x) for kv in SOURCE_QUOTA.items() for x in kv]
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "quota",
+            F.coalesce(
+                F.element_at(quota, F.col("source")),
+                F.lit(SOURCE_QUOTA_DEFAULT),
+            ),
+        )
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source")
+    )
+
+
+QUERIES["x10_domain_quota"] = q_domain_quota
+_QUOTA_CASE = (
+    "coalesce(CASE source "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SOURCE_QUOTA.items())
+    + f" END, {SOURCE_QUOTA_DEFAULT})"
+)
+ORACLES["x10_domain_quota"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= {_QUOTA_CASE}"""
 _MIX_CASE = "CASE lang " + " ".join(
     f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in TARGET_MIX.items()
 ) + " END"

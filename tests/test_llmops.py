@@ -586,3 +586,77 @@ def test_connected_components_chain_converges(spark):
     )
     got = {r.id: r.cluster_id for r in connected_components(chain).collect()}
     assert got == {i: 0 for i in range(13)}
+
+
+def test_domain_quota_caps_every_source(spark, sf_dir):
+    """x10 keeps at most quota(source) docs per source, keep-first by
+    doc_id, with all three quota regimes live on the fixture: src0's
+    cap binds, src1's never does, unlisted sources get the default."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        SOURCE_QUOTA,
+        SOURCE_QUOTA_DEFAULT,
+        q_domain_quota,
+    )
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    kept = q_domain_quota(spark, sf_dir).collect()
+    raw = read_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    by_src_raw: dict[str, list[int]] = {}
+    for r in raw:
+        by_src_raw.setdefault(r.source, []).append(r.doc_id)
+    by_src_kept: dict[str, list[int]] = {}
+    for r in kept:
+        by_src_kept.setdefault(r.source, []).append(r.doc_id)
+    assert len(by_src_kept["src0"]) == min(
+        SOURCE_QUOTA["src0"], len(by_src_raw["src0"])
+    )
+    assert len(by_src_kept["src1"]) == len(by_src_raw["src1"])  # cap never binds
+    for src, ids in by_src_kept.items():
+        quota = SOURCE_QUOTA.get(src, SOURCE_QUOTA_DEFAULT)
+        assert len(ids) <= quota, src
+        # keep-FIRST: the survivors are exactly the lowest doc_ids
+        assert sorted(ids) == sorted(by_src_raw[src])[: len(ids)], src
+
+
+def test_semantic_dedup_keeps_exactly_cluster_minima(spark, sf_dir):
+    """v10 keeps exactly one vector per semantic cluster (the id
+    minimum), singletons keep themselves, and every dropped vector's
+    cluster keeper exists — cross-checked against the exact pair list
+    recomputed in Python."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import q_semantic_dedup
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    rows = q_semantic_dedup(spark, sf_dir).collect()
+    keepers = {r.vec_id for r in rows if r.keep}
+    clusters: dict[int, list[int]] = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r.vec_id)
+    assert keepers == {min(members) for members in clusters.values()}
+    for cid, members in clusters.items():
+        assert cid == min(members)
+
+    # ground truth via union-find over exact cosine pairs
+    import math
+
+    e = {r.vec_id: r.embedding for r in read_table(spark, sf_dir, "embeddings").collect()}
+    parent = {v: v for v in e}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(e)
+    nrm = {v: math.sqrt(sum(x * x for x in e[v])) for v in ids}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            cos = sum(x * y for x, y in zip(e[a], e[b])) / (nrm[a] * nrm[b])
+            if cos >= 0.45:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want_clusters: dict[int, list[int]] = {}
+    for v in ids:
+        want_clusters.setdefault(find(v), []).append(v)
+    assert {min(m) for m in want_clusters.values()} == keepers
