@@ -703,7 +703,9 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.45"""
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
     """v10: SEMANTIC dedup keep-list (SemDeDup shape) — the
     embedding-space analogue of dd10's cluster curation: v6's
     RHP-blocked cosine pairs (threshold 0.45, blocked ≡ exact at this
@@ -715,12 +717,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: candidate pairs are RHP-bucketed (never all-pairs), CC is
     O(log diameter) pointer-jumping, and the final keep-list join is on
     the slim (vec_id, cluster_id) frame. Oracle: exhaustive pair list +
-    recursive-CTE closure (the dd8 pattern)."""
+    recursive-CTE closure (the dd8 pattern).
+
+    THRESHOLD IS THE SCALE KNOB: 0.45 (this fixture's interesting band)
+    maps to 4 planes / radius 2 — probing 11 of 16 buckets, a
+    certification-scale config that goes near-quadratic on large
+    corpora (measured: >9 min at 50 k vectors with 10-way replica
+    clusters). Production semantic dedup runs >=0.9 (SemDeDup's regime:
+    copies and true paraphrases), which maps to 16 planes / radius 1 —
+    the config benched as ``v10_prod`` at 10x."""
     from ..operators.dedup import connected_components
     from ..operators.similarity import embedding_dedup_pairs
 
     e = _embs(spark, sf_dir)
-    pairs = embedding_dedup_pairs(e, threshold=0.45)
+    pairs = embedding_dedup_pairs(e, threshold=threshold)
     cc = connected_components(pairs).select(
         F.col("id").alias("vec_id"), "cluster_id"
     )
@@ -738,6 +748,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["v10_semantic_dedup"] = q_semantic_dedup
+BENCH_ONLY["v10_prod"] = lambda spark, sf_dir: q_semantic_dedup(
+    spark, sf_dir, threshold=0.92
+)
 ORACLES["v10_semantic_dedup"] = f"""
 WITH RECURSIVE
 n AS (SELECT vec_id, embedding, sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm

@@ -104,3 +104,31 @@ def test_incremental_dedup_across_two_increments(spark, tmp_path):
         ["doc_id"],
     )
     assert spark.read.parquet(table).count() == 4
+
+
+def test_incremental_dedup_portable_and_production_hashes_agree(spark):
+    """dd11's verdicts must not depend on the signature hash family:
+    the portable token_value signatures (oracle-certifiable) and the
+    production xxhash64 signatures (collision-resistant) flag the same
+    planted near-dups — the evidence that the certified shape speaks
+    for the production path."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signature_table,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    novel = "completely unrelated text about orbital mechanics and station keeping maneuvers this week"
+    corpus = spark.createDataFrame([(1, base), (2, novel)], "doc_id long, text string")
+    inc = spark.createDataFrame(
+        [(10, base.replace("today", "tonight")), (11, "short fresh unseen sentence appears once here only")],
+        "doc_id long, text string",
+    )
+    verdicts = {}
+    for portable in (True, False):
+        v = incremental_dedup(
+            minhash_signature_table(inc, portable=portable),
+            minhash_signature_table(corpus, portable=portable),
+        ).collect()
+        verdicts[portable] = {r.doc_id: r.is_dup for r in v}
+    assert verdicts[True] == verdicts[False] == {10: True, 11: False}

@@ -243,6 +243,9 @@ def test_no_hof_recompute_in_scan_filters(spark, sf_dir):
         "dd7_simhash_pairs", "dd8_dup_clusters", "dd10_cluster_curation",
         "v4_knn_lsh", "v6_embedding_dedup", "t3_fingerprints",
         "t9_repetition", "x7_corpus_pipeline",
+        # round-7: minhash-signature banding (dd11) and RHP-blocked
+        # semantic keep-list (v10) are HOF-heavy on the same traps
+        "dd11_incremental_dedup", "v10_semantic_dedup",
     ]
     markers = (
         "isnotnull(transform(", "isnotnull(aggregate(",

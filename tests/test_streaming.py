@@ -479,3 +479,68 @@ def test_transform_with_state_running_totals(spark, sf_dir, events_dir, tmp_path
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_streaming_incremental_dedup_drops_near_dups_across_batches(spark, tmp_path):
+    """The streaming dd11 sink: batch 0 seeds the signature table; batch
+    1 carries a NEAR-dup of a batch-0 survivor (new id, one word
+    changed — invisible to fingerprint dedup) plus a novel doc. The
+    near-dup is dropped against the on-disk signature history and only
+    the novel doc's signatures are appended."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        incremental_dedup_sink,
+        read_documents_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    novel = "fresh reporting on tidal energy projects along the remote northern shoreline communities"
+
+    def doc_rows(rows):
+        return spark.createDataFrame(
+            [
+                (i, t, "en", "srcX", len(t), None)
+                for i, t in rows
+            ],
+            DOCS_STREAM_SCHEMA,
+        ).withColumn("ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    table = str(tmp_path / "sig_warehouse")
+    sink, stats = incremental_dedup_sink(table)
+
+    import shutil
+
+    def deliver(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        doc_rows(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(next(staging.glob("part-*.parquet")), stream_dir / f"{name}.parquet")
+
+    deliver("b0", [(1, base), (2, novel)])
+    q = (
+        read_documents_stream(spark, str(stream_dir))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(table).count() == 2
+
+    deliver("b1", [(10, base.replace("today", "tonight")),
+                   (11, "entirely new subject matter concerning alpine railway tunnel ventilation systems design")])
+    q = (
+        read_documents_stream(spark, str(stream_dir))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    table_ids = {r.doc_id for r in spark.read.parquet(table).select("doc_id").collect()}
+    assert table_ids == {1, 2, 11}, table_ids  # 10 dropped as near-dup of 1
+    totals = [(kept, dropped) for _, kept, dropped in stats["batches"]]
+    assert (2, 0) in totals and (1, 1) in totals, stats["batches"]
