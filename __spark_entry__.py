@@ -157,6 +157,9 @@ def _is_overflow(name: str) -> bool:
         # evidenced in-window by dd11 (same estimator on the
         # increment-vs-corpus join)
         "x2", "dd9",
+        # u1 out for t14 (round 7): union-all green r1-r6, frozen;
+        # union machinery evidenced in-window by st2 (union + distinct)
+        "u1",
     )
     return name.split("_")[0] in overflow_prefixes
 

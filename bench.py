@@ -103,6 +103,7 @@ CURATION = [
     "dd11_incremental_dedup",
     "x10_domain_quota",
     "v10_semantic_dedup",
+    "t14_quality_classifier",
 ]
 
 

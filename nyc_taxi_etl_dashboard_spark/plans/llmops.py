@@ -509,6 +509,51 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stub "pretrained" quality-classifier weights over the t2 feature bank.
+#: A real pipeline loads these from a trained fastText/logreg model; the
+#:  Spark plumbing — constant-folded weights, map-only sigmoid scoring,
+#: no shuffle — is what is real here, and is identical for any weights.
+QC_WEIGHTS = {
+    "bias": -3.0,  # centers the fixture z distribution (span 2.3-4.2) so the gate splits
+    "n_tokens": 0.01,
+    "distinct_ratio": 2.0,
+    "stopword_ratio": 6.0,
+    "mean_token_len": 0.25,
+}
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t14: MODEL-based quality scoring (the classifier-filter stage —
+    fastText/logreg over engineered features — that modern pipelines run
+    AFTER the t7 rule bank: rules catch garbage, the classifier ranks
+    the rest). score = sigmoid(w·x) over the t2 feature bank with
+    deterministic stub weights (``QC_WEIGHTS``); keep = score >= 0.5.
+
+    Scale shape: weights are literals folded into one codegen'd
+    projection — map-only, zero shuffle, the cheapest possible full-pass
+    gate; a real model swap changes only the literal vector (or, for a
+    text-embedding classifier, moves scoring into the v-family Arrow
+    kernels). Float caveat: ``exp`` must agree across engines (same
+    1-ulp risk class as t10's ``ln``, which has held green since r3);
+    scores rounded to 6dp on both sides, addition order mirrored
+    exactly."""
+    d = _docs(spark, sf_dir)
+    f = quality_features("text")
+    z = (
+        F.lit(QC_WEIGHTS["bias"])
+        + QC_WEIGHTS["n_tokens"] * f["n_tokens"]
+        + QC_WEIGHTS["distinct_ratio"] * f["distinct_ratio"]
+        + QC_WEIGHTS["stopword_ratio"] * f["stopword_ratio"]
+        + QC_WEIGHTS["mean_token_len"] * f["mean_token_len"]
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return d.select(
+        "doc_id",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level term frequency, top-10 with deterministic tiebreak —
     explode + count, the wordcount shape (partial aggregation collapses
@@ -1136,6 +1181,24 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["x10_domain_quota"] = q_domain_quota
+QUERIES["t14_quality_classifier"] = q_quality_classifier
+ORACLES["t14_quality_classifier"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+        len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) AS stopword_ratio,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) * 1.0 / len(toks) AS mean_token_len
+      FROM t),
+z AS (SELECT doc_id,
+        {QC_WEIGHTS['bias']} + {QC_WEIGHTS['n_tokens']} * n_tokens
+          + {QC_WEIGHTS['distinct_ratio']} * distinct_ratio
+          + {QC_WEIGHTS['stopword_ratio']} * stopword_ratio
+          + {QC_WEIGHTS['mean_token_len']} * mean_token_len AS z
+      FROM f)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+FROM z"""
 _QUOTA_CASE = (
     "coalesce(CASE source "
     + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SOURCE_QUOTA.items())

@@ -660,3 +660,29 @@ def test_semantic_dedup_keeps_exactly_cluster_minima(spark, sf_dir):
     for v in ids:
         want_clusters.setdefault(find(v), []).append(v)
     assert {min(m) for m in want_clusters.values()} == keepers
+
+
+def test_quality_classifier_matches_python_sigmoid(spark, sf_dir):
+    """t14's broadcast-weight sigmoid gate: scores live in (0,1), the
+    fixture splits (both classes present), and a spot-checked row
+    matches a pure-Python recomputation from the raw text."""
+    import math
+
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import QC_WEIGHTS, q_quality_classifier
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    rows = q_quality_classifier(spark, sf_dir).collect()
+    assert all(0.0 < r.quality_score < 1.0 for r in rows)
+    assert 0 < sum(1 for r in rows if r.keep) < len(rows)
+    texts = {r.doc_id: r.text for r in read_table(spark, sf_dir, "documents").collect()}
+    probe = rows[0]
+    toks = texts[probe.doc_id].split(" ")
+    z = (
+        QC_WEIGHTS["bias"]
+        + QC_WEIGHTS["n_tokens"] * len(toks)
+        + QC_WEIGHTS["distinct_ratio"] * (len(set(toks)) / len(toks))
+        + QC_WEIGHTS["stopword_ratio"] * (sum(1 for t in toks if t in ("the", "a")) / len(toks))
+        + QC_WEIGHTS["mean_token_len"] * (sum(len(t) for t in toks) / len(toks))
+    )
+    assert abs(probe.quality_score - 1.0 / (1.0 + math.exp(-z))) < 1e-6
+    assert probe.keep == (probe.quality_score >= 0.5)
