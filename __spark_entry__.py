@@ -160,6 +160,10 @@ def _is_overflow(name: str) -> bool:
         # u1 out for t14 (round 7): union-all green r1-r6, frozen;
         # union machinery evidenced in-window by st2 (union + distinct)
         "u1",
+        # o2 out for mm3 (round 7): top-10 green r1-r6, frozen;
+        # TakeOrderedAndProject pinned by the plan test and top-k rank
+        # machinery evidenced in-window by w1
+        "o2",
     )
     return name.split("_")[0] in overflow_prefixes
 

@@ -159,3 +159,57 @@ def frame_sample_stub(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
         "with a deterministic fake decode — swap its window-hash body "
         "for the codec call"
     )
+
+
+#: output contract of the resize pass
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_len", IntegerType()),
+        StructField("target_px", IntegerType()),
+        StructField("first_px", IntegerType()),
+        StructField("resized_hash", LongType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_px: int = 16) -> DataFrame:
+    """mm3: the RESIZE step of an image pipeline with real Spark
+    plumbing and the codec stubbed (container has none): nearest-
+    neighbor index mapping ``src = (i * orig_len) // target_px`` strides
+    the payload down (or up — indices repeat when orig_len < target_px,
+    exactly nearest-neighbor upsampling) to a fixed ``target_px``
+    "pixel" vector, hashed for certification. A real pipeline replaces
+    the stride body with ``PIL.Image.resize``; the batch iteration,
+    output schema, and one-read-per-payload shape are unchanged.
+
+    Scale notes: map-only (no shuffle); emits slim fixed-width rows, so
+    output size is |docs| × O(1) regardless of payload size — the right
+    contract for a resize stage feeding a training store."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, lens, firsts, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                px = [payload[(i * n) // target_px] for i in range(target_px)]
+                h = 0
+                for b in px:
+                    h = (h * 131 + b) % 1_000_000_007
+                doc_ids.append(doc_id)
+                lens.append(n)
+                firsts.append(px[0])
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "orig_len": lens,
+                    "target_px": [target_px] * len(doc_ids),
+                    "first_px": firsts,
+                    "resized_hash": hashes,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_resize, RESIZED_SCHEMA)

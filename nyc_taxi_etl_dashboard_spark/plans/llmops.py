@@ -1646,6 +1646,27 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(d, every_n_bytes=32)
 
 
+def q_resized_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm3: resize plumbing (see :func:`..operators.multimodal.
+    resize_media`) — nearest-neighbor byte stride standing in for the
+    codec; the oracle reproduces the exact index map and hash, so the
+    batch-side resize is hash-certified like mm2's expansion."""
+    d = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.resize_media(d)
+
+
+QUERIES["mm3_resized_media"] = q_resized_media
+ORACLES["mm3_resized_media"] = """
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id, CAST(n AS INTEGER) AS orig_len, 16 AS target_px,
+       CAST(ascii(text[1:1]) AS INTEGER) AS first_px,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(16),
+           i -> CAST(ascii(text[CAST((i*n)//16 + 1 AS INTEGER) : CAST((i*n)//16 + 1 AS INTEGER)]) AS BIGINT))),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS resized_hash
+FROM t WHERE n > 0"""
+
+
 QUERIES["mm2_frame_samples"] = q_frame_samples
 ORACLES["mm2_frame_samples"] = """
 WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),

@@ -686,3 +686,29 @@ def test_quality_classifier_matches_python_sigmoid(spark, sf_dir):
     )
     assert abs(probe.quality_score - 1.0 / (1.0 + math.exp(-z))) < 1e-6
     assert probe.keep == (probe.quality_score >= 0.5)
+
+
+def test_resize_media_nearest_neighbor_both_directions(spark):
+    """mm3's stride resize: downsample (n > target) picks strided bytes,
+    upsample (n < target) repeats them — both match a pure-Python
+    nearest-neighbor recomputation, and empty payloads emit nothing."""
+    from nyc_taxi_etl_dashboard_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_media,
+    )
+
+    rows = [(1, "abc"), (2, "x" * 100), (3, "the quick brown fox says hi"), (4, "")]
+    df = attach_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    got = {r.doc_id: r for r in resize_media(df).collect()}
+    assert 4 not in got  # empty payload: no output row
+    for doc_id, text in rows[:3]:
+        payload = text.encode()
+        n = len(payload)
+        px = [payload[(i * n) // 16] for i in range(16)]
+        h = 0
+        for b in px:
+            h = (h * 131 + b) % 1_000_000_007
+        r = got[doc_id]
+        assert (r.orig_len, r.target_px, r.first_px, r.resized_hash) == (n, 16, px[0], h)
