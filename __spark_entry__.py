@@ -164,6 +164,10 @@ def _is_overflow(name: str) -> bool:
         # TakeOrderedAndProject pinned by the plan test and top-k rank
         # machinery evidenced in-window by w1
         "o2",
+        # j1 out for x11 (round 7): star-flatten revenue green r1-r6,
+        # frozen; the star joins are evidenced in-window by st4 and the
+        # grouped revenue sums by a13/a16
+        "j1",
     )
     return name.split("_")[0] in overflow_prefixes
 

@@ -104,6 +104,7 @@ CURATION = [
     "x10_domain_quota",
     "v10_semantic_dedup",
     "t14_quality_classifier",
+    "x11_curation_pipeline_v2",
 ]
 
 

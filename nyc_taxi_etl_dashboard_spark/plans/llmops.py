@@ -1181,7 +1181,99 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["x10_domain_quota"] = q_domain_quota
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x11: the ROUND-7 composed curation pipeline — the second
+    end-to-end composition contract next to x7, chaining this round's
+    new stages in production order: per-domain quota (x10) → heuristic
+    rule gate (t7 constants) → MODEL quality gate (t14's classifier at
+    0.5) → exact dedup keep-first on fingerprint (t3/dd1) → 256-token
+    sequence packing per source shard (x6). Where x7 pins the
+    decontamination arm, x11 pins the domain-balance + classifier arm —
+    together the two compositions cover every curation stage boundary
+    the engine ships. All stages are map-only or slim-window; the only
+    corpus-wide shuffles are the quota/packing windows (partitioned by
+    source) and the fingerprint dedup exchange."""
+    from ..operators.dedup import dedup_keep_first
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    quota_keep = q_domain_quota(spark, sf_dir).select("doc_id")
+    d1 = d.join(quota_keep, "doc_id")
+    feats = quality_features("text")
+    d2 = d1.filter(
+        (feats["n_tokens"] >= GATE_MIN_TOKENS)
+        & (feats["distinct_ratio"] >= GATE_MIN_DISTINCT_RATIO)
+        & (feats["stopword_ratio"] > 0)
+    )
+    f = quality_features("text")
+    z = (
+        F.lit(QC_WEIGHTS["bias"])
+        + QC_WEIGHTS["n_tokens"] * f["n_tokens"]
+        + QC_WEIGHTS["distinct_ratio"] * f["distinct_ratio"]
+        + QC_WEIGHTS["stopword_ratio"] * f["stopword_ratio"]
+        + QC_WEIGHTS["mean_token_len"] * f["mean_token_len"]
+    )
+    d3 = d2.filter(F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) >= 0.5)
+    fp = d3.withColumn("fp", poly_fingerprint(tokens("text")))
+    kept = dedup_keep_first(fp, ["fp"], ["doc_id"])
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        kept.select(
+            "doc_id", "source", F.array_size(F.split("text", " ")).alias("n_tokens")
+        )
+        .withColumn(
+            "start_offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("bin_id", F.expr("start_offset div 256"))
+    )
+
+
 QUERIES["t14_quality_classifier"] = q_quality_classifier
+QUERIES["x11_curation_pipeline_v2"] = q_curation_pipeline_v2
+_QUOTA_CASE = (
+    "coalesce(CASE source "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SOURCE_QUOTA.items())
+    + f" END, {SOURCE_QUOTA_DEFAULT})"
+)
+ORACLES["x11_curation_pipeline_v2"] = f"""
+WITH q AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents)
+  WHERE rn <= {_QUOTA_CASE}),
+t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM q),
+f AS (SELECT doc_id, source, text, toks,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+        len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) AS stopword_ratio,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) * 1.0 / len(toks) AS mean_token_len
+      FROM t),
+g AS (SELECT * FROM f
+      WHERE n_tokens >= {GATE_MIN_TOKENS}
+        AND distinct_ratio >= {GATE_MIN_DISTINCT_RATIO}
+        AND stopword_ratio > 0),
+c AS (SELECT doc_id, source, text, toks, n_tokens FROM g
+      WHERE round(1.0 / (1.0 + exp(-({QC_WEIGHTS['bias']} + {QC_WEIGHTS['n_tokens']} * n_tokens
+          + {QC_WEIGHTS['distinct_ratio']} * distinct_ratio
+          + {QC_WEIGHTS['stopword_ratio']} * stopword_ratio
+          + {QC_WEIGHTS['mean_token_len']} * mean_token_len))), 6) >= 0.5),
+fp AS (SELECT doc_id, source, n_tokens, {_FP_SQL} AS fp FROM c),
+kept AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp)
+  WHERE rn = 1)
+SELECT doc_id, source, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+       CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 256 AS bin_id
+FROM kept"""
 ORACLES["t14_quality_classifier"] = f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 f AS (SELECT doc_id,
@@ -1199,11 +1291,6 @@ z AS (SELECT doc_id,
 SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
        round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
 FROM z"""
-_QUOTA_CASE = (
-    "coalesce(CASE source "
-    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SOURCE_QUOTA.items())
-    + f" END, {SOURCE_QUOTA_DEFAULT})"
-)
 ORACLES["x10_domain_quota"] = f"""
 SELECT doc_id, source FROM (
   SELECT doc_id, source,

@@ -712,3 +712,40 @@ def test_resize_media_nearest_neighbor_both_directions(spark):
             h = (h * 131 + b) % 1_000_000_007
         r = got[doc_id]
         assert (r.orig_len, r.target_px, r.first_px, r.resized_hash) == (n, 16, px[0], h)
+
+
+def test_curation_pipeline_v2_respects_stage_boundaries(spark, sf_dir):
+    """x11's composition: every surviving doc passed the quota gate AND
+    the classifier gate, no two survivors share a fingerprint, and
+    packing offsets are per-source cumulative — the boundary contracts
+    that rot silently when stages are rewired."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nyc_taxi_etl_dashboard_spark.functions import poly_fingerprint
+    from nyc_taxi_etl_dashboard_spark.operators.text import tokens
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        q_curation_pipeline_v2,
+        q_domain_quota,
+        q_quality_classifier,
+    )
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    out = q_curation_pipeline_v2(spark, sf_dir).collect()
+    assert out, "pipeline dropped everything"
+    ids = {r.doc_id for r in out}
+    quota_ids = {r.doc_id for r in q_domain_quota(spark, sf_dir).collect()}
+    keep_ids = {r.doc_id for r in q_quality_classifier(spark, sf_dir).collect() if r.keep}
+    assert ids <= quota_ids and ids <= keep_ids
+    fps = {
+        r.doc_id: r.fp
+        for r in read_table(spark, sf_dir, "documents")
+        .withColumn("fp", poly_fingerprint(tokens("text")))
+        .collect()
+    }
+    surviving_fps = [fps[i] for i in ids]
+    assert len(surviving_fps) == len(set(surviving_fps))
+    by_src: dict = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        assert r.start_offset == by_src.get(r.source, 0)
+        by_src[r.source] = r.start_offset + r.n_tokens
+        assert r.bin_id == r.start_offset // 256
