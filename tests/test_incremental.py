@@ -132,3 +132,57 @@ def test_incremental_dedup_portable_and_production_hashes_agree(spark):
         ).collect()
         verdicts[portable] = {r.doc_id: r.is_dup for r in v}
     assert verdicts[True] == verdicts[False] == {10: True, 11: False}
+
+
+def test_incremental_dedup_bucketed_corpus_join_is_corpus_shuffle_free(
+    spark, sf_dir, tmp_path
+):
+    """The 100 TB layout claim in dd11's docstring, demonstrated: persist
+    the corpus's BANDED signature index bucketed on a single long band
+    key (xxhash64 over (band, slice) — the production band hash), and
+    the increment-vs-corpus candidate join plans with NO Exchange above
+    the bucketed corpus scan — only the (small) increment side shuffles.
+    A recurring refresh therefore never re-shuffles the corpus index,
+    which is the entire point of persisting it."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import (
+        _banded,
+        minhash_signature_table,
+    )
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = minhash_signature_table(
+        docs.filter(F.col("doc_id") % 4 != 0), portable=False
+    )
+    inc = minhash_signature_table(
+        docs.filter(F.col("doc_id") % 4 == 0), portable=False
+    )
+
+    def with_bkey(banded):
+        return banded.withColumn("bkey", F.xxhash64("band", "key")).drop(
+            "band", "key"
+        )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sigwh LOCATION '{tmp_path / 'wh'}'")
+    spark.catalog.setCurrentDatabase("sigwh")
+    try:
+        with_bkey(_banded(base, "cor_id", 8, 4)).write.bucketBy(8, "bkey").sortBy(
+            "bkey"
+        ).saveAsTable("corpus_banded")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cor_b = spark.table("corpus_banded")
+        inc_b = with_bkey(_banded(inc, "inc_id", 8, 4))
+        cand = inc_b.join(cor_b, "bkey").select("inc_id", "cor_id")
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE exchange: the increment side; the bucketed corpus
+        # scan feeds the join directly
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+        assert cand.count() > 0  # replica near-dups guarantee candidates
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE sigwh CASCADE")
