@@ -212,10 +212,29 @@ def main() -> None:
         spread["pipe_transform_full"] = [round(p_lo, 3), round(pipeline_sec, 3), round(p_hi, 3)]
         n_rows = obs_box["total"]
 
+        # Staleness guard (ADVICE r7): the persistent fixture is only
+        # reusable if it still mirrors the CURRENT source data — if the
+        # sf fixture was regenerated, or SPARK_GRAFT_SF_DIR points at
+        # different data under the same label, a silently reused bronze
+        # layout would make pipe_transform_bronze (and its rps, which
+        # divides the RAW path's row count by the bronze timing) measure
+        # mismatched data. Row-count equality per table is the
+        # fingerprint — cheap (parquet footer metadata, no scan) and it
+        # catches every regeneration our generators can produce (replica
+        # scale-ups and sf changes all change row counts).
+        def _bronze_stale() -> bool:
+            for t in ("lineitem", "orders"):
+                if not os.path.isdir(f"{bronze_dir}/{t}.parquet"):
+                    return True
+                if (
+                    spark.read.parquet(f"{bronze_dir}/{t}.parquet").count()
+                    != spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+                ):
+                    return True
+            return False
+
         ingest_sec = 0.0
-        if not all(
-            os.path.isdir(f"{bronze_dir}/{t}.parquet") for t in ("lineitem", "orders")
-        ):
+        if _bronze_stale():
             ingest_start = time.perf_counter()
             for t in ("lineitem", "orders"):
                 spark.read.parquet(f"{sf_dir}/{t}.parquet").repartition(32).write.mode(

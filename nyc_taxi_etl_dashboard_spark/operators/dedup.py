@@ -458,10 +458,18 @@ def minhash_signature_table(
 
     ``portable=True`` (token_value hash) keeps signatures
     oracle-reproducible; production uses ``portable=False`` (xxhash64)
-    for collision resistance — same table schema either way."""
+    for collision resistance — same table schema either way.
+
+    The table schema is FIXED at ``(doc_id, sig)`` regardless of
+    ``id_col``: the source id column is aliased to ``doc_id`` on the way
+    in, because everything downstream (:func:`_banded`,
+    :func:`incremental_dedup`, ``merge_parquet`` keyed on doc_id, the
+    bucketed warehouse layout) joins on that name — a per-table id name
+    would make signature tables non-interchangeable across runs."""
     sh = with_shingles(df.select(id_col, text_col), text_col, k)
     return sh.select(
-        id_col, minhash_signature(num_hashes, portable=portable).alias("sig")
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(num_hashes, portable=portable).alias("sig"),
     )
 
 
@@ -507,11 +515,20 @@ def incremental_dedup(
     At 100 TB: one shuffle keyed on (band, slice) whose corpus side can
     be bucketed-by-key on disk; the increment side is small by
     definition. Intra-increment dups are dd1/dd8's job — compose before
-    or after."""
+    or after.
+
+    Replay safety: candidates with ``inc_id == cor_id`` are excluded —
+    a doc is never its own duplicate. Without this, a foreachBatch
+    replay after a crash BETWEEN the warehouse merge and the checkpoint
+    commit would re-see the batch's own just-merged signatures (same
+    doc_id, est 1.0) and flag the entire batch is_dup, silently dropping
+    it from any downstream document write. With the filter, a replayed
+    batch reproduces its original verdicts exactly."""
     inc_b = _banded(increment_sigs, "inc_id", num_hashes, bands)
     cor_b = _banded(corpus_sigs, "cor_id", num_hashes, bands)
     cand = (
         inc_b.join(cor_b, ["band", "key"])
+        .filter(F.col("inc_id") != F.col("cor_id"))
         .select("inc_id", "cor_id")
         .dropDuplicates(["inc_id", "cor_id"])
     )

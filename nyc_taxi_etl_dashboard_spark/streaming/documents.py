@@ -81,7 +81,14 @@ def incremental_dedup_sink(
     only through its banded signature table). foreachBatch batches are
     exactly-once per epoch with checkpointing, and merge_parquet is
     key-idempotent on doc_id, so a replayed batch re-merges the same
-    signatures harmlessly.
+    signatures harmlessly. Verdicts are replay-safe too:
+    ``incremental_dedup`` excludes same-doc_id candidates, so a batch
+    replayed AFTER its own merge landed (crash between merge and
+    checkpoint commit) does not match itself in the warehouse and
+    reproduces its original verdicts (pinned in
+    tests/test_streaming.py). ``stats_box`` is observability,
+    not state: a replayed batch appends a second (batch_id, kept,
+    dropped) triple — dedupe on batch_id if consuming it as a record.
 
     Returns ``(sink_fn, stats_box)`` — pass ``sink_fn`` to
     ``foreachBatch``; ``stats_box['batches']`` accumulates one

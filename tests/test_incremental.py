@@ -106,6 +106,28 @@ def test_incremental_dedup_across_two_increments(spark, tmp_path):
     assert spark.read.parquet(table).count() == 4
 
 
+def test_signature_table_normalizes_id_col(spark):
+    """The warehouse schema is FIXED at (doc_id, sig) whatever the
+    source id column is called (ADVICE r7: a table built with a
+    non-default id_col used to fail inside incremental_dedup, which
+    joins on doc_id). Build with a custom id, consume downstream."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signature_table,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    corpus = spark.createDataFrame([(1, base)], "my_id long, text string")
+    inc = spark.createDataFrame(
+        [(10, base.replace("today", "tonight"))], "other_id long, text string"
+    )
+    cor_t = minhash_signature_table(corpus, id_col="my_id")
+    inc_t = minhash_signature_table(inc, id_col="other_id")
+    assert cor_t.columns == inc_t.columns == ["doc_id", "sig"]
+    v = incremental_dedup(inc_t, cor_t).collect()
+    assert len(v) == 1 and v[0].doc_id == 10 and v[0].is_dup
+
+
 def test_incremental_dedup_portable_and_production_hashes_agree(spark):
     """dd11's verdicts must not depend on the signature hash family:
     the portable token_value signatures (oracle-certifiable) and the

@@ -86,6 +86,24 @@ def test_dedup_keep_first_deterministic(spark, sf_dir):
     assert sorted(mins.values()) == out1
 
 
+def test_documents_fixture_is_ascii_for_multimodal_oracles():
+    """The mm1/mm2/mm3 operators stride UTF-8 payload BYTES while their
+    DuckDB oracles index text CHARACTERS (ascii(text[i:i])); the two
+    agree only while the fixture text is pure ASCII (one byte per code
+    point). Pin that latent assumption (ADVICE r7) at every fixture
+    scale the certifications run at — if a future fixture regeneration
+    introduces non-ASCII text, this fails before a silent oracle
+    mismatch does."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '/root/testdata/sf{sf}/documents.parquet' "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} non-ASCII documents break the mm oracles"
+
+
 def test_frame_sample_stub_raises(spark, sf_dir):
     from nyc_taxi_etl_dashboard_spark.operators import multimodal
     from nyc_taxi_etl_dashboard_spark.sources import read_table
@@ -616,6 +634,66 @@ def test_domain_quota_caps_every_source(spark, sf_dir):
         assert len(ids) <= quota, src
         # keep-FIRST: the survivors are exactly the lowest doc_ids
         assert sorted(ids) == sorted(by_src_raw[src])[: len(ids)], src
+
+
+def test_capped_keep_first_equals_plain_window(spark):
+    """The skew-safe quota path (count → map-side pass-through →
+    two-phase salted window) must produce EXACTLY the plain window's
+    keep-set on a planted hot-domain corpus — one domain holds 40% of
+    rows and binds hard, one sits exactly AT its quota (the pass-through
+    boundary), one under, one unlisted over the default. Both paths also
+    checked against an independent Python reference."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_etl_dashboard_spark.operators.skew import capped_keep_first
+
+    rows = []
+    # hot: 800 rows (quota 50), atq: exactly 10 rows (quota 10),
+    # small: 5 rows (quota 10), other: 30 rows (default quota 20)
+    spec = [("hot", 800), ("atq", 10), ("small", 5), ("other", 30)]
+    i = 0
+    for src, n in spec:
+        for _ in range(n):
+            rows.append((i * 7 + 3, src))  # non-contiguous, unsorted-ish ids
+            i += 1
+    import random
+
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    quotas = {"hot": 50, "atq": 10, "small": 10}
+    default = 20
+    quota = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv]),
+            F.col("source"),
+        ),
+        F.lit(default),
+    )
+    safe = capped_keep_first(df, "source", "doc_id", quota, salt_buckets=8)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    plain = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .drop("rn")
+    )
+    got = sorted((r.doc_id, r.source) for r in safe.collect())
+    want = sorted((r.doc_id, r.source) for r in plain.collect())
+    assert got == want
+    # independent reference: first quota(src) ids per source
+    by_src: dict[str, list[int]] = {}
+    for doc_id, src in rows:
+        by_src.setdefault(src, []).append(doc_id)
+    ref = sorted(
+        (d, s)
+        for s, ids in by_src.items()
+        for d in sorted(ids)[: quotas.get(s, default)]
+    )
+    assert got == ref
+    # and the skew-safety itself is structural, not prose: phase 1's
+    # window partitions on (source, salt), so the hot domain spreads
+    # over salt_buckets tasks instead of one
+    plan = safe._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
 
 
 def test_semantic_dedup_keeps_exactly_cluster_minima(spark, sf_dir):

@@ -544,3 +544,34 @@ def test_streaming_incremental_dedup_drops_near_dups_across_batches(spark, tmp_p
     assert table_ids == {1, 2, 11}, table_ids  # 10 dropped as near-dup of 1
     totals = [(kept, dropped) for _, kept, dropped in stats["batches"]]
     assert (2, 0) in totals and (1, 1) in totals, stats["batches"]
+
+
+def test_streaming_incremental_dedup_replay_reproduces_verdicts(spark, tmp_path):
+    """The crash-window replay (ADVICE r7): if the process dies BETWEEN
+    the warehouse merge and the checkpoint commit, foreachBatch re-runs
+    the same batch — which now sees its OWN just-merged signatures in
+    the warehouse. The same-doc_id candidate exclusion in
+    incremental_dedup must make the replay reproduce the original
+    verdicts (same kept/dropped counts, idempotent table state) instead
+    of flagging the whole batch as duplicates of itself."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        incremental_dedup_sink,
+    )
+
+    table = str(tmp_path / "sig_warehouse")
+    sink, stats = incremental_dedup_sink(table)
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the old river bank today", "en", "srcX", 70, None),
+            (2, "fresh reporting on tidal energy projects along the remote northern shoreline communities", "en", "srcX", 80, None),
+        ],
+        DOCS_STREAM_SCHEMA,
+    ).withColumn("ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+
+    sink(batch, 0)          # original delivery: merge lands
+    sink(batch, 0)          # replay of the SAME epoch after a simulated crash
+    assert [b[1:] for b in stats["batches"]] == [(2, 0), (2, 0)], stats["batches"]
+    assert spark.read.parquet(table).count() == 2  # merge is key-idempotent
