@@ -72,7 +72,8 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         # v6 dd5) rotate to overflow, and two §2 singletons already proven
         # by green supersets — a6 (sub-aggregate of a12) and a8
         # (sub-aggregate of a10) — are trimmed to make 39 + 11 = 50.
-        "e6_variant_extract",
+        # e6_variant_extract left this list in round 8 (rotated to
+        # overflow for v11 — see _is_overflow)
         "e7_robust_json",
         "dd8_dup_clusters",
         "dd9_jaccard_estimate",
@@ -168,6 +169,10 @@ def _is_overflow(name: str) -> bool:
         # frozen; the star joins are evidenced in-window by st4 and the
         # grouped revenue sums by a13/a16
         "j1",
+        # e6 out for v11 (round 8): VARIANT extraction green r3-r7,
+        # frozen; semi-structured parsing machinery still evidenced
+        # in-window by e7 (from_json robust path on the same fixture)
+        "e6",
     )
     return name.split("_")[0] in overflow_prefixes
 

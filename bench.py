@@ -105,6 +105,9 @@ CURATION = [
     "v10_semantic_dedup",
     "t14_quality_classifier",
     "x11_curation_pipeline_v2",
+    # round-8: PQ+ADC certification shape (the production ranking path
+    # is benched separately as v11_prod in prod_paths)
+    "v11_pq_adc",
 ]
 
 

@@ -1,0 +1,216 @@
+"""Product quantization (PQ) with asymmetric-distance (ADC) scoring —
+the memory-compression tier a 100 TB embedding store actually runs
+(NEW surface; no counterpart in the reference, whose only vector-shaped
+artifact is the dashboard's aggregate KPIs).
+
+Where v8's scalar quantization compresses 4× (one byte per dimension),
+PQ compresses ``dim·4 / m`` bytes per vector: the vector is split into
+``m`` subvectors, each subspace gets its own k-means codebook of
+``ksub`` centroids, and a vector is stored as ``m`` small codes
+(m bytes at ksub=256 — 32× for dim=64 float32). Scoring is ASYMMETRIC:
+the query stays full-precision; per query one m×ksub lookup table of
+subspace dot products is built, and every corpus vector scores as the
+sum of m table lookups — never touching the original vector. This is
+the IVFADC decomposition of Jégou/Douze/Schmid, "Product Quantization
+for Nearest Neighbor Search" (TPAMI 2011), re-expressed on DataFrames:
+
+- **fit** is the kmeans_fit pattern per subspace (bounded deterministic
+  sample, Lloyd driver-side in numpy — a codebook never needs the full
+  corpus); the model is m·ksub·dsub doubles and rides the plan as
+  literals, exactly like the IVF centroids.
+- **encode** is one Arrow-vectorized pass (argmin over ksub per
+  subspace — dense linear algebra, the established pandas-UDF
+  crossing); codes shuffle instead of vectors from then on.
+- **score** is Catalyst-only: the per-query LUT is built once per query
+  row from codebook literals, and each candidate costs m interpreted
+  lookup-adds instead of a dim-length fold — the 8-vs-64 work ratio
+  that makes ADC the scan-speed tier, visible even in interpreted HOF
+  evaluation.
+
+Certification follows the v4/v5/v7 precedent: the iterative fit is
+never reproduced in SQL; instead the registered query (v11) emits the
+SQL-reproducible exact side plus verdict columns proven in-engine and
+asserted literally by the oracle — (a) the ADC lookup-sum equals the
+dot product against the decoded reconstruction (the LUT factorization
+property, the heart of ADC), and (b) the estimate error respects the
+Cauchy-Schwarz bound |q·v − q·v̂| ≤ |q|·|v − v̂|. Recall and error
+floors are pytest-pinned (tests/test_llmops.py), including the
+degenerate ksub ≥ n corpus where reconstruction — and therefore ADC —
+is exact.
+"""
+
+from __future__ import annotations
+
+# module-level for pandas_udf type-hint resolution (see similarity.py)
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_limit: int = 100_000,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: ``codebooks[s][c]`` is centroid c of
+    subspace s (length dim//m). One bounded deterministic sample (the
+    ``sample_limit`` lowest-id vectors via distributed TakeOrdered — the
+    kmeans_fit pattern), then independent Lloyd runs per subspace in
+    numpy driver-side; the full corpus never participates in training,
+    only in encoding. Init: the first ksub sample subvectors seed each
+    subspace (deterministic); cells that lose all members keep their
+    previous centroid. ksub=16 suits the small fixtures; production is
+    ksub=256 (one byte per code) with the standard ≥ ~40·ksub training
+    points per subspace."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rows = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy("id")
+        .limit(sample_limit)
+        .collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[:ksub].copy()
+        if len(C) < ksub:
+            raise ValueError(f"training sample smaller than ksub ({len(C)} < {ksub})")
+        for _ in range(n_iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+            cell = d2.argmin(axis=1)  # first min ⇒ lowest code on ties
+            for c in range(ksub):
+                members = Xs[cell == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        codebooks.append([[float(x) for x in c] for c in C])
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """``(id, code array<int>)`` — the stored form of the corpus
+    (m small ints per vector; everything downstream joins/scans codes,
+    never vectors). Arrow-vectorized: per batch, one dense
+    broadcast-subtract-square + argmin per subspace (stable ⇒ lowest
+    code on ties, matching the fit's assignment rule)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    CBS = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    @F.pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        codes = np.empty((len(V), m), dtype=np.int32)
+        for s in range(m):
+            Vs = V[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Vs[:, None, :] - CBS[s][None, :, :]) ** 2).sum(axis=-1)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        encode(F.col(vec_col).cast("array<double>")).alias(code_col),
+    )
+
+
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+
+
+def pq_reconstruct(code_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """Decode ``code`` back to the reconstruction v̂ (array<double>):
+    concatenate each subspace's looked-up centroid. Catalyst-only — the
+    codebook rides the plan as literals (m·ksub·dsub doubles), so the
+    decode is a map-side projection with no model distribution step."""
+    parts = [
+        F.element_at(_lit_matrix(cb), F.element_at(F.col(code_col), s + 1) + 1)
+        for s, cb in enumerate(codebooks)
+    ]
+    return F.flatten(F.array(*parts))
+
+
+def pq_lut(qvec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """The per-query ADC lookup table (array<array<double>>, m × ksub):
+    entry [s][c] = dot(q_s, codebook_s[c]). Built ONCE per query row
+    from literals; every corpus candidate then scores with m lookups
+    instead of a dim-length fold."""
+    dsub = len(codebooks[0][0])
+    tables = []
+    for s, cb in enumerate(codebooks):
+        q_s = F.slice(F.col(qvec_col), s * dsub + 1, dsub)
+        entries = [
+            F.aggregate(
+                F.zip_with(q_s, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cb
+        ]
+        tables.append(F.array(*entries))
+    return F.array(*tables)
+
+
+def pq_adc_dot(lut_col: str, code_col: str, m: int) -> Column:
+    """ADC estimate of dot(q, v): Σ_s LUT[s][code_s] — m lookup-adds per
+    candidate, the entire per-pair scoring cost."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col(lut_col), s + 1),
+            F.element_at(F.col(code_col), s + 1) + 1,
+        ),
+    )
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production ADC top-k: rank the ENCODED corpus (``(id, code)``
+    from :func:`pq_encode` — the only corpus-sized input; original
+    vectors are never read) by the ADC dot-product estimate against
+    each broadcast query. Per-candidate cost is m lookup-adds. Ranking
+    is by estimated DOT PRODUCT — the standard ADC regime; normalize
+    embeddings upstream when cosine ranking is required (then dot ≡
+    cosine up to the query's own constant norm, which cannot change its
+    ranking). Approximate output ⇒ recall-floor pytest, not oracle hash
+    (the v4_prod/v7_prod split)."""
+    m = len(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("lut", pq_lut("q_vec", codebooks)).select("query_id", "lut")
+    c = corpus_codes.select(F.col("id").alias("neighbor_id"), "code")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dot", pq_adc_dot("lut", "code", m))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dot", "rnk")
+    )

@@ -2088,6 +2088,116 @@ SELECT id_a, id_b,
 FROM p"""
 
 
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v11: product quantization + asymmetric-distance (ADC) scoring —
+    the 100 TB embedding-store compression tier above v8's 4× scalar
+    quantization (m=8 subspaces × ksub codes ⇒ dim·4/m bytes per stored
+    vector; see :mod:`..operators.quantization`). Certification follows
+    the v4/v5/v7 precedent — the per-subspace k-means fit is never
+    reproduced in SQL; instead each (query, corpus) pair emits the
+    SQL-reproducible exact cosine plus two verdicts proven in-engine
+    and asserted literally by the oracle:
+
+    - ``adc_matches_reconstruction``: the ADC lookup-table sum equals
+      dot(q, v̂) against the decoded reconstruction to 1e-9 (the LUT
+      factorization property that makes ADC scoring m lookups instead
+      of a dim-length fold — floating-point reassociation across the
+      m-subspace split is the only difference, hence the tolerance);
+    - ``err_within_bound``: |q·v − q·v̂| ≤ |q|·|v − v̂| + 1e-9, the
+      Cauchy-Schwarz bound tying the estimate's error to the
+      reconstruction residual the codebook controls.
+
+    The corpus side (codes, reconstruction, residual norm) is persisted
+    before the pair join so per-VECTOR folds stay per-vector under
+    CollapseProject inlining (the §8 trap). Recall and error floors —
+    including exactness at ksub ≥ |corpus| — are pytest-pinned; the
+    production ranking path is benched as ``v11_prod``."""
+    from ..operators.quantization import (
+        pq_adc_dot,
+        pq_encode,
+        pq_fit,
+        pq_lut,
+        pq_reconstruct,
+    )
+
+    e = _embs(spark, sf_dir)
+    codebooks = pq_fit(e, m=8, ksub=16)
+    codes = pq_encode(e, codebooks).withColumnRenamed("id", "neighbor_id")
+    c = (
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("c_vec"),
+        )
+        .join(codes, "neighbor_id")
+        .withColumn("recon", pq_reconstruct("code", codebooks))
+        .withColumn("c_nrm", l2_norm("c_vec"))
+        .withColumn(
+            "resid", l2_norm(F.zip_with("c_vec", "recon", lambda a, b: a - b))
+        )
+        .persist()
+    )
+    q = (
+        e.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_vec"),
+        )
+        .withColumn("q_nrm", l2_norm("q_vec"))
+        .withColumn("lut", pq_lut("q_vec", codebooks))
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", pq_adc_dot("lut", "code", 8))
+        .withColumn("recon_dot", dot("q_vec", "recon"))
+        .withColumn("exact_dot", dot("q_vec", "c_vec"))
+    )
+    return pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.col("exact_dot") / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
+        (F.abs(F.col("adc") - F.col("recon_dot")) <= 1e-9).alias(
+            "adc_matches_reconstruction"
+        ),
+        (
+            F.abs(F.col("exact_dot") - F.col("recon_dot"))
+            <= F.col("q_nrm") * F.col("resid") + 1e-9
+        ).alias("err_within_bound"),
+    )
+
+
+QUERIES["v11_pq_adc"] = q_pq_adc
+ORACLES["v11_pq_adc"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+p AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v AS cv
+      FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id,
+       {_DOT.format(a='qv', b='cv')} / (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine,
+       TRUE AS adc_matches_reconstruction,
+       TRUE AS err_within_bound
+FROM p"""
+
+
+def q_pq_adc_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v11_prod: the PRODUCTION ADC path — encode the corpus once to
+    (id, code) rows (the stored 100 TB form), build each query's m×ksub
+    lookup table once, rank by the m-lookup ADC estimate. No exact legs,
+    no verdict joins (those are v11, the certification shape).
+    Bench-only; recall floor pinned in pytest."""
+    from ..operators.quantization import pq_adc_topk, pq_encode, pq_fit
+
+    e = _embs(spark, sf_dir)
+    codebooks = pq_fit(e, m=8, ksub=16)
+    codes = pq_encode(e, codebooks)
+    qs = e.filter(F.col("vec_id") < 3)
+    return pq_adc_topk(codes, qs, codebooks, k=5)
+
+
+BENCH_ONLY["v11_prod"] = q_pq_adc_prod
+
+
 def q_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-canonical fuzzy dedup: quality gate → LSH pairs →
     connected components → keep each component's MINIMUM id (plus all
