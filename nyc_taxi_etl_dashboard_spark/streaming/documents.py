@@ -129,3 +129,103 @@ def incremental_dedup_sink(
         stats_box["batches"].append((batch_id, n_kept, n_inc - n_kept))
 
     return sink, stats_box
+
+
+def semantic_dedup_sink(
+    table_path: str,
+    threshold: float = 0.92,
+    n_planes: int = 16,
+    probe_radius: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The STREAMING form of v10 (SemDeDup keep-list), built on the dd11
+    warehouse pattern (VERDICT r7 item 6): a ``foreachBatch`` sink that
+    drops each micro-batch's vectors whose cosine against ANY
+    historically-kept vector clears ``threshold`` — continuous semantic
+    dedup against the full corpus history, at a per-batch cost bounded
+    by the increment.
+
+    Warehouse table: ``(vec_id, embedding_d, sig, nrm)`` — the vector,
+    its PERSISTED random-hyperplane signature (the corpus side never
+    recomputes signatures, mirroring dd11's signature table), and its
+    norm (hoisted once at ingest, never per candidate). Candidate
+    generation is the v6 blocked kernel asymmetrically: only the small
+    batch side multi-probes (explodes signature XOR every popcount ≤
+    ``probe_radius`` mask), the corpus side joins on its stored
+    signature — so candidates are (batch × corpus) bucket collisions,
+    never corpus × corpus, and the exact cosine verify runs on
+    candidates only. A (batch, corpus) pair matches at most one probe
+    signature (masks are distinct ⇒ probed signatures are distinct), so
+    no candidate dedup is needed.
+
+    Replay safety mirrors dd11's sink: same-vec_id candidates are
+    excluded, so a batch replayed after its own merge (crash between
+    merge and checkpoint commit) reproduces its original verdicts, and
+    ``merge_parquet`` is key-idempotent on vec_id. Intra-batch semantic
+    dups are v10's batch job — two mutually-near vectors arriving in
+    the SAME micro-batch both survive (and both guard the future).
+
+    At 100 TB: the warehouse can be bucketed on ``sig`` exactly like
+    dd11's banded table (zero corpus-side shuffle per refresh), and the
+    stored vectors can be swapped for v11 PQ codes (32× less state) by
+    replacing the exact cosine verify with the ADC estimate plus a
+    margin — the docstring-level design; this sink keeps the exact
+    verify. Returns ``(sink_fn, stats_box)`` as the dd11 sink does."""
+    from ..operators.similarity import _probe_masks, dot, l2_norm, rhp_signature
+    from ..sources.writers import merge_parquet
+
+    stats_box: dict = {"batches": []}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        inc = (
+            batch_df.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("embedding_d"),
+            )
+            .withColumn("sig", rhp_signature(n_planes=n_planes, dim=dim))
+            .withColumn("nrm", l2_norm("embedding_d"))
+            .localCheckpoint()  # cut streaming lineage; consumed 3×
+        )
+        if os.path.exists(table_path):
+            cor = spark.read.parquet(table_path)
+            masks = _probe_masks(n_planes, probe_radius)
+            probes = inc.select(
+                F.col("vec_id").alias("inc_id"),
+                F.col("embedding_d").alias("iv"),
+                F.col("nrm").alias("inrm"),
+                F.explode(
+                    F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+                ).alias("sig"),
+            )
+            cand = probes.join(
+                cor.select(
+                    F.col("vec_id").alias("cor_id"),
+                    F.col("embedding_d").alias("cv"),
+                    F.col("nrm").alias("cnrm"),
+                    "sig",
+                ),
+                "sig",
+            ).filter(F.col("inc_id") != F.col("cor_id"))
+            dups = (
+                cand.withColumn(
+                    "cos", dot("iv", "cv") / (F.col("inrm") * F.col("cnrm"))
+                )
+                .filter(F.col("cos") >= threshold)
+                .select(F.col("inc_id").alias("vec_id"))
+                .distinct()
+            )
+            kept = inc.join(dups, "vec_id", "left_anti").localCheckpoint()
+        else:
+            kept = inc
+        n_inc = inc.count()
+        n_kept = kept.count()
+        if n_kept:
+            merge_parquet(spark, table_path, kept, ["vec_id"])
+        stats_box["batches"].append((batch_id, n_kept, n_inc - n_kept))
+
+    return sink, stats_box

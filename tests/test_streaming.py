@@ -546,6 +546,95 @@ def test_streaming_incremental_dedup_drops_near_dups_across_batches(spark, tmp_p
     assert (2, 0) in totals and (1, 1) in totals, stats["batches"]
 
 
+def _planted_vec(base: int, noise: int | None = None) -> list[float]:
+    """Deterministic 64-dim vector; ``noise`` yields a paraphrase-grade
+    perturbation (cosine >= 0.97 against its base)."""
+    import math
+
+    v = [math.sin(0.7 * base * 64 + 1.3 * j) for j in range(64)]
+    if noise is not None:
+        v = [x + 0.08 * math.sin(2.1 * base + 0.9 * noise + 0.37 * j) for j, x in enumerate(v)]
+    return v
+
+
+def test_streaming_semantic_dedup_one_survivor_per_cluster(spark, tmp_path):
+    """The streaming v10 (VERDICT r7 item 6): batch 0 seeds the vector
+    warehouse with three cluster bases plus their own first members;
+    batch 1 re-delivers PARAPHRASE vectors (new ids, small
+    perturbations — invisible to any fingerprint, cosine >= threshold)
+    plus one novel vector. Every paraphrase is dropped against the
+    persisted history; exactly one survivor per semantic cluster
+    remains in the warehouse, and the novel vector is admitted. The
+    sink never collects data — stats are scalar counts."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import semantic_dedup_sink
+
+    schema = "vec_id long, embedding array<double>, ingest_ts timestamp"
+
+    def vec_rows(rows):
+        return spark.createDataFrame(
+            [(i, v, None) for i, v in rows], schema
+        ).withColumn("ingest_ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("vec_id")))
+
+    # sanity: the perturbations really are paraphrase-grade
+    for b in range(3):
+        base, pert = _planted_vec(b), _planted_vec(b, noise=1)
+        cos = sum(x * y for x, y in zip(base, pert)) / (
+            math.sqrt(sum(x * x for x in base)) * math.sqrt(sum(x * x for x in pert))
+        )
+        assert cos >= 0.92, (b, cos)
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    table = str(tmp_path / "vec_warehouse")
+    sink, stats = semantic_dedup_sink(table, threshold=0.92)
+
+    import shutil
+
+    def deliver(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        vec_rows(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(next(staging.glob("part-*.parquet")), stream_dir / f"{name}.parquet")
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(stream_dir))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver("b0", [(i, _planted_vec(i)) for i in range(3)])
+    run()
+    assert spark.read.parquet(table).count() == 3
+
+    # batch 1: two paraphrases per cluster + one novel vector
+    b1 = [(100 + 10 * b + n, _planted_vec(b, noise=n)) for b in range(3) for n in (1, 2)]
+    # novel = base 3: the sinusoid family's cosine is ~cos(phase gap),
+    # and base 3 sits >0.8 rad from every seeded base (max cos 0.67);
+    # an arbitrary base id can alias back onto a seeded phase (77 lands
+    # 0.19 rad from base 0 ⇒ cosine 0.98 — a near-dup by construction)
+    b1.append((999, _planted_vec(3)))
+    deliver("b1", b1)
+    run()
+    ids = {r.vec_id for r in spark.read.parquet(table).select("vec_id").collect()}
+    assert ids == {0, 1, 2, 999}, ids  # one survivor per cluster + the novel
+    totals = [(kept, dropped) for _, kept, dropped in stats["batches"]]
+    assert (3, 0) in totals and (1, 6) in totals, stats["batches"]
+
+    # replay safety: re-running the last epoch's sink directly (merge
+    # landed, checkpoint lost) reproduces its verdicts
+    sink(vec_rows(b1), 1)
+    assert stats["batches"][-1][1:] == (1, 6), stats["batches"]
+    assert {r.vec_id for r in spark.read.parquet(table).select("vec_id").collect()} == {0, 1, 2, 999}
+
+
 def test_streaming_incremental_dedup_replay_reproduces_verdicts(spark, tmp_path):
     """The crash-window replay (ADVICE r7): if the process dies BETWEEN
     the warehouse merge and the checkpoint commit, foreachBatch re-runs
