@@ -191,22 +191,55 @@ def pq_adc_topk(
     """Production ADC top-k: rank the ENCODED corpus (``(id, code)``
     from :func:`pq_encode` — the only corpus-sized input; original
     vectors are never read) by the ADC dot-product estimate against
-    each broadcast query. Per-candidate cost is m lookup-adds. Ranking
-    is by estimated DOT PRODUCT — the standard ADC regime; normalize
-    embeddings upstream when cosine ranking is required (then dot ≡
-    cosine up to the query's own constant norm, which cannot change its
-    ranking). Approximate output ⇒ recall-floor pytest, not oracle hash
+    each query. Ranking is by estimated DOT PRODUCT — the standard ADC
+    regime; normalize embeddings upstream when cosine ranking is
+    required (then dot ≡ cosine up to the query's own constant norm,
+    which cannot change its ranking).
+
+    Shape: the bounded query batch is collected and its LUTs
+    (|queries| × m × ksub doubles) precomputed in numpy — the kmeans
+    model pattern: the LUT block rides the Arrow kernel's closure, NOT
+    the Catalyst plan (folding m·ksub·dsub literals into expressions is
+    the CERTIFICATION path v11 deliberately takes for in-plan
+    verifiability; at production it bloats the task binary and costs
+    driver plan-compile seconds). Each corpus row is scored ONCE for
+    all queries with one numpy gather+sum per batch, posexploded to
+    slim (query, score) rows — corpus codes are never duplicated per
+    query. Approximate output ⇒ recall-floor pytest, not oracle hash
     (the v4_prod/v7_prod split)."""
     m = len(codebooks)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).withColumn("lut", pq_lut("q_vec", codebooks)).select("query_id", "lut")
-    c = corpus_codes.select(F.col("id").alias("neighbor_id"), "code")
+    dsub = len(codebooks[0][0])
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .collect()
+    )
+    q_ids = [r[0] for r in q_rows]
+    CBS = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    LUT = np.stack(
+        [
+            np.stack(
+                [CBS[s] @ np.asarray(r[1][s * dsub : (s + 1) * dsub]) for s in range(m)]
+            )
+            for r in q_rows
+        ]
+    )  # |queries| x m x ksub
+
+    @F.pandas_udf("array<double>")
+    def adc(codes: pd.Series) -> pd.Series:
+        C = np.stack(codes.to_numpy())  # n x m
+        cols = np.arange(m)
+        out = np.stack([LUT[qi][cols, C].sum(axis=1) for qi in range(len(q_ids))], axis=1)
+        return pd.Series(list(out))  # n rows of |queries| scores
+
+    qmap = F.array(*[F.lit(int(i)) for i in q_ids])
     scored = (
-        c.crossJoin(F.broadcast(q))
+        corpus_codes.select(
+            F.col("id").alias("neighbor_id"),
+            F.posexplode(adc("code")).alias("qi", "adc_dot"),
+        )
+        .withColumn("query_id", F.element_at(qmap, F.col("qi") + 1))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc_dot", pq_adc_dot("lut", "code", m))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("neighbor_id"))
     return (
