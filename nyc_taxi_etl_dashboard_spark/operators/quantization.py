@@ -103,12 +103,14 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "code",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """``(id, code array<int>)`` — the stored form of the corpus
-    (m small ints per vector; everything downstream joins/scans codes,
-    never vectors). Arrow-vectorized: per batch, one dense
+    """``(id, code array<int>[, extra_cols])`` — the stored form of the
+    corpus (m small ints per vector; everything downstream joins/scans
+    codes, never vectors). Arrow-vectorized: per batch, one dense
     broadcast-subtract-square + argmin per subspace (stable ⇒ lowest
-    code on ties, matching the fit's assignment rule)."""
+    code on ties, matching the fit's assignment rule). ``extra_cols``
+    pass through unchanged (e.g. the IVF cell id in IVFADC)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     CBS = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
@@ -126,6 +128,7 @@ def pq_encode(
     return df.select(
         F.col(id_col).alias("id"),
         encode(F.col(vec_col).cast("array<double>")).alias(code_col),
+        *[F.col(c) for c in (extra_cols or [])],
     )
 
 
@@ -238,6 +241,129 @@ def pq_adc_topk(
             F.col("id").alias("neighbor_id"),
             F.posexplode(adc("code")).alias("qi", "adc_dot"),
         )
+        .withColumn("query_id", F.element_at(qmap, F.col("qi") + 1))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dot", "rnk")
+    )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probes: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    by_residual: bool = True,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVFADC — the coarse-quantizer + product-quantizer composition of
+    Jégou/Douze/Schmid (TPAMI 2011) and the index family behind every
+    billion-scale vector store: corpus vectors are assigned to
+    ``n_cells`` k-means cells (v7's trained coarse quantizer) and
+    stored as ``(id, cell, code)`` PQ rows; each query probes its
+    ``n_probes`` nearest cells and ADC-scores ONLY those cells' codes.
+    Both halves reuse their certified operators — ``kmeans_fit`` /
+    ``nearest_cells`` (v7) and ``pq_fit`` / ``pq_encode`` / the
+    numpy-LUT ADC kernel (v11) — so the composition needs no new math,
+    only the probe filter.
+
+    ``by_residual=True`` (default — the paper's IVFADC proper) encodes
+    the RESIDUAL v − centroid(cell): residual magnitudes are a fraction
+    of vector magnitudes, so the same ksub codebook spends its
+    resolution on a smaller ball and the estimate tightens; the ADC
+    score adds the exact dot(q, centroid(cell)) offset per probed cell
+    (dot(q, c + r) = dot(q, c) + dot(q, r) — the offset is free at
+    LUT-build time). ``by_residual=False`` composes the raw pieces
+    unchanged, and at ``n_probes = n_cells`` PROVABLY equals
+    :func:`pq_adc_topk` over the whole corpus (every cell probed ⇒ the
+    candidate set is the entire encoded corpus — the v7 probe-all
+    precedent, pinned by pytest).
+
+    Scale shape: the stored table is slim codes; at rest it should be
+    clustered by ``cell`` (``write_parquet(cluster_by='cell')``) so the
+    probe filter prunes row groups at scan — here the filter runs
+    before the scoring kernel, so only probed cells' rows are ever
+    scored. Queries are a bounded batch (collected once, LUTs in the
+    kernel closure — the kmeans model pattern)."""
+    from .similarity import kmeans_fit, nearest_cells
+
+    if centroids is None:
+        centroids, _ = kmeans_fit(
+            corpus, k=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    dsub = dim // m
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("cell", nearest_cells("v", centroids, 1).getItem(0))
+    if by_residual:
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
+        )
+        c = c.withColumn(
+            "v", F.zip_with("v", F.element_at(cent_lit, F.col("cell") + 1), lambda a, b: a - b)
+        )
+    if codebooks is None:
+        codebooks = pq_fit(c, m=m, ksub=ksub, dim=dim, id_col="id", vec_col="v")
+    stored = pq_encode(c, codebooks, id_col="id", vec_col="v", extra_cols=["cell"])
+
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .collect()
+    )
+    q_ids = [r[0] for r in q_rows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    CBS = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    LUT = np.stack(
+        [np.stack([CBS[s] @ q[s * dsub : (s + 1) * dsub] for s in range(m)]) for q in Q]
+    )
+    offsets = Q @ C.T if by_residual else np.zeros((len(q_ids), len(C)))
+    # each query's probed cells, ordered nearest-first (driver-side —
+    # |queries| × n_probes ints)
+    d2q = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+    probes = np.argsort(d2q, axis=1, kind="stable")[:, :n_probes]
+    probe_sets = [set(int(x) for x in row) for row in probes]
+    all_probed = sorted(set().union(*probe_sets))
+
+    @F.pandas_udf("array<double>")
+    def adc(cell: pd.Series, codes: pd.Series) -> pd.Series:
+        Cd = np.stack(codes.to_numpy())
+        cells = cell.to_numpy().astype(int)
+        cols = np.arange(m)
+        out = np.stack(
+            [
+                np.where(
+                    np.isin(cells, list(probe_sets[qi])),
+                    offsets[qi, cells] + LUT[qi][cols, Cd].sum(axis=1),
+                    -np.inf,  # unprobed cell for this query → never ranks
+                )
+                for qi in range(len(q_ids))
+            ],
+            axis=1,
+        )
+        return pd.Series(list(out))
+
+    qmap = F.array(*[F.lit(int(i)) for i in q_ids])
+    scored = (
+        stored.filter(F.col("cell").isin(all_probed))  # prune before scoring
+        .select(
+            F.col("id").alias("neighbor_id"),
+            F.posexplode(adc("cell", "code")).alias("qi", "adc_dot"),
+        )
+        .filter(F.col("adc_dot") != float("-inf"))
         .withColumn("query_id", F.element_at(qmap, F.col("qi") + 1))
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )

@@ -2198,6 +2198,26 @@ def q_pq_adc_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_ONLY["v11_prod"] = q_pq_adc_prod
 
 
+def q_ivfadc_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v12_prod: IVFADC — the coarse-cells + residual-PQ + ADC
+    composition (Jégou et al.'s billion-scale index), built entirely
+    from the certified v7 and v11 operators: k-means cells, residual
+    PQ codes, per-query LUT + centroid-offset scoring over probed cells
+    only. Bench-only: the probe-all/no-residual degeneracy is pinned
+    exactly equal to flat ADC in pytest (the v7 precedent), and the
+    residual path carries a recall floor — registering a third
+    quantizer certification would duplicate v11's verdict machinery for
+    no new evidence."""
+    from ..operators.quantization import ivfadc_topk
+
+    e = _embs(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < 3)
+    return ivfadc_topk(e, qs, k=5, n_cells=8, n_probes=2, m=8, ksub=16)
+
+
+BENCH_ONLY["v12_prod"] = q_ivfadc_prod
+
+
 def q_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-canonical fuzzy dedup: quality gate → LSH pairs →
     connected components → keep each component's MINIMUM id (plus all

@@ -744,6 +744,64 @@ def test_pq_distortion_monotone_and_recall_floor(spark, sf_dir):
     assert recall >= 0.9, recall
 
 
+def test_ivfadc_probe_all_equals_flat_adc(spark):
+    """The v7 probe-all precedent applied to the composition: IVFADC
+    with every cell probed and no residual encoding is EXACTLY flat
+    ADC over the whole corpus — same codebooks (identical fit input),
+    same codes, same gather-sum (the zero offset is exact in IEEE),
+    same tie-break — so the coarse layer provably only restricts
+    candidates, never perturbs scores."""
+    import numpy as np
+
+    from nyc_taxi_etl_dashboard_spark.operators.quantization import (
+        ivfadc_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    df = _planted_corpus(spark)
+    qs = df.filter(F.col("vec_id") % 5 == 0)
+    cbs = pq_fit(df, m=8, ksub=16)
+    flat = pq_adc_topk(pq_encode(df, cbs), qs, cbs, k=4).collect()
+    ivf = ivfadc_topk(
+        df, qs, k=4, n_cells=4, n_probes=4, m=8, ksub=16, by_residual=False
+    ).collect()
+    key = lambda rows: sorted((r.query_id, r.rnk, r.neighbor_id, round(r.adc_dot, 9)) for r in rows)
+    assert key(ivf) == key(flat)
+    assert len(ivf) > 0
+
+
+def test_ivfadc_residual_recall_floor(spark):
+    """IVFADC proper (residual encoding, nprobe=2 of 4 cells) on the
+    planted near-neighbor corpus: recall@4 against exact dot top-4
+    clears a measured floor — the composition loses little vs the flat
+    scan while scoring only probed cells."""
+    import numpy as np
+
+    from nyc_taxi_etl_dashboard_spark.operators.quantization import ivfadc_topk
+
+    df = _planted_corpus(spark)
+    qs = df.filter(F.col("vec_id") % 5 == 0)
+    got = ivfadc_topk(df, qs, k=4, n_cells=4, n_probes=2, m=8, ksub=32).collect()
+    X = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in df.collect()}
+    hits = total = 0
+    for qid in X:
+        if qid % 5 != 0:
+            continue
+        want = {
+            i
+            for _, i in sorted(
+                ((float(X[qid] @ X[i]), i) for i in X if i != qid),
+                key=lambda t: (-t[0], t[1]),
+            )[:4]
+        }
+        mine = {r.neighbor_id for r in got if r.query_id == qid}
+        hits += len(want & mine)
+        total += 4
+    assert hits / total >= 0.8, hits / total
+
+
 def test_pq_fit_refuses_undersized_sample(spark):
     from nyc_taxi_etl_dashboard_spark.operators.quantization import pq_fit
 

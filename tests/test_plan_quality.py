@@ -47,6 +47,18 @@ def test_ann_certification_queries_stay_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
 
 
+def test_pq_certification_stays_broadcast_with_cached_corpus(spark, sf_dir):
+    """v11's pair loop must broadcast the (3-row) query side and read
+    the encoded/reconstructed corpus from the persisted relation — the
+    persist is what keeps the per-VECTOR folds (reconstruction, norms,
+    residual) from being inlined into the per-PAIR projection by
+    CollapseProject (the §8 trap, which would triple pair cost)."""
+    plan = _plan(spark, sf_dir, "v11_pq_adc")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # corpus side served from the persist
+
+
 def test_lm_gate_window_shuffles_by_lang_not_globally(spark, sf_dir):
     """t12's percent_rank window must exchange on the lang hash only —
     a rangepartitioning exchange would mean Catalyst planned a global
