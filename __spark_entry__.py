@@ -76,7 +76,9 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         # overflow for v11 — see _is_overflow)
         "e7_robust_json",
         "dd8_dup_clusters",
-        "dd9_jaccard_estimate",
+        # dd9 left this list in round 8 (rotated to overflow for the
+        # three new round-8 queries t15/x12/x13; signature-agreement
+        # scoring still evidenced in-window by dd11's estimate column)
         "dd10_cluster_curation",
         "x7_corpus_pipeline",
         "w6_cumulative_revenue",
@@ -173,6 +175,13 @@ def _is_overflow(name: str) -> bool:
         # frozen; semi-structured parsing machinery still evidenced
         # in-window by e7 (from_json robust path on the same fixture)
         "e6",
+        # a7/w2 out for t15/x12/x13 (round 8): a7's SUM+SUM revenue is
+        # evidenced in-window by a12 (same sums as KPI inputs) and a13
+        # (grouped revenue sums); w2's per-row count measure by a9 (the
+        # same daily counts as a grouped agg) plus w1/w6 (window
+        # machinery). dd9 (already overflow-prefixed) leaves the
+        # priority list the same round.
+        "a7", "w2",
     )
     return name.split("_")[0] in overflow_prefixes
 

@@ -108,6 +108,12 @@ CURATION = [
     # round-8: PQ+ADC certification shape (the production ranking path
     # is benched separately as v11_prod in prod_paths)
     "v11_pq_adc",
+    # round-8 second wave: Bloom decontamination (certification runs the
+    # exact leg too; the bloom-only probe is t15_prod in prod_paths),
+    # cell-balanced diversity sampling, and weighted priority sampling
+    "t15_bloom_decontaminate",
+    "x12_diversity_sample",
+    "x13_weighted_sample",
 ]
 
 

@@ -96,6 +96,32 @@ def rhp_signature(vec_col: str = "embedding", n_planes: int = 16, dim: int = 64)
     ).alias("rhp_sig")
 
 
+def rhp_cell_portable(
+    vec_col: str = "embedding", n_planes: int = 4, dim: int = 64
+) -> Column:
+    """ENGINE-PORTABLE random-hyperplane cell id (bigint in
+    [0, 2^n_planes)). Same construction as :func:`rhp_signature` but the
+    pseudo-random ±1 weight is an LCG over (plane, dim-index) —
+    ``((p*dim+j)*1103515245 + 12345) % 2^31 < 2^30`` — instead of
+    Spark-private murmur ``hash()``, so a DuckDB oracle reproduces the
+    cell of every vector bit-for-bit (integer LCG + an in-order double
+    fold both engines evaluate identically). Used where the CELL ID
+    itself is part of a certified output (x12 diversity sampling);
+    the murmur variant stays the production default for pure bucketing,
+    where only collision structure matters.
+    """
+    per_plane = (
+        f"aggregate(transform(sequence(0, {dim - 1}), j -> "
+        f"cast({vec_col}[j] as double) * (CASE WHEN (cast(p * {dim} + j as bigint) * 1103515245 + 12345) % 2147483648 < 1073741824 "
+        "THEN 1.0 ELSE -1.0 END)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), (acc, p) -> "
+        f"acc + (CASE WHEN {per_plane} > 0 THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))"
+    )
+
+
 def rhp_projections(n_planes: int = 16, dim: int = 64) -> Column:
     """Per-plane signed projections v · h_p (array<double>) for the same
     deterministic hyperplanes :func:`rhp_signature` uses. The sign of

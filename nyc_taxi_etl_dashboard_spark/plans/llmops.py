@@ -992,6 +992,168 @@ SELECT t.doc_id, coalesce(h.n_hit, 0) AS n_hit,
 FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t15: BLOOM-FILTER decontamination — t8's production form at
+    benchmark-suite scale. t8 broadcasts the eval set's distinct shingle
+    STRINGS and semi-joins; real decontamination suites (every n-gram of
+    every published benchmark) reach tens of millions of strings — a
+    multi-GB broadcast hash table. Here the eval membership set is
+    compressed into an m-bit Bloom filter and the probe is a map-side
+    bit test folded into whole-stage codegen: no join, no string
+    broadcast, no shuffle before the per-doc count. The one-sided error
+    over-removes (flags a clean doc), never under-removes — the safe
+    direction for decontamination, which is why this is the standard
+    100 TB shape.
+
+    Certification runs BOTH legs and emits per-doc exact and bloom
+    decisions plus ``superset_ok`` (bloom_hits >= exact_hits — the Bloom
+    no-false-negative guarantee) asserted row by row; the oracle
+    reproduces every bit decision because the base hash is the portable
+    polynomial token fold and the k probe positions are affine maps of
+    it (operators/bloom.py). ``t15_prod`` (BENCH_ONLY) times the
+    bloom-only leg."""
+    from ..operators import bloom
+
+    d = _docs(spark, sf_dir)
+    sh = with_shingles(d.select("doc_id", "source", "text"))
+    ev = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.explode("shingle").alias("sh"))
+        .distinct()
+    )
+    words = bloom.bloom_build(ev, "sh")
+    train = sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.array_size("shingle").alias("n_sh"), "shingle"
+    )
+    ex = (
+        train.select("doc_id", F.explode("shingle").alias("sg"))
+        .withColumn("H", bloom.shingle_hash("sg"))
+        .withColumn(
+            "bloom_hit", bloom.bloom_member_expr(F.col("H"), words).cast("int")
+        )
+        .join(
+            F.broadcast(ev.withColumn("exact_hit", F.lit(1))),
+            F.col("sg") == F.col("sh"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bloom_hit").alias("n_bloom_hit"),
+            F.sum(F.coalesce("exact_hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    ratio = lambda n: F.when(  # noqa: E731
+        F.col("n_sh") > 0, F.col(n) / F.col("n_sh")
+    ).otherwise(F.lit(0.0))
+    return (
+        train.select("doc_id", "n_sh")
+        .join(ex, "doc_id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .withColumn("n_bloom_hit", F.coalesce("n_bloom_hit", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_hit",
+            "n_bloom_hit",
+            (ratio("n_hit") >= 0.1).alias("contaminated"),
+            (ratio("n_bloom_hit") >= 0.1).alias("bloom_contaminated"),
+            (F.col("n_bloom_hit") >= F.col("n_hit")).alias("superset_ok"),
+        )
+    )
+
+
+def q_bloom_decontaminate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t15_prod: the bloom-only leg — build the bitset from the eval
+    slice, probe the corpus map-side, per-doc contamination verdicts.
+    No exact join anywhere (that leg exists only to certify)."""
+    from ..operators import bloom
+
+    d = _docs(spark, sf_dir)
+    sh = with_shingles(d.select("doc_id", "source", "text"))
+    ev = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.explode("shingle").alias("sh"))
+        .distinct()
+    )
+    words = bloom.bloom_build(ev, "sh")
+    train = sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.array_size("shingle").alias("n_sh"), "shingle"
+    )
+    hits = (
+        train.select("doc_id", F.explode("shingle").alias("sg"))
+        .withColumn("H", bloom.shingle_hash("sg"))
+        .withColumn(
+            "bloom_hit", bloom.bloom_member_expr(F.col("H"), words).cast("int")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bloom_hit").alias("n_bloom_hit"))
+    )
+    return (
+        train.select("doc_id", "n_sh")
+        .join(hits, "doc_id", "left")
+        .withColumn("n_bloom_hit", F.coalesce("n_bloom_hit", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_bloom_hit",
+            (
+                F.when(F.col("n_sh") > 0, F.col("n_bloom_hit") / F.col("n_sh"))
+                .otherwise(F.lit(0.0))
+                >= 0.1
+            ).alias("bloom_contaminated"),
+        )
+    )
+
+
+QUERIES["t15_bloom_decontaminate"] = q_bloom_decontaminate
+
+from ..operators.bloom import BLOOM_M_BITS as _BLOOM_M  # noqa: E402
+from ..operators.bloom import BLOOM_PARAMS as _BLOOM_PARAMS  # noqa: E402
+
+#: DuckDB twin of operators/bloom.py's base hash: polynomial token fold
+#: of the shingle string (same fold t3's fingerprint oracle uses).
+_H_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({v}, ' '), tok -> CAST("
+    + _TV.format(v="tok")
+    + f" AS BIGINT))), (acc, x) -> (acc * {POLY_BASE} + x) % {POLY_MOD})"
+)
+
+#: probe-position predicates generated from the SAME constants the Spark
+#: side uses (operators/bloom.py) — the GATE_* pattern against drift.
+_BLOOM_POS_UNION = "\n      UNION ".join(
+    f"SELECT DISTINCT ({a}*H+{b}) % {_BLOOM_M} AS pos FROM evh"
+    for a, b in _BLOOM_PARAMS
+)
+_BLOOM_ALL_SET = "\n                   AND ".join(
+    f"({a}*H+{b}) % {_BLOOM_M} IN (SELECT pos FROM B)" for a, b in _BLOOM_PARAMS
+)
+
+ORACLES["t15_bloom_decontaminate"] = f"""
+WITH {_SHINGLES_CTE},
+s AS (SELECT sh.doc_id, d.source, sh.shingle FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+ev AS (SELECT DISTINCT unnest(shingle) AS s FROM s WHERE source = 'src0'),
+evh AS (SELECT {_H_SQL.format(v='s')} AS H FROM ev),
+B AS ({_BLOOM_POS_UNION}),
+train AS (SELECT doc_id, len(shingle) AS n_sh, shingle FROM s WHERE source <> 'src0'),
+tr AS (SELECT doc_id, unnest(shingle) AS sg FROM train),
+trh AS (SELECT doc_id, sg, {_H_SQL.format(v='sg')} AS H FROM tr),
+hits AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN sg IN (SELECT s FROM ev) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         CAST(sum(CASE WHEN {_BLOOM_ALL_SET}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit
+  FROM trh GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(h.n_hit, 0) AS n_hit,
+       coalesce(h.n_bloom_hit, 0) AS n_bloom_hit,
+       CASE WHEN t.n_sh > 0 THEN coalesce(h.n_hit, 0) * 1.0 / t.n_sh ELSE 0.0 END >= 0.1 AS contaminated,
+       CASE WHEN t.n_sh > 0 THEN coalesce(h.n_bloom_hit, 0) * 1.0 / t.n_sh ELSE 0.0 END >= 0.1 AS bloom_contaminated,
+       coalesce(h.n_bloom_hit, 0) >= coalesce(h.n_hit, 0) AS superset_ok
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
+
+
+BENCH_ONLY["t15_prod"] = q_bloom_decontaminate_prod
+
+
 #: per-language keep percentages for the domain-mixing sampler: the
 #: fixture's 'en' slice is ~3x any other language, so the mix flattens
 #: it — the standard training-mixture rebalancing move.
@@ -1348,6 +1510,129 @@ _STRATA_CASE = "CASE lang " + " ".join(
 ORACLES["x5_stratified_sample"] = f"""
 SELECT doc_id, lang, source FROM documents
 WHERE (doc_id * 2654435761) % 100 < {_STRATA_CASE}"""
+
+
+#: x12 config: 4 portable hyperplanes → 16 locality cells (~31
+#: vectors/cell at sf0.01, so the cap genuinely bites); keep the 10
+#: lowest-priority-hash vectors per cell.
+X12_PLANES = 4
+X12_CELL_CAP = 10
+
+
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x12: CLUSTER-BALANCED diversity sampling — cap every embedding-
+    space locality cell's contribution so dense regions (boilerplate,
+    templated text) can't dominate the curated set; the diversity-
+    preserving counterpart of v10's SemDeDup (which removes near-dups,
+    while this rebalances across the whole space — the DiverseSample /
+    cluster-balanced-selection stage of modern curation stacks).
+
+    Cell = portable random-hyperplane signature
+    (:func:`..operators.similarity.rhp_cell_portable` — the LCG-weight
+    variant, so the oracle reproduces each vector's cell exactly);
+    per-cell cap enforced by the SKEW-SAFE quota kernel
+    (:func:`..operators.skew.capped_keep_first`, x10's operator —
+    count-once + map-side pass-through + salted two-phase window), with
+    a decorrelated portable hash of vec_id as the keep priority so the
+    sample inside a hot cell is unbiased w.r.t. insertion order.
+
+    Scale shape: one narrow map computes cells (codegen'd fold, no
+    Python), the quota kernel shuffles only over-cap cells' slim rows.
+    At 100 TB with a trained quantizer, swap ``rhp_cell_portable`` for
+    the v7 k-means assignment — the quota machinery is unchanged."""
+    from ..operators.similarity import rhp_cell_portable
+    from ..operators.skew import capped_keep_first
+
+    e = _embs(spark, sf_dir)
+    cells = e.select(
+        "vec_id",
+        rhp_cell_portable("embedding", n_planes=X12_PLANES).alias("cell"),
+        ((F.col("vec_id") * F.lit(2654435761)) % F.lit(1000003)).alias("prio"),
+    ).withColumn("__ord", F.struct("prio", "vec_id"))
+    return capped_keep_first(
+        cells, "cell", "__ord", F.lit(X12_CELL_CAP)
+    ).select("vec_id", "cell", "prio")
+
+
+QUERIES["x12_diversity_sample"] = q_diversity_sample
+
+#: DuckDB twin of rhp_cell_portable: per-plane signed projection with the
+#: same LCG ±1 weights and the same in-order fold (DuckDB arrays are
+#: 1-based, hence embedding[j+1]).
+_X12_PROJ = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(64), j -> CAST(embedding[j+1] AS DOUBLE) * "
+    "(CASE WHEN (({p} * 64 + j) * 1103515245 + 12345) % 2147483648 < 1073741824 "
+    "THEN 1.0 ELSE -1.0 END))), (a, x) -> a + x)"
+)
+_X12_CELL = " + ".join(
+    f"(CASE WHEN {_X12_PROJ.format(p=p)} > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(X12_PLANES)
+)
+ORACLES["x12_diversity_sample"] = f"""
+WITH c AS (
+  SELECT vec_id, CAST({_X12_CELL} AS BIGINT) AS cell,
+         (vec_id * 2654435761) % 1000003 AS prio
+  FROM embeddings),
+r AS (SELECT vec_id, cell, prio,
+             row_number() OVER (PARTITION BY cell ORDER BY prio, vec_id) AS rn
+      FROM c)
+SELECT vec_id, cell, prio FROM r WHERE rn <= {X12_CELL_CAP}"""
+
+
+#: x13 config: per-language sample size for the weighted (priority)
+#: sampler; weight = token count, so long documents are favored
+#: proportionally to their training-token contribution.
+X13_PER_STRATUM = 30
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x13: WEIGHTED sampling without replacement, deterministic form —
+    per language keep the ``X13_PER_STRATUM`` documents with the highest
+    Duffield–Lund–Thorup priority ``w / u``, where w = token count (a
+    doc's training-token contribution) and u ∈ (0,1) is a portable hash
+    of doc_id standing in for the uniform draw. Inclusion probability
+    is ∝ min(1, w/τ) — the weighted-reservoir semantics (the
+    Efraimidis–Spirakis ``u^(1/w)`` key induces the same order) with
+    ZERO transcendental functions: priority = w·K/h is one integer
+    multiply and one IEEE-exact divide, so every engine ranks
+    identically and re-runs/retries/backfills select the exact same
+    docs — the lineage-stability property training pipelines need.
+
+    Selection rides the skew-safe quota kernel (x10's
+    ``capped_keep_first``): a stratum with 40% of the corpus spreads
+    over the salted two-phase window instead of one task."""
+    from ..operators.skew import capped_keep_first
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.array_size(F.split("text", " ")).cast("bigint").alias("w"),
+        (((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)) + F.lit(1)).alias(
+            "h"
+        ),
+    ).withColumn(
+        "priority", F.col("w").cast("double") * F.lit(1000004.0) / F.col("h")
+    )
+    ranked = t.withColumn("__ord", F.struct((-F.col("priority")).alias("np"), "doc_id"))
+    return capped_keep_first(
+        ranked, "lang", "__ord", F.lit(X13_PER_STRATUM)
+    ).select("doc_id", "lang", "w", F.round("priority", 6).alias("priority"))
+
+
+QUERIES["x13_weighted_sample"] = q_weighted_sample
+ORACLES["x13_weighted_sample"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         (doc_id * 2654435761) % 1000003 + 1 AS h
+  FROM documents),
+k AS (SELECT doc_id, lang, w, CAST(w AS DOUBLE) * 1000004.0 / h AS priority FROM t),
+r AS (SELECT doc_id, lang, w, priority,
+             row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+      FROM k)
+SELECT doc_id, lang, w, round(priority, 6) AS priority FROM r WHERE rn <= {X13_PER_STRATUM}"""
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
