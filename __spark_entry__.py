@@ -182,6 +182,10 @@ def _is_overflow(name: str) -> bool:
         # machinery). dd9 (already overflow-prefixed) leaves the
         # priority list the same round.
         "a7", "w2",
+        # a16 out for t16 (round 8): grouped revenue sum by location is
+        # the same aggregate shape as the in-window a13 (grouped revenue
+        # sum by payment); green r1-r7, source untouched.
+        "a16",
     )
     return name.split("_")[0] in overflow_prefixes
 

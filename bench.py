@@ -114,6 +114,7 @@ CURATION = [
     "t15_bloom_decontaminate",
     "x12_diversity_sample",
     "x13_weighted_sample",
+    "t16_bm25_topk",
 ]
 
 

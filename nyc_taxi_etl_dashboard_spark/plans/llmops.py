@@ -1154,6 +1154,122 @@ FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
 BENCH_ONLY["t15_prod"] = q_bloom_decontaminate_prod
 
 
+#: t16 config: BM25 query terms chosen for df contrast on the fixture
+#: ('dup' is rare — df 25/500 at sf0.01 — the others common, so idf
+#: genuinely orders the scores); Lucene-standard k1/b.
+BM25_QUERY = ("dup", "data", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 25
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t16: BM25 retrieval scoring — rank the corpus against a query
+    (the relevance primitive behind retrieval-based curation: scoring
+    training docs against eval questions, targeted-domain upsampling,
+    and dedup-against-benchmark triage).
+
+    Scale shape: because the query is a compile-time constant, term
+    frequencies are per-row ``size(filter(tokens, = term))`` expressions
+    — NO explode, NO per-term shuffle, no inverted index. Corpus stats
+    (N, avgdl, each term's df) reduce in ONE aggregation pass to a
+    single broadcast row; scoring is then a map-side expression and the
+    result a TakeOrderedAndProject top-k. Two passes over the corpus
+    total, both full-scan-parallel, shuffling only the stats row and
+    the top-k. The term-contribution sum is a FIXED-ORDER three-column
+    addition (not a float aggregation), so the score is bit-identical
+    across engines and partitionings."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+
+    def tf_of(term: str):
+        # NB: a `lambda x, t=term:` default would make pyspark treat the
+        # lambda as the binary (element, index) HOF form and bind the
+        # INDEX to t — close over the term instead.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+
+    tf_cols = {t: tf_of(t) for t in BM25_QUERY}
+    scored = d.select(
+        "doc_id",
+        F.array_size(toks).cast("double").alias("dl"),
+        *[c.alias(f"tf_{t}") for t, c in tf_cols.items()],
+    )
+    stats = scored.agg(
+        F.count(F.lit(1)).cast("double").alias("N"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("double")).alias(f"df_{t}")
+            for t in BM25_QUERY
+        ],
+    )
+    withstats = scored.crossJoin(F.broadcast(stats))
+
+    def term_score(t: str):
+        idf = F.log(
+            (F.col("N") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf_{t}")
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        return idf * tf * F.lit(BM25_K1 + 1.0) / denom
+
+    total = term_score(BM25_QUERY[0])
+    for t in BM25_QUERY[1:]:
+        total = total + term_score(t)
+    from pyspark.sql import Window
+
+    # top-k via orderBy+limit => TakeOrderedAndProject (per-partition
+    # partial top-k, no global sort task); the rank window then runs
+    # over only the k survivors, not the corpus.
+    top = (
+        withstats.withColumn("bm25", F.round(total, 6))
+        .filter(sum((F.col(f"tf_{t}") > 0).cast("int") for t in BM25_QUERY) > 0)
+        .select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+    return top.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))),
+    )
+
+
+QUERIES["t16_bm25_topk"] = q_bm25_topk
+
+_BM25_TF = "CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+_BM25_TERM = (
+    "(ln((N - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0) * tf_{t} * {k1_1} "
+    "/ (tf_{t} + {k1} * ({one_b} + {b} * dl / avgdl)))"
+)
+_BM25_SUM = " + ".join(
+    _BM25_TERM.format(
+        t=t,
+        k1=BM25_K1,
+        k1_1=BM25_K1 + 1.0,
+        one_b=1.0 - BM25_B,
+        b=BM25_B,
+    )
+    for t in BM25_QUERY
+)
+ORACLES["t16_bm25_topk"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sc AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+              {", ".join(f"{_BM25_TF.format(t=t)} AS tf_{t}" for t in BM25_QUERY)}
+       FROM t),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl,
+              {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1.0 ELSE 0.0 END) AS df_{t}" for t in BM25_QUERY)}
+       FROM sc),
+r AS (SELECT doc_id, round({_BM25_SUM}, 6) AS bm25
+      FROM sc CROSS JOIN st
+      WHERE {" + ".join(f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in BM25_QUERY)} > 0)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk
+FROM r QUALIFY rnk <= {BM25_TOP_K}"""
+
+
 #: per-language keep percentages for the domain-mixing sampler: the
 #: fixture's 'en' slice is ~3x any other language, so the mix flattens
 #: it — the standard training-mixture rebalancing move.

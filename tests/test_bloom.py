@@ -184,3 +184,26 @@ def test_x13_selects_highest_priorities(spark, sf_dir):
             worst_kept = min((pri[i][0], -i) for i in kept_ids)
             best_drop = max((p, -i) for p, i in dropped)
             assert worst_kept >= best_drop
+
+
+def test_t16_plan_and_idf_ordering(spark, sf_dir):
+    """BM25 must plan as map-side scoring + TakeOrderedAndProject (no
+    explode, no global sort), and the rare term must dominate: a doc
+    containing 'dup' (df ~5%) outranks any doc with the same tf count
+    of common terms only."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import q_bm25_topk
+
+    df = q_bm25_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no explode anywhere
+    rows = df.collect()
+    assert 0 < len(rows) <= 25
+    # ranks are 1..n dense and ordered by score desc
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the top doc contains the rare query term
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top_text = d.filter(d.doc_id == rows[0].doc_id).collect()[0].text
+    assert "dup" in top_text.split()
