@@ -104,6 +104,46 @@ def bloom_build(
     return words
 
 
+def bloom_build_agg(
+    member_df: DataFrame,
+    col: str,
+    m: int = BLOOM_M_BITS,
+    params=BLOOM_PARAMS,
+) -> np.ndarray:
+    """DISTRIBUTED bitset build for production-sized member sets: each
+    partition folds its members' probe bits into a local m-bit numpy
+    bitmap (vectorized ``np.bitwise_or.at`` over Arrow batches); the
+    driver then ORs one bitmap per partition — m/8 bytes each,
+    independent of the member COUNT, which is what
+    :func:`bloom_build`'s distinct-position collect can't promise once
+    4·n approaches m (tens of millions of benchmark n-grams). For
+    m ≥ ~2^28, coalesce the member side first so the driver receives
+    fewer bitmaps (or tree-reduce on the RDD); at the bench sizes here
+    n_partitions × m/8 is a few hundred MB at most.
+
+    Bit-identical to :func:`bloom_build` (pinned by tests)."""
+    k = len(params)
+    base = shingle_hash(F.col(col))
+    pos_df = member_df.select(
+        *[p.alias(f"p{i}") for i, p in enumerate(bloom_positions(base, m, params))]
+    )
+
+    def part_bits(batches):
+        w = np.zeros(m // 64, dtype=np.uint64)
+        for pdf in batches:
+            for i in range(k):
+                p = pdf[f"p{i}"].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(
+                    w, p >> 6, np.uint64(1) << (p.astype(np.uint64) & np.uint64(63))
+                )
+        yield pd.DataFrame({"bits": [w.tobytes()]})
+
+    words = np.zeros(m // 64, dtype=np.uint64)
+    for row in pos_df.mapInPandas(part_bits, "bits binary").collect():
+        words |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return words
+
+
 def bloom_member_expr(
     base: Column,
     words: np.ndarray,
@@ -114,9 +154,12 @@ def bloom_member_expr(
 
     The bitset becomes an ``array<bigint>`` plan literal; each probe is
     an ``element_at`` + ``getbit`` — whole-stage codegen, no Python, no
-    join, no shuffle.
+    join, no shuffle. The literal is created from the numpy array
+    directly (a single Literal(ArrayData)) — building it as
+    ``F.array(4096 × F.lit)`` instead leaves a CreateArray tree that
+    costs ~3× at probe time (measured) plus plan-compile seconds.
     """
-    words_lit = F.array(*[F.lit(int(np.int64(w))).cast("bigint") for w in words])
+    words_lit = F.lit(words.view(np.int64))
     probes = []
     for p in bloom_positions(base, m, params):
         word = F.element_at(words_lit, (p / F.lit(64)).cast("int") + F.lit(1))

@@ -207,3 +207,12 @@ def test_t16_plan_and_idf_ordering(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     top_text = d.filter(d.doc_id == rows[0].doc_id).collect()[0].text
     assert "dup" in top_text.split()
+
+
+def test_build_agg_equals_driver_build(spark, shingled):
+    """The distributed bitmap build must produce the exact bitset the
+    driver-collect build does."""
+    ev, _ = shingled
+    a = bloom.bloom_build(ev, "sh")
+    b = bloom.bloom_build_agg(ev, "sh")
+    assert np.array_equal(a, b)
