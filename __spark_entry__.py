@@ -186,6 +186,10 @@ def _is_overflow(name: str) -> bool:
         # the same aggregate shape as the in-window a13 (grouped revenue
         # sum by payment); green r1-r7, source untouched.
         "a16",
+        # a15 out for x14 (round 8): the histogram's binned-count
+        # machinery (bucket expr + grouped count) is evidenced in-window
+        # by a14 (range bucketing + grouped agg + share); green r1-r7.
+        "a15",
     )
     return name.split("_")[0] in overflow_prefixes
 

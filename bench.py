@@ -115,6 +115,7 @@ CURATION = [
     "x12_diversity_sample",
     "x13_weighted_sample",
     "t16_bm25_topk",
+    "x14_curation_pipeline_v3",
 ]
 
 

@@ -1751,6 +1751,157 @@ r AS (SELECT doc_id, lang, w, priority,
 SELECT doc_id, lang, w, round(priority, 6) AS priority FROM r WHERE rn <= {X13_PER_STRATUM}"""
 
 
+#: x14 config: weighted-sample width before the diversity cap, and the
+#: text-locality cell = low 4 bits of the dd5 SimHash (16 cells, cap 8
+#: — both sized so every stage bites on the sf0.01 fixture).
+X14_PER_LANG = 40
+X14_CELL_BITS = 4
+X14_CELL_CAP = 8
+
+
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x14: the ROUND-8 composed curation pipeline — third end-to-end
+    composition contract next to x7 (decontamination arm) and x11
+    (domain-balance + classifier arm), chaining the round-8 second wave
+    in production order:
+
+    1. skew-safe per-source quota (x10's ``capped_keep_first``),
+    2. BLOOM decontamination (t15's map-side probe; eval set = the raw
+       corpus's src0 slice, built BEFORE the quota so benchmark
+       membership is never silently thinned; drop overlap ≥ 0.1 and the
+       eval slice itself),
+    3. weighted priority sampling per language (x13's DLT ``w/u`` key,
+       width ``X14_PER_LANG``),
+    4. text-locality diversity cap (x12's shape with dd5's portable
+       SimHash low bits as the cell — documents need no embedding row,
+       so the stage covers the whole corpus at any sf).
+
+    Every stage is map-only or slim-window; corpus-wide shuffles are the
+    quota/sample/cap windows (each on slim projections) and the per-doc
+    bloom-hit aggregation. Stage boundaries pinned by pytest."""
+    from ..operators import bloom
+    from ..operators.dedup import simhash32
+    from ..operators.skew import capped_keep_first
+
+    d = _docs(spark, sf_dir)
+    # stage 2's eval set from the RAW corpus (pre-quota)
+    sh_all = with_shingles(d.select("doc_id", "source", "text"))
+    ev = (
+        sh_all.filter(F.col("source") == "src0")
+        .select(F.explode("shingle").alias("sh"))
+        .distinct()
+    )
+    words = bloom.bloom_build(ev, "sh")
+    # stage 1: quota
+    quota_keep = capped_keep_first(
+        d.select("doc_id", "source"), "source", "doc_id", _quota_expr()
+    ).select("doc_id")
+    d1 = d.join(quota_keep, "doc_id").filter(F.col("source") != "src0")
+    # stage 2: bloom probe on the survivors
+    sh1 = with_shingles(d1.select("doc_id", "text"))
+    spine = sh1.select("doc_id", F.array_size("shingle").alias("n_sh"))
+    hits = (
+        sh1.select("doc_id", F.explode("shingle").alias("sg"))
+        .withColumn("H", bloom.shingle_hash("sg"))
+        .withColumn(
+            "bloom_hit", bloom.bloom_member_expr(F.col("H"), words).cast("int")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bloom_hit").alias("n_bloom_hit"))
+    )
+    clean = (
+        spine.join(hits, "doc_id", "left")
+        .withColumn("n_bloom_hit", F.coalesce("n_bloom_hit", F.lit(0)))
+        .filter(
+            F.when(
+                F.col("n_sh") > 0, F.col("n_bloom_hit") / F.col("n_sh")
+            ).otherwise(F.lit(0.0))
+            < 0.1
+        )
+        .select("doc_id")
+    )
+    d2 = d1.join(clean, "doc_id")
+    # stage 3: weighted per-language priority sample
+    t = d2.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.array_size(F.split("text", " ")).cast("bigint").alias("w"),
+        (((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)) + F.lit(1)).alias(
+            "h"
+        ),
+    ).withColumn(
+        "priority", F.col("w").cast("double") * F.lit(1000004.0) / F.col("h")
+    )
+    ranked = t.withColumn(
+        "__ord", F.struct((-F.col("priority")).alias("np"), "doc_id")
+    )
+    d3 = capped_keep_first(ranked, "lang", "__ord", F.lit(X14_PER_LANG)).drop(
+        "__ord", "np", "w", "h", "priority"
+    )
+    # stage 4: text-locality diversity cap on SimHash low bits
+    cells = d3.select(
+        "doc_id",
+        "lang",
+        "source",
+        simhash32("text").bitwiseAND(F.lit((1 << X14_CELL_BITS) - 1)).alias("cell"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)).alias("prio"),
+    ).withColumn("__ord2", F.struct("prio", "doc_id"))
+    return capped_keep_first(
+        cells, "cell", "__ord2", F.lit(X14_CELL_CAP)
+    ).select("doc_id", "lang", "source", "cell")
+
+
+QUERIES["x14_curation_pipeline_v3"] = q_curation_pipeline_v3
+ORACLES["x14_curation_pipeline_v3"] = f"""
+WITH {_SHINGLES_CTE},
+s AS (SELECT sh.doc_id, d.source, d.lang, sh.text, sh.shingle
+      FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+ev AS (SELECT DISTINCT unnest(shingle) AS s FROM s WHERE source = 'src0'),
+evh AS (SELECT {_H_SQL.format(v='s')} AS H FROM ev),
+B AS ({_BLOOM_POS_UNION}),
+q AS (SELECT doc_id FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn <= {_QUOTA_CASE}),
+d1 AS (SELECT s.* FROM s JOIN q ON s.doc_id = q.doc_id WHERE s.source <> 'src0'),
+tr AS (SELECT doc_id, unnest(shingle) AS sg FROM d1),
+trh AS (SELECT doc_id, {_H_SQL.format(v='sg')} AS H FROM tr),
+hits AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN {_BLOOM_ALL_SET} THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM trh GROUP BY doc_id),
+clean AS (
+  SELECT d1.doc_id, d1.lang, d1.source, d1.text
+  FROM d1 LEFT JOIN hits h ON d1.doc_id = h.doc_id
+  WHERE (CASE WHEN len(d1.shingle) > 0
+              THEN coalesce(h.nb, 0) * 1.0 / len(d1.shingle)
+              ELSE 0.0 END) < 0.1),
+k AS (SELECT doc_id, lang, source, text,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000004.0
+               / ((doc_id * 2654435761) % 1000003 + 1) AS priority
+      FROM clean),
+d3 AS (SELECT doc_id, lang, source, text FROM (
+         SELECT *, row_number() OVER (PARTITION BY lang
+                     ORDER BY priority DESC, doc_id) AS rn
+         FROM k) WHERE rn <= {X14_PER_LANG}),
+cells AS (
+  SELECT doc_id, lang, source, string_split(text, ' ') AS t,
+         (doc_id * 2654435761) % 1000003 AS prio
+  FROM d3),
+cc AS (
+  SELECT doc_id, lang, source, prio,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32),
+           b -> CASE WHEN {_SIMHASH_PER_BIT} > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+           (acc, x) -> acc + x) & {(1 << X14_CELL_BITS) - 1} AS cell
+  FROM cells),
+rc AS (SELECT doc_id, lang, source, cell,
+              row_number() OVER (PARTITION BY cell ORDER BY prio, doc_id) AS rn
+       FROM cc)
+SELECT doc_id, lang, source, cell FROM rc WHERE rn <= {X14_CELL_CAP}"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: stream documents (per source, doc_id order) into
     fixed 256-token context windows; a document's bin is its start

@@ -216,3 +216,36 @@ def test_build_agg_equals_driver_build(spark, shingled):
     a = bloom.bloom_build(ev, "sh")
     b = bloom.bloom_build_agg(ev, "sh")
     assert np.array_equal(a, b)
+
+
+def test_x14_stage_boundaries(spark, sf_dir):
+    """Each x14 stage must actually bite on the fixture, in order:
+    quota < corpus(minus eval), decon <= quota, sample <= decon,
+    final <= sample and <= 16 cells x cap."""
+    from nyc_taxi_etl_dashboard_spark.operators import bloom
+    from nyc_taxi_etl_dashboard_spark.operators.skew import capped_keep_first
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        X14_CELL_BITS,
+        X14_CELL_CAP,
+        X14_PER_LANG,
+        _quota_expr,
+        q_curation_pipeline_v3,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_train = d.filter(F.col("source") != "src0").count()
+    quota_keep = capped_keep_first(
+        d.select("doc_id", "source"), "source", "doc_id", _quota_expr()
+    )
+    n_quota = quota_keep.filter(F.col("source") != "src0").count()
+    final = q_curation_pipeline_v3(spark, sf_dir).collect()
+    assert n_quota <= n_train
+    assert len(final) <= min(5 * X14_PER_LANG, (1 << X14_CELL_BITS) * X14_CELL_CAP)
+    assert 0 < len(final) <= n_quota
+    # no eval docs and no over-cap cell in the output
+    srcs = {r.source for r in final}
+    assert "src0" not in srcs
+    from collections import Counter
+
+    per_cell = Counter(r.cell for r in final)
+    assert max(per_cell.values()) <= X14_CELL_CAP
