@@ -229,3 +229,78 @@ def semantic_dedup_sink(
         stats_box["batches"].append((batch_id, n_kept, n_inc - n_kept))
 
     return sink, stats_box
+
+
+def bloom_decontaminate_sink(
+    eval_docs: DataFrame,
+    out_path: str,
+    threshold: float = 0.1,
+    m: int | None = None,
+    shingle_k: int = 3,
+):
+    """The STREAMING form of t15 (Bloom decontamination): a
+    ``foreachBatch`` sink that drops each micro-batch's documents whose
+    3-gram overlap with the BENCHMARK set clears ``threshold`` —
+    continuous decontamination between crawler and training store.
+
+    The benchmark set is static, so its bitset is built ONCE at sink
+    construction (``bloom.bloom_build_agg`` — distributed bitmap fold,
+    driver state m/8 bytes) and rides the closure into every batch;
+    per-batch work is a map-side probe + one per-doc aggregation — no
+    join against benchmark strings, no broadcast rebuilt per epoch, no
+    stream state at all (the filter is stateless, which is why this
+    stage needs no watermark). The one-sided Bloom error over-removes a
+    clean doc at the configured fp rate and never under-removes — the
+    safe direction for decontamination.
+
+    Exactly-once: kept documents are written to
+    ``{out_path}/epoch={batch_id}`` with per-epoch overwrite, so a
+    replayed batch (crash between write and checkpoint commit)
+    rewrites its own directory byte-identically — verdicts are a pure
+    function of (batch, static bitset). Returns ``(sink_fn,
+    stats_box)`` as the other curation sinks do."""
+    from ..operators import bloom
+    from ..operators.text import with_shingles
+
+    ev = (
+        with_shingles(eval_docs.select("doc_id", "text"), k=shingle_k)
+        .select(F.explode("shingle").alias("sh"))
+        .distinct()
+    )
+    m = m or bloom.BLOOM_M_BITS
+    words = bloom.bloom_build_agg(ev, "sh", m=m)
+    stats_box: dict = {"batches": []}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sh = with_shingles(
+            batch_df.select("doc_id", "text", "lang", "source"), k=shingle_k
+        ).localCheckpoint()  # cut streaming lineage; consumed twice
+        spine = sh.select(
+            "doc_id", "text", "lang", "source", F.array_size("shingle").alias("n_sh")
+        )
+        hits = (
+            sh.select("doc_id", F.explode("shingle").alias("sg"))
+            .withColumn("H", bloom.shingle_hash("sg"))
+            .withColumn(
+                "hit", bloom.bloom_member_expr(F.col("H"), words, m=m).cast("int")
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("hit").alias("n_hit"))
+        )
+        kept = (
+            spine.join(hits, "doc_id", "left")
+            .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+            .filter(
+                F.when(F.col("n_sh") > 0, F.col("n_hit") / F.col("n_sh")).otherwise(
+                    F.lit(0.0)
+                )
+                < threshold
+            )
+            .select("doc_id", "text", "lang", "source")
+        )
+        n_in = spine.count()
+        kept.write.mode("overwrite").parquet(f"{out_path}/epoch={batch_id}")
+        n_kept = kept.sparkSession.read.parquet(f"{out_path}/epoch={batch_id}").count()
+        stats_box["batches"].append((batch_id, n_kept, n_in - n_kept))
+
+    return sink, stats_box

@@ -664,3 +664,69 @@ def test_streaming_incremental_dedup_replay_reproduces_verdicts(spark, tmp_path)
     sink(batch, 0)          # replay of the SAME epoch after a simulated crash
     assert [b[1:] for b in stats["batches"]] == [(2, 0), (2, 0)], stats["batches"]
     assert spark.read.parquet(table).count() == 2  # merge is key-idempotent
+
+
+def test_streaming_bloom_decontamination_drops_benchmark_overlap(spark, tmp_path):
+    """The streaming t15 sink: a static benchmark set seeds the bitset
+    once; batches containing verbatim benchmark passages are dropped,
+    clean docs pass, and a replayed epoch rewrites its directory with
+    identical content (pure function of batch + static bitset)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        bloom_decontaminate_sink,
+        read_documents_stream,
+    )
+
+    bench_text = "what is the capital of france the capital of france is paris city"
+    clean_text = "fresh reporting on tidal energy projects along the remote northern shoreline communities"
+    leak_text = "contest answer what is the capital of france the capital of france is paris city verbatim"
+
+    eval_docs = spark.createDataFrame(
+        [(9000, bench_text)], "doc_id long, text string"
+    )
+
+    def doc_rows(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "srcX", len(t), None) for i, t in rows],
+            DOCS_STREAM_SCHEMA,
+        ).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    out = str(tmp_path / "curated")
+    sink, stats = bloom_decontaminate_sink(eval_docs, out)
+
+    import shutil
+
+    def deliver(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        doc_rows(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            next(staging.glob("part-*.parquet")), stream_dir / f"{name}.parquet"
+        )
+
+    deliver("b0", [(1, clean_text), (2, leak_text)])
+    q = (
+        read_documents_stream(spark, str(stream_dir))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.read.parquet(f"{out}/epoch=0")
+    assert {r.doc_id for r in kept.collect()} == {1}  # leak dropped
+    assert stats["batches"] == [(0, 1, 1)]
+
+    # replay epoch 0 (simulated): same batch re-runs, directory is
+    # rewritten with the same survivor set
+    batch0 = doc_rows([(1, clean_text), (2, leak_text)])
+    sink(batch0, 0)
+    kept2 = spark.read.parquet(f"{out}/epoch=0")
+    assert {r.doc_id for r in kept2.collect()} == {1}
+    assert stats["batches"][-1] == (0, 1, 1)
