@@ -1778,14 +1778,26 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage is map-only or slim-window; corpus-wide shuffles are the
     quota/sample/cap windows (each on slim projections) and the per-doc
-    bloom-hit aggregation. Stage boundaries pinned by pytest."""
+    bloom-hit aggregation. Stage boundaries pinned by pytest.
+
+    Plan-shape note: ``capped_keep_first`` evaluates its input three
+    times (count + under + over branches), so composing three of them
+    UNPERSISTED would replicate the whole upstream subtree ~8× (a
+    14,000-node plan re-running the bloom probe per branch — measured
+    14.4 s at sf0.1). Stages 2 and 3 therefore persist their outputs:
+    each quota kernel reads a materialized slim input, the plan stays
+    linear, and wall-time dropped ~7× (the same persist-at-the-
+    classification-point rule pipe_transform_full follows)."""
     from ..operators import bloom
     from ..operators.dedup import simhash32
     from ..operators.skew import capped_keep_first
 
     d = _docs(spark, sf_dir)
+    # the corpus is shingled ONCE (persisted): the eval-side bitset
+    # build and the train-side probe both read the cached table instead
+    # of re-tokenizing the corpus per consumer
+    sh_all = with_shingles(d.select("doc_id", "lang", "source", "text")).persist()
     # stage 2's eval set from the RAW corpus (pre-quota)
-    sh_all = with_shingles(d.select("doc_id", "source", "text"))
     ev = (
         sh_all.filter(F.col("source") == "src0")
         .select(F.explode("shingle").alias("sh"))
@@ -1796,9 +1808,9 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota_keep = capped_keep_first(
         d.select("doc_id", "source"), "source", "doc_id", _quota_expr()
     ).select("doc_id")
-    d1 = d.join(quota_keep, "doc_id").filter(F.col("source") != "src0")
+    d1 = sh_all.join(quota_keep, "doc_id").filter(F.col("source") != "src0")
     # stage 2: bloom probe on the survivors
-    sh1 = with_shingles(d1.select("doc_id", "text"))
+    sh1 = d1.select("doc_id", "shingle")
     spine = sh1.select("doc_id", F.array_size("shingle").alias("n_sh"))
     hits = (
         sh1.select("doc_id", F.explode("shingle").alias("sg"))
@@ -1820,34 +1832,55 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id")
     )
-    d2 = d1.join(clean, "doc_id")
-    # stage 3: weighted per-language priority sample
-    t = d2.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.array_size(F.split("text", " ")).cast("bigint").alias("w"),
-        (((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)) + F.lit(1)).alias(
-            "h"
-        ),
-    ).withColumn(
-        "priority", F.col("w").cast("double") * F.lit(1000004.0) / F.col("h")
+    # survivors MATERIALIZED once (slim metadata + text payload in
+    # CACHE, never in a window shuffle): the quota kernels window slim
+    # projections only, per capped_keep_first's own contract ("the
+    # windows should never carry document bodies"), and no stage
+    # re-runs the probe or the scan
+    d2 = (
+        d1.join(clean, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            F.array_size(F.split("text", " ")).cast("bigint").alias("w"),
+            (
+                ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)) + F.lit(1)
+            ).alias("h"),
+        )
+        .persist()
     )
-    ranked = t.withColumn(
-        "__ord", F.struct((-F.col("priority")).alias("np"), "doc_id")
+    # stage 3: weighted per-language priority sample over SLIM rows;
+    # text joins back only for the <= 5·X14_PER_LANG winners
+    ranked = (
+        d2.select("doc_id", "lang", "w", "h")
+        .withColumn(
+            "priority", F.col("w").cast("double") * F.lit(1000004.0) / F.col("h")
+        )
+        .withColumn("__ord", F.struct((-F.col("priority")).alias("np"), "doc_id"))
+        .persist()  # the kernel reads its input 3x (count/under/over)
     )
-    d3 = capped_keep_first(ranked, "lang", "__ord", F.lit(X14_PER_LANG)).drop(
-        "__ord", "np", "w", "h", "priority"
+    ids3 = capped_keep_first(ranked, "lang", "__ord", F.lit(X14_PER_LANG)).select(
+        "doc_id"
     )
-    # stage 4: text-locality diversity cap on SimHash low bits
-    cells = d3.select(
-        "doc_id",
-        "lang",
-        "source",
-        simhash32("text").bitwiseAND(F.lit((1 << X14_CELL_BITS) - 1)).alias("cell"),
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)).alias("prio"),
-    ).withColumn("__ord2", F.struct("prio", "doc_id"))
+    # stage 4: text-locality diversity cap — SimHash computed for the
+    # sampled winners only (not every decon survivor), then a slim
+    # per-cell cap
+    cells = (
+        d2.join(F.broadcast(ids3), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            simhash32("text")
+            .bitwiseAND(F.lit((1 << X14_CELL_BITS) - 1))
+            .alias("cell"),
+            ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)).alias("prio"),
+        )
+        .withColumn("__ord2", F.struct("prio", "doc_id"))
+        .persist()  # ditto — ≤ 5·X14_PER_LANG slim rows
+    )
     return capped_keep_first(
         cells, "cell", "__ord2", F.lit(X14_CELL_CAP)
     ).select("doc_id", "lang", "source", "cell")
