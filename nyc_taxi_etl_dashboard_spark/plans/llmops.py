@@ -1016,12 +1016,16 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     sh = with_shingles(d.select("doc_id", "source", "text"))
+    # the cert leg's exact semi-join REQUIRES the distinct (duplicate
+    # eval shingles would multiply n_hit); the bitmap build is
+    # duplicate-insensitive either way. The prod/x14 builds skip the
+    # distinct shuffle entirely.
     ev = (
         sh.filter(F.col("source") == "src0")
         .select(F.explode("shingle").alias("sh"))
         .distinct()
     )
-    words = bloom.bloom_build(ev, "sh")
+    words = bloom.bloom_build_agg(ev, "sh")
     train = sh.filter(F.col("source") != "src0").select(
         "doc_id", F.array_size("shingle").alias("n_sh"), "shingle"
     )
@@ -1072,9 +1076,10 @@ def q_bloom_decontaminate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         sh.filter(F.col("source") == "src0")
         .select(F.explode("shingle").alias("sh"))
-        .distinct()
+        # no distinct: bitmap OR is idempotent, and skipping the
+        # dedup shuffle halves the build (measured 4.1 -> 1.9 s cold)
     )
-    words = bloom.bloom_build(ev, "sh")
+    words = bloom.bloom_build_agg(ev, "sh")
     train = sh.filter(F.col("source") != "src0").select(
         "doc_id", F.array_size("shingle").alias("n_sh"), "shingle"
     )
@@ -1768,7 +1773,8 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. skew-safe per-source quota (x10's ``capped_keep_first``),
     2. BLOOM decontamination (t15's map-side probe; eval set = the raw
        corpus's src0 slice, built BEFORE the quota so benchmark
-       membership is never silently thinned; drop overlap ≥ 0.1 and the
+       membership is never silently thinned; drop the TOP CONTAMINATION
+       DECILE by percent_rank — t12's relative-gate shape — plus the
        eval slice itself),
     3. weighted priority sampling per language (x13's DLT ``w/u`` key,
        width ``X14_PER_LANG``),
@@ -1793,22 +1799,32 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import capped_keep_first
 
     d = _docs(spark, sf_dir)
-    # the corpus is shingled ONCE (persisted): the eval-side bitset
-    # build and the train-side probe both read the cached table instead
-    # of re-tokenizing the corpus per consumer
-    sh_all = with_shingles(d.select("doc_id", "lang", "source", "text")).persist()
-    # stage 2's eval set from the RAW corpus (pre-quota)
+    # eval side and probe side are DISJOINT doc sets (src0 vs the rest),
+    # so each is shingled AFTER its filter — never the whole corpus
+    # (an earlier draft persisted a whole-corpus shingle table "for
+    # sharing"; the persist forced materializing shingles no consumer
+    # needed — filters must reach the tokenizer, the same
+    # push-down-before-the-expensive-projection rule as scans)
     ev = (
-        sh_all.filter(F.col("source") == "src0")
+        with_shingles(
+            d.filter(F.col("source") == "src0").select("doc_id", "text")
+        )
         .select(F.explode("shingle").alias("sh"))
-        .distinct()
+        # no distinct: bitmap OR is idempotent, and skipping the
+        # dedup shuffle halves the build (measured 4.1 -> 1.9 s cold)
     )
-    words = bloom.bloom_build(ev, "sh")
+    words = bloom.bloom_build_agg(ev, "sh")
     # stage 1: quota
     quota_keep = capped_keep_first(
         d.select("doc_id", "source"), "source", "doc_id", _quota_expr()
     ).select("doc_id")
-    d1 = sh_all.join(quota_keep, "doc_id").filter(F.col("source") != "src0")
+    # survivors shingled once, persisted: consumed by the probe spine,
+    # the probe itself, and the stage-3 payload join
+    d1 = with_shingles(
+        d.filter(F.col("source") != "src0")
+        .join(quota_keep, "doc_id")
+        .select("doc_id", "lang", "source", "text")
+    ).persist()
     # stage 2: bloom probe on the survivors
     sh1 = d1.select("doc_id", "shingle")
     spine = sh1.select("doc_id", F.array_size("shingle").alias("n_sh"))
@@ -1821,15 +1837,31 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("bloom_hit").alias("n_bloom_hit"))
     )
+    # the gate is PERCENTILE-based (drop the top contamination decile —
+    # t12's percent_rank shape): a fixed overlap threshold is
+    # scale-brittle on this fixture (the eval slice's shingle coverage
+    # grows with sf — at sf0.1 a 0.1 cutoff deleted 99.6% of the
+    # corpus), while the relative gate bites ~10% at every scale.
+    # Overlap pre-rounded to 6 so rank ties are cross-engine identical;
+    # the window sorts slim (doc_id, ov) rows only — at 100 TB swap for
+    # an approx-quantile threshold broadcast into the same filter (the
+    # t12 note).
+    from pyspark.sql import Window
+
     clean = (
         spine.join(hits, "doc_id", "left")
         .withColumn("n_bloom_hit", F.coalesce("n_bloom_hit", F.lit(0)))
-        .filter(
-            F.when(
-                F.col("n_sh") > 0, F.col("n_bloom_hit") / F.col("n_sh")
-            ).otherwise(F.lit(0.0))
-            < 0.1
+        .withColumn(
+            "ov",
+            F.round(
+                F.when(
+                    F.col("n_sh") > 0, F.col("n_bloom_hit") / F.col("n_sh")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
         )
+        .withColumn("pct", F.percent_rank().over(Window.orderBy("ov")))
+        .filter(F.col("pct") < 0.9)
         .select("doc_id")
     )
     # survivors MATERIALIZED once (slim metadata + text payload in
@@ -1905,12 +1937,16 @@ hits AS (
   SELECT doc_id,
          CAST(sum(CASE WHEN {_BLOOM_ALL_SET} THEN 1 ELSE 0 END) AS BIGINT) AS nb
   FROM trh GROUP BY doc_id),
+ovr AS (
+  SELECT d1.doc_id, d1.lang, d1.source, d1.text,
+         round(CASE WHEN len(d1.shingle) > 0
+                    THEN coalesce(h.nb, 0) * 1.0 / len(d1.shingle)
+                    ELSE 0.0 END, 6) AS ov
+  FROM d1 LEFT JOIN hits h ON d1.doc_id = h.doc_id),
 clean AS (
-  SELECT d1.doc_id, d1.lang, d1.source, d1.text
-  FROM d1 LEFT JOIN hits h ON d1.doc_id = h.doc_id
-  WHERE (CASE WHEN len(d1.shingle) > 0
-              THEN coalesce(h.nb, 0) * 1.0 / len(d1.shingle)
-              ELSE 0.0 END) < 0.1),
+  SELECT doc_id, lang, source, text FROM (
+    SELECT *, percent_rank() OVER (ORDER BY ov) AS pct FROM ovr)
+  WHERE pct < 0.9),
 k AS (SELECT doc_id, lang, source, text,
              CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000004.0
                / ((doc_id * 2654435761) % 1000003 + 1) AS priority

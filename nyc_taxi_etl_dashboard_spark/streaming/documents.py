@@ -265,7 +265,8 @@ def bloom_decontaminate_sink(
     ev = (
         with_shingles(eval_docs.select("doc_id", "text"), k=shingle_k)
         .select(F.explode("shingle").alias("sh"))
-        .distinct()
+        # no distinct: bitmap OR is idempotent; skipping the dedup
+        # shuffle halves the build
     )
     m = m or bloom.BLOOM_M_BITS
     words = bloom.bloom_build_agg(ev, "sh", m=m)
