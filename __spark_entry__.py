@@ -190,6 +190,10 @@ def _is_overflow(name: str) -> bool:
         # machinery (bucket expr + grouped count) is evidenced in-window
         # by a14 (range bucketing + grouped agg + share); green r1-r7.
         "a15",
+        # p9 out for j3 (round 8): the slicer is a conjunction of plain
+        # predicate filters — the same machinery every in-window pipe_*
+        # query exercises (P1/P2 filters + pushdown); green r1-r7.
+        "p9",
     )
     return name.split("_")[0] in overflow_prefixes
 

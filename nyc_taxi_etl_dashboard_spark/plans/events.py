@@ -386,3 +386,44 @@ FROM events GROUP BY user_id
 ORDER BY exact_n DESC, user_id LIMIT 10""",
     }
 )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j3: event ⋈ interval containment RANGE JOIN (the third custom
+    join next to j2's as-of), on the bucketized rewrite
+    (:func:`..operators.temporal.range_join_intervals`): intervals
+    explode to the coarse time buckets they span, the match becomes an
+    equi-join on bucket + a residual BETWEEN filter — never a
+    theta-join comparing every pair (pytest pins bucketized ≡ naive).
+    Intervals here are derived deterministically from the fixture
+    (every 100th event opens a 3-hour window); output is the per-
+    interval containment profile, so the oracle is a plain BETWEEN
+    join + GROUP BY."""
+    from ..operators.temporal import range_join_intervals
+
+    e = _events(spark, sf_dir)
+    ev = e.select("event_id", "ts")
+    iv = e.filter(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 3 hours")).alias("end_ts"),
+    )
+    joined = range_join_intervals(ev, iv, "ts", "start_ts", "end_ts")
+    return joined.groupBy("iv_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+QUERIES["j3_range_join"] = q_range_join
+ORACLES["j3_range_join"] = """
+WITH iv AS (
+  SELECT event_id AS iv_id, ts AS start_ts, ts + INTERVAL 3 HOUR AS end_ts
+  FROM events WHERE event_id % 100 = 0),
+j AS (
+  SELECT iv.iv_id, e.event_id
+  FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts <= iv.end_ts)
+SELECT iv_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM j GROUP BY iv_id"""
