@@ -102,17 +102,19 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         # certification); w5 — green r3/r4/r5, frozen, lag machinery
         # still evidenced in-window by w6/a26 — absorbs the overflow.
         "t11_pii_redaction",
-        # NEW in round 6: water-filling mixture planner; a18 — green
-        # r3/r4/r5, frozen, Expand-operator machinery still evidenced
-        # in-window by a19's grouping sets — absorbs the overflow.
-        "x8_mixture_plan",
         # NEW in round 6: composed quality-gate → mixture-plan →
         # deterministic-sample pipeline; w3/w4 — green r3/r4/r5, frozen,
         # window machinery still evidenced in-window by w1 (rank) and
         # w6 (running frame) — absorb the overflow. t12 (LM percentile
         # gate, also new) sits in the window at its natural group-1
-        # position.
+        # position. Round-8 fix: x9 moved AHEAD of x8 — the round-6/7
+        # rotations left x9 at registry index 50, one past the driver's
+        # window, while the comments claimed it was in (its last driver
+        # row is r06). x8 — green in r07's window, and partially
+        # evidenced by x9 which composes its water-filling math —
+        # absorbs the overflow instead.
         "x9_planned_sample",
+        "x8_mixture_plan",
         # past the 50-query window from here down: all driver-green in r01
         # or r02 and semantically unchanged since.
         "dd6_corpus_curation",

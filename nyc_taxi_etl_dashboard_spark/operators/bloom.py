@@ -208,3 +208,29 @@ def bloom_member_arrow(
         return pd.Series(hit)
 
     return df.withColumn(out, probe(F.col(base_col)))
+
+
+def doc_hit_counts(
+    sh_df: DataFrame,
+    words: np.ndarray,
+    m: int = BLOOM_M_BITS,
+    params=BLOOM_PARAMS,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+    out: str = "n_bloom_hit",
+) -> DataFrame:
+    """Per-document Bloom hit counts — THE probe stage every
+    decontamination surface shares (t15 cert + prod, x14 stage 2, the
+    streaming sink): explode the shingle array, hash, test all k bits
+    JVM-side, aggregate per document. One definition so the certified
+    query, the production path, and the streaming twin cannot drift."""
+    return (
+        sh_df.select(id_col, F.explode(shingle_col).alias("__sg"))
+        .withColumn("__H", shingle_hash("__sg"))
+        .withColumn(
+            "__hit",
+            bloom_member_expr(F.col("__H"), words, m=m, params=params).cast("int"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__hit").alias(out))
+    )

@@ -1015,7 +1015,10 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bloom
 
     d = _docs(spark, sf_dir)
-    sh = with_shingles(d.select("doc_id", "source", "text"))
+    # shingled once, persisted: ev's build, the dual-leg probe, and the
+    # spine join all read the cached table instead of re-tokenizing the
+    # corpus per branch
+    sh = with_shingles(d.select("doc_id", "source", "text")).persist()
     # the cert leg's exact semi-join REQUIRES the distinct (duplicate
     # eval shingles would multiply n_hit); the bitmap build is
     # duplicate-insensitive either way. The prod/x14 builds skip the
@@ -1029,6 +1032,10 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sh.filter(F.col("source") != "src0").select(
         "doc_id", F.array_size("shingle").alias("n_sh"), "shingle"
     )
+    # cert-only FUSED probe: bloom bit test and exact semi-join in ONE
+    # exploded pass + one agg (the bloom-only surfaces share
+    # bloom.doc_hit_counts instead — this block exists because the
+    # certification needs both legs per shingle)
     ex = (
         train.select("doc_id", F.explode("shingle").alias("sg"))
         .withColumn("H", bloom.shingle_hash("sg"))
@@ -1072,7 +1079,10 @@ def q_bloom_decontaminate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bloom
 
     d = _docs(spark, sf_dir)
-    sh = with_shingles(d.select("doc_id", "source", "text"))
+    # shingled once, persisted: the eval slice, the probe, and the spine
+    # all read the cached table (unpersisted, Spark re-tokenizes the
+    # corpus per branch — the same boundary x14 materializes)
+    sh = with_shingles(d.select("doc_id", "source", "text")).persist()
     ev = (
         sh.filter(F.col("source") == "src0")
         .select(F.explode("shingle").alias("sh"))
@@ -1083,15 +1093,7 @@ def q_bloom_decontaminate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sh.filter(F.col("source") != "src0").select(
         "doc_id", F.array_size("shingle").alias("n_sh"), "shingle"
     )
-    hits = (
-        train.select("doc_id", F.explode("shingle").alias("sg"))
-        .withColumn("H", bloom.shingle_hash("sg"))
-        .withColumn(
-            "bloom_hit", bloom.bloom_member_expr(F.col("H"), words).cast("int")
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bloom_hit").alias("n_bloom_hit"))
-    )
+    hits = bloom.doc_hit_counts(train, words)
     return (
         train.select("doc_id", "n_sh")
         .join(hits, "doc_id", "left")
@@ -1633,6 +1635,22 @@ SELECT doc_id, lang, source FROM documents
 WHERE (doc_id * 2654435761) % 100 < {_STRATA_CASE}"""
 
 
+#: the round-8 samplers' portable priority hash: id → Knuth-multiplied
+#: residue, decorrelated from insertion order, identical in both
+#: engines. ONE definition generates the Column AND the oracle SQL
+#: (the GATE_*/BLOOM_* anti-drift pattern) — x12/x13/x14 all draw from
+#: here.
+PRIO_MULT = 2654435761
+PRIO_MOD = 1_000_003
+
+
+def _prio(col: F.Column) -> F.Column:
+    return (col * F.lit(PRIO_MULT)) % F.lit(PRIO_MOD)
+
+
+_PRIO_SQL = f"({{v}} * {PRIO_MULT}) % {PRIO_MOD}"
+
+
 #: x12 config: 4 portable hyperplanes → 16 locality cells (~31
 #: vectors/cell at sf0.01, so the cap genuinely bites); keep the 10
 #: lowest-priority-hash vectors per cell.
@@ -1668,7 +1686,7 @@ def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.select(
         "vec_id",
         rhp_cell_portable("embedding", n_planes=X12_PLANES).alias("cell"),
-        ((F.col("vec_id") * F.lit(2654435761)) % F.lit(1000003)).alias("prio"),
+        _prio(F.col("vec_id")).alias("prio"),
     ).withColumn("__ord", F.struct("prio", "vec_id"))
     return capped_keep_first(
         cells, "cell", "__ord", F.lit(X12_CELL_CAP)
@@ -1693,7 +1711,7 @@ _X12_CELL = " + ".join(
 ORACLES["x12_diversity_sample"] = f"""
 WITH c AS (
   SELECT vec_id, CAST({_X12_CELL} AS BIGINT) AS cell,
-         (vec_id * 2654435761) % 1000003 AS prio
+         {_PRIO_SQL.format(v="vec_id")} AS prio
   FROM embeddings),
 r AS (SELECT vec_id, cell, prio,
              row_number() OVER (PARTITION BY cell ORDER BY prio, vec_id) AS rn
@@ -1730,9 +1748,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.array_size(F.split("text", " ")).cast("bigint").alias("w"),
-        (((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)) + F.lit(1)).alias(
-            "h"
-        ),
+        (_prio(F.col("doc_id")) + F.lit(1)).alias("h"),
     ).withColumn(
         "priority", F.col("w").cast("double") * F.lit(1000004.0) / F.col("h")
     )
@@ -1747,7 +1763,7 @@ ORACLES["x13_weighted_sample"] = f"""
 WITH t AS (
   SELECT doc_id, lang,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
-         (doc_id * 2654435761) % 1000003 + 1 AS h
+         {_PRIO_SQL.format(v="doc_id")} + 1 AS h
   FROM documents),
 k AS (SELECT doc_id, lang, w, CAST(w AS DOUBLE) * 1000004.0 / h AS priority FROM t),
 r AS (SELECT doc_id, lang, w, priority,
@@ -1825,18 +1841,10 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(quota_keep, "doc_id")
         .select("doc_id", "lang", "source", "text")
     ).persist()
-    # stage 2: bloom probe on the survivors
+    # stage 2: bloom probe on the survivors (the shared probe kernel)
     sh1 = d1.select("doc_id", "shingle")
     spine = sh1.select("doc_id", F.array_size("shingle").alias("n_sh"))
-    hits = (
-        sh1.select("doc_id", F.explode("shingle").alias("sg"))
-        .withColumn("H", bloom.shingle_hash("sg"))
-        .withColumn(
-            "bloom_hit", bloom.bloom_member_expr(F.col("H"), words).cast("int")
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bloom_hit").alias("n_bloom_hit"))
-    )
+    hits = bloom.doc_hit_counts(sh1, words)
     # the gate is PERCENTILE-based (drop the top contamination decile —
     # t12's percent_rank shape): a fixed overlap threshold is
     # scale-brittle on this fixture (the eval slice's shingle coverage
@@ -1877,9 +1885,7 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "text",
             F.array_size(F.split("text", " ")).cast("bigint").alias("w"),
-            (
-                ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)) + F.lit(1)
-            ).alias("h"),
+            (_prio(F.col("doc_id")) + F.lit(1)).alias("h"),
         )
         .persist()
     )
@@ -1908,7 +1914,7 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             simhash32("text")
             .bitwiseAND(F.lit((1 << X14_CELL_BITS) - 1))
             .alias("cell"),
-            ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)).alias("prio"),
+            _prio(F.col("doc_id")).alias("prio"),
         )
         .withColumn("__ord2", F.struct("prio", "doc_id"))
         .persist()  # ditto — ≤ 5·X14_PER_LANG slim rows
@@ -1949,7 +1955,7 @@ clean AS (
   WHERE pct < 0.9),
 k AS (SELECT doc_id, lang, source, text,
              CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000004.0
-               / ((doc_id * 2654435761) % 1000003 + 1) AS priority
+               / ({_PRIO_SQL.format(v="doc_id")} + 1) AS priority
       FROM clean),
 d3 AS (SELECT doc_id, lang, source, text FROM (
          SELECT *, row_number() OVER (PARTITION BY lang
@@ -1957,7 +1963,7 @@ d3 AS (SELECT doc_id, lang, source, text FROM (
          FROM k) WHERE rn <= {X14_PER_LANG}),
 cells AS (
   SELECT doc_id, lang, source, string_split(text, ' ') AS t,
-         (doc_id * 2654435761) % 1000003 AS prio
+         {_PRIO_SQL.format(v="doc_id")} AS prio
   FROM d3),
 cc AS (
   SELECT doc_id, lang, source, prio,

@@ -279,15 +279,7 @@ def bloom_decontaminate_sink(
         spine = sh.select(
             "doc_id", "text", "lang", "source", F.array_size("shingle").alias("n_sh")
         )
-        hits = (
-            sh.select("doc_id", F.explode("shingle").alias("sg"))
-            .withColumn("H", bloom.shingle_hash("sg"))
-            .withColumn(
-                "hit", bloom.bloom_member_expr(F.col("H"), words, m=m).cast("int")
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("hit").alias("n_hit"))
-        )
+        hits = bloom.doc_hit_counts(sh, words, m=m, out="n_hit")
         kept = (
             spine.join(hits, "doc_id", "left")
             .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))

@@ -50,13 +50,20 @@ def main() -> None:
     spark = get_spark(app_name="bloom-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # probe corpus: 10% planted members (ids 0..n/10 map into the member
-    # range), 90% strangers (ids far outside it)
+    # probe corpus: 10% planted members, 90% strangers. Planted ids wrap
+    # into 0..100k — a subset of EVERY eval size below — so exact_hits
+    # is genuinely 0.1·n_probe at every round (an earlier draft mapped
+    # planted ids across 0..n_probe/10, so smaller eval sets only
+    # matched a fraction of the "planted" rows).
     probe = (
         spark.range(n_probe, numPartitions=32)
         .select(
             F.when(
-                F.col("id") % 10 == 0, F.concat(F.lit("w"), (F.col("id") / 10).cast("long").cast("string"))
+                F.col("id") % 10 == 0,
+                F.concat(
+                    F.lit("w"),
+                    ((F.col("id") / 10).cast("long") % 100_000).cast("string"),
+                ),
             )
             .otherwise(F.concat(F.lit("s"), F.col("id").cast("string")))
             .alias("stem"),
@@ -85,8 +92,13 @@ def main() -> None:
         # m sized for ~0.2% fp at this n (load ~25%): m = 16n rounded up
         # to a power of two
         m = 1 << max(18, (16 * n_eval - 1).bit_length())
-        t_build = timed(lambda: bloom.bloom_build_agg(members, "sh", m=m), runs=1)
-        words = bloom.bloom_build_agg(members, "sh", m=m)
+        built = {}
+
+        def build_once():
+            built["words"] = bloom.bloom_build_agg(members, "sh", m=m)
+
+        t_build = timed(build_once, runs=1)
+        words = built["words"]
 
         def bloom_leg():
             return (

@@ -32,6 +32,17 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
+def duck_views(con, sf_dir: str) -> None:
+    """Register the ten fixture tables as DuckDB views — shared with
+    tools/one_query.py so the two harnesses cannot diverge."""
+    from nyc_taxi_etl_dashboard_spark.sources import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+
+
 def _normalize(rows, colnames):
     """Sort columns by name, stringify cells deterministically (same
     canonicalization as tests/test_oracle_parity.py)."""
@@ -56,14 +67,10 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from nyc_taxi_etl_dashboard_spark.session import get_spark
-    from nyc_taxi_etl_dashboard_spark.sources import TABLE_NAMES
 
     spark = get_spark(app_name="full-sweep")
     con = duckdb.connect()
-    for name in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+    duck_views(con, sf_dir)
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
