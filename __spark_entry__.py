@@ -196,6 +196,12 @@ def _is_overflow(name: str) -> bool:
         # predicate filters — the same machinery every in-window pipe_*
         # query exercises (P1/P2 filters + pushdown); green r1-r7.
         "p9",
+        # st1/a11 out for a27/j6 (round 8): st1's dim-build machinery
+        # (distinct + rename + temporal extraction) is evidenced
+        # in-window by st2 (union+distinct dim build) and a17 (calendar
+        # extraction); a11's percentile machinery by a25 (quantile
+        # sketch with bound verdicts). Both green r1-r7, untouched.
+        "st1", "a11",
     )
     return name.split("_")[0] in overflow_prefixes
 

@@ -532,3 +532,36 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag""",
     }
 )
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j6: fact ⋈ dim equi-join through the HOT-KEY SALTED rewrite
+    (``operators.skew.salted_join``): fact rows draw a salt, the dim
+    side replicates salt_buckets×, and the join key becomes
+    (key, salt) — a pathological key's rows land on salt_buckets
+    reducers instead of one. Certified EXACTLY equal to the plain join
+    (grouped profile; the salt must never change the answer). Use when
+    the dim exceeds broadcast size AND AQE's runtime skew split is
+    insufficient; at 100 TB restrict salting to the known-hot keys and
+    union with a normal join for the rest (operator docstring)."""
+    from ..operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+QUERIES["j6_salted_join"] = q_salted_join
+ORACLES["j6_salted_join"] = """
+SELECT o.o_orderpriority, count(*) AS n_lines,
+       round(sum(l.l_extendedprice), 2) AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority"""

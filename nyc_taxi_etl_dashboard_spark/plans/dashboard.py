@@ -271,3 +271,30 @@ SELECT CAST(CAST(pickup_ts AS DATE) AS VARCHAR) AS pickup_date,
 FROM valid
 WHERE year(pickup_ts) = 1997 AND time_period = 'Matin'
 GROUP BY 1"""
+
+
+def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a27: a13's grouped revenue computed through the SKEW-SAFE
+    two-phase salted aggregation (``operators.skew.salted_agg`` — the
+    skewed-GROUP-BY mitigation AQE's join splitting does not cover):
+    phase 1 groups on (key, salt) so a hot key's rows spread over
+    salt_buckets reducers, phase 2 merges |keys|×buckets partials.
+    Certified EXACTLY equal to the plain aggregation (the oracle IS
+    a13's SQL) — salting must never change the answer, only the
+    shuffle layout."""
+    from ..operators.skew import salted_agg
+
+    out = salted_agg(
+        _valid(spark, sf_dir),
+        ["payment_label"],
+        {"revenue": ("total_amount", "sum")},
+    )
+    return out.select(
+        "payment_label", F.round("revenue", 2).alias("revenue")
+    ).orderBy(F.desc("revenue"))
+
+
+QUERIES["a27_salted_revenue"] = q_salted_revenue
+ORACLES["a27_salted_revenue"] = f"""{_V}
+SELECT payment_label, round(sum(total_amount), 2) AS revenue
+FROM valid GROUP BY payment_label ORDER BY revenue DESC"""
