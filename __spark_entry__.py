@@ -202,6 +202,12 @@ def _is_overflow(name: str) -> bool:
         # extraction); a11's percentile machinery by a25 (quantile
         # sketch with bound verdicts). Both green r1-r7, untouched.
         "st1", "a11",
+        # a10/st3 out for t17/v13 (round 8): a10's two-level agg is
+        # evidenced in-window by a17 (multi-level rollup) + a12 (fused
+        # KPI aggs); st3's dim build + F8 payment decode by st2 (same
+        # build shape) and a13 (the decoded labels as group keys).
+        # Both green r1-r7, untouched.
+        "a10", "st3",
     )
     return name.split("_")[0] in overflow_prefixes
 

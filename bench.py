@@ -116,6 +116,8 @@ CURATION = [
     "x13_weighted_sample",
     "t16_bm25_topk",
     "x14_curation_pipeline_v3",
+    "t17_bigram_logprob",
+    "v13_knn_outliers",
 ]
 
 

@@ -2286,6 +2286,125 @@ FROM toks t JOIN freq f USING (token) CROSS JOIN tot
 GROUP BY t.doc_id"""
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t17: language-model quality scoring, BIGRAM form — t10's shape
+    one order up: per-doc mean log p(w2|w1) with add-one smoothing over
+    the unigram vocabulary, the corpus as its own LM. Catches
+    word-salad documents whose unigram profile looks normal (every
+    token common, transitions nonsense) — the failure mode t10 cannot
+    see.
+
+    Scale shape: ONE bigram-count aggregation builds the LM (history
+    counts derive from the same bigram stream — no second corpus
+    pass), |V| is a 1-row scalar, scoring is two equi-joins on bigram /
+    history + a per-doc avg. Same skew note as t10 (stopword-headed
+    histories are hot; AQE splits them)."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = (
+        bg.select(F.split("bg", " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    vocab = d.select(F.explode("t").alias("tok")).distinct().count()
+    return (
+        bg.join(c12, "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("n12") + F.lit(1.0))
+                        / (F.col("n1") + F.lit(float(vocab)))
+                    )
+                ),
+                6,
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
+QUERIES["t17_bigram_logprob"] = q_bigram_logprob
+ORACLES["t17_bigram_logprob"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS bg FROM t),
+c12 AS (SELECT bg, count(*) AS n12 FROM bg GROUP BY bg),
+c1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS n1 FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS nv FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+sc AS (
+  SELECT b.doc_id, ln((c12.n12 + 1.0) / (c1.n1 + v.nv)) AS lp
+  FROM bg b JOIN c12 USING (bg)
+  JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1
+  CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS avg_bigram_logprob
+FROM sc GROUP BY doc_id"""
+
+
+def q_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v13: kNN-DENSITY outlier gate over the embedding table — each
+    vector's mean cosine to its 5 exact nearest neighbors, low-density
+    tail (bottom decile by percent_rank, t12's relative-gate shape)
+    flagged as outliers. The OOD-pruning stage of embedding-based
+    curation: mislabeled / corrupted / out-of-distribution samples sit
+    in sparse regions regardless of any fixed similarity threshold.
+
+    Certification runs the exact brute-force kNN (v2's certified
+    kernel); at 100 TB swap in the IVF probe (v7) or RHP blocking (v4)
+    for neighbor generation — the density scoring and the relative
+    gate are unchanged (the same cert/production split as the ANN
+    family)."""
+    from ..operators.similarity import knn_bruteforce
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    nn = knn_bruteforce(e, e, k=5)
+    scored = nn.groupBy("query_id").agg(
+        F.round(F.avg("cosine"), 6).alias("mean_knn_cos")
+    )
+    return (
+        scored.withColumn(
+            "pct", F.round(F.percent_rank().over(Window.orderBy("mean_knn_cos")), 6)
+        )
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "mean_knn_cos",
+            "pct",
+            (F.col("pct") <= 0.1).alias("is_outlier"),
+        )
+    )
+
+
+QUERIES["v13_knn_outliers"] = q_knn_outliers
+ORACLES["v13_knn_outliers"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qv', b='cv')}
+           / (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+top AS (SELECT query_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored) WHERE rnk <= 5),
+m AS (SELECT query_id, round(avg(cosine), 6) AS mean_knn_cos FROM top GROUP BY query_id),
+r AS (SELECT query_id AS vec_id, mean_knn_cos,
+             round(percent_rank() OVER (ORDER BY mean_knn_cos), 6) AS pct
+      FROM m)
+SELECT vec_id, mean_knn_cos, pct, pct <= 0.1 AS is_outlier FROM r"""
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub + audit counts (the compliance stage every production
     corpus pipeline runs before training). The synthetic corpus carries
