@@ -2405,6 +2405,22 @@ r AS (SELECT query_id AS vec_id, mean_knn_cos,
 SELECT vec_id, mean_knn_cos, pct, pct <= 0.1 AS is_outlier FROM r"""
 
 
+#: v13 production note — a MEASURED negative worth recording instead of
+#: a bench-only path: swapping v13's neighbor generation for the cheap
+#: approximate kernels scrambles the gate on this fixture. At
+#: nprobe=2-of-8 trained IVF the outlier-set Jaccard vs exact is 0.19;
+#: RHP blocking at (4 planes, 2-3 probes) gives neighbor recall@5 of
+#: only 0.34-0.42 (64-dim near-random embeddings have weak locality)
+#: while the density spread is narrow (p5..p95 of mean_knn_cos:
+#: 0.286..0.365), so decile membership flips under approximation.
+#: A production v13 therefore needs HIGH-RECALL neighbors — exhaustive
+#: within IVF cells at high nprobe, or exact kNN inside coarse
+#: partitions — before the relative gate is meaningful; shipping a
+#: low-recall "prod path" would bench fast and compute a different
+#: answer, the exact failure mode the cert/prod split exists to
+#: prevent.
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub + audit counts (the compliance stage every production
     corpus pipeline runs before training). The synthetic corpus carries
