@@ -356,3 +356,82 @@ def test_pii_redaction_matches_python_re(spark, parts):
     df = spark.createDataFrame([(text,)], "text string")
     got = df.select(redact_pii("text").alias("red")).collect()[0].red
     assert got == want, (text, got, want)
+
+
+_words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=3, max_size=12
+)
+
+
+@settings(**SETTINGS)
+@given(member_docs=st.lists(_words, min_size=1, max_size=4),
+       probe_docs=st.lists(_words, min_size=1, max_size=4))
+def test_bloom_superset_on_adversarial_strings(spark, member_docs, probe_docs):
+    """Bloom no-false-negative property on hypothesis-generated token
+    soups (tiny alphabet forces token_value collisions — the worst case
+    for the polynomial base hash): any probe shingle string-equal to a
+    member shingle MUST bloom-hit, at a deliberately tiny m."""
+    from nyc_taxi_etl_dashboard_spark.operators import bloom
+    from nyc_taxi_etl_dashboard_spark.operators.text import with_shingles
+
+    mem = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(member_docs)],
+        "doc_id long, text string",
+    )
+    prb = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(probe_docs + member_docs)],
+        "doc_id long, text string",
+    )
+    ev = (
+        with_shingles(mem.select("doc_id", "text"))
+        .select(F.explode("shingle").alias("sh"))
+    )
+    words = bloom.bloom_build_agg(ev, "sh", m=256)
+    probes = (
+        with_shingles(prb.select("doc_id", "text"))
+        .select(F.explode("shingle").alias("sg"))
+        .withColumn("H", bloom.shingle_hash("sg"))
+        .withColumn("hit", bloom.bloom_member_expr(F.col("H"), words, m=256))
+    )
+    misses = (
+        probes.join(
+            ev.select(F.col("sh").alias("sg")).distinct(), "sg"
+        )
+        .filter(~F.col("hit"))
+        .count()
+    )
+    assert misses == 0
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(st.integers(0, 50), st.integers(1, 40)),
+                     min_size=1, max_size=20))
+def test_dlt_priority_sample_matches_python(spark, rows):
+    """x13's DLT selection ≡ an independent pure-python top-N by
+    (w·K/h desc, id asc), including hash ties from colliding ids."""
+    from nyc_taxi_etl_dashboard_spark.operators.skew import capped_keep_first
+
+    rows = list({i: (i, w) for i, w in rows}.values())  # unique ids
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    t = df.withColumn(
+        "h", ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)) + F.lit(1)
+    ).withColumn(
+        "priority", F.col("w").cast("double") * F.lit(1000004.0) / F.col("h")
+    ).withColumn(
+        "__ord", F.struct((-F.col("priority")).alias("np"), "doc_id")
+    )
+    n = 5
+    got = {
+        r.doc_id
+        for r in capped_keep_first(
+            t.withColumn("g", F.lit(1)), "g", "__ord", F.lit(n)
+        ).collect()
+    }
+    want = {
+        i
+        for i, _ in sorted(
+            ((i, float(w) * 1000004.0 / ((i * 2654435761) % 1000003 + 1)) for i, w in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:n]
+    }
+    assert got == want
