@@ -297,3 +297,89 @@ def bloom_decontaminate_sink(
         stats_box["batches"].append((batch_id, n_kept, n_in - n_kept))
 
     return sink, stats_box
+
+
+def domain_quota_sink(
+    state_path: str,
+    out_path: str,
+    quota: dict[str, int],
+    quota_default: int = 60,
+):
+    """The STREAMING form of x10 (per-domain quota): a ``foreachBatch``
+    sink that enforces a RUNNING per-source document cap across the
+    whole stream history — the continuous domain-balancing stage a
+    crawler-fed pipeline needs (one hot domain must not dominate the
+    training mix no matter how many batches it spans).
+
+    State model (the dd11 warehouse pattern, for counts): a tiny
+    parquet table keyed ``(source, batch_id) → n_kept``; a batch's
+    remaining allowance per source is ``quota(source) − Σ n_kept`` over
+    all OTHER batches, so state is |sources|·|batches| scalar rows —
+    never documents. Selection inside the batch is x10's skew-safe
+    kernel (``capped_keep_first``) with the remaining allowance joined
+    on as the per-row quota Column.
+
+    Exactly-once by construction: kept docs write to
+    ``{out_path}/epoch={batch_id}`` (per-epoch overwrite) and the state
+    row upserts via ``merge_parquet`` keyed on (source, batch_id) — a
+    REPLAYED batch excludes its own prior state row from the allowance
+    sum, recomputes the identical keep-set, rewrites its directory
+    byte-identically, and re-upserts the same counts (pinned by an
+    explicit replay in the test). Returns ``(sink_fn, stats_box)``."""
+    from ..operators.skew import capped_keep_first
+    from ..sources.writers import merge_parquet
+
+    stats_box: dict = {"batches": []}
+
+    def _quota_expr() -> F.Column:
+        qmap = F.create_map(*[F.lit(x) for kv in quota.items() for x in kv])
+        return F.coalesce(
+            F.element_at(qmap, F.col("source")), F.lit(quota_default)
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        slim = batch_df.select("doc_id", "text", "lang", "source").localCheckpoint()
+        if os.path.exists(state_path):
+            taken = (
+                spark.read.parquet(state_path)
+                .filter(F.col("batch_id") != batch_id)  # replay safety
+                .groupBy("source")
+                .agg(F.sum("n_kept").alias("taken"))
+            )
+        else:
+            taken = None
+        with_rem = slim.select("doc_id", "source").withColumn(
+            "__q", _quota_expr()
+        )
+        if taken is not None:
+            with_rem = (
+                with_rem.join(F.broadcast(taken), "source", "left")
+                .withColumn(
+                    "__rem",
+                    F.greatest(
+                        F.col("__q") - F.coalesce("taken", F.lit(0)), F.lit(0)
+                    ),
+                )
+                .drop("taken")
+            )
+        else:
+            with_rem = with_rem.withColumn("__rem", F.col("__q"))
+        kept_ids = capped_keep_first(
+            with_rem, "source", "doc_id", F.col("__rem")
+        ).select("doc_id")
+        kept = slim.join(kept_ids, "doc_id").localCheckpoint()
+        kept.write.mode("overwrite").parquet(f"{out_path}/epoch={batch_id}")
+        counts = (
+            kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        merge_parquet(spark, state_path, counts, ["source", "batch_id"])
+        n_in = slim.count()
+        n_kept = kept.count()
+        stats_box["batches"].append((batch_id, n_kept, n_in - n_kept))
+
+    return sink, stats_box

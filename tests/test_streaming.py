@@ -730,3 +730,72 @@ def test_streaming_bloom_decontamination_drops_benchmark_overlap(spark, tmp_path
     kept2 = spark.read.parquet(f"{out}/epoch=0")
     assert {r.doc_id for r in kept2.collect()} == {1}
     assert stats["batches"][-1] == (0, 1, 1)
+
+
+def test_streaming_domain_quota_enforces_running_cap(spark, tmp_path):
+    """The streaming x10 sink: srcA has quota 3; batch 0 consumes 2 of
+    it, batch 1 brings 2 more srcA docs (only 1 fits) plus an
+    under-quota srcB doc. A replayed batch 1 excludes its own state row
+    and reproduces the identical keep-set and counts."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        domain_quota_sink,
+        read_documents_stream,
+    )
+
+    def doc_rows(rows):
+        return spark.createDataFrame(
+            [(i, f"text {i}", "en", s, 10, None) for i, s in rows],
+            DOCS_STREAM_SCHEMA,
+        ).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    state = str(tmp_path / "quota_state")
+    out = str(tmp_path / "balanced")
+    sink, stats = domain_quota_sink(state, out, quota={"srcA": 3})
+
+    import shutil
+
+    def deliver(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        doc_rows(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            next(staging.glob("part-*.parquet")), stream_dir / f"{name}.parquet"
+        )
+
+    def run():
+        q = (
+            read_documents_stream(spark, str(stream_dir))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    deliver("b0", [(1, "srcA"), (2, "srcA")])
+    run()
+    assert {r.doc_id for r in spark.read.parquet(f"{out}/epoch=0").collect()} == {1, 2}
+
+    deliver("b1", [(10, "srcA"), (11, "srcA"), (12, "srcB")])
+    run()
+    kept1 = {r.doc_id for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert kept1 == {10, 12}, kept1  # 1 srcA slot left (keep-first), srcB free
+    assert (0, 2, 0) in stats["batches"] and (1, 2, 1) in stats["batches"], stats
+    # state: (source, batch_id) rows, totals at the cap
+    st = {(r.source, r.batch_id): r.n_kept for r in spark.read.parquet(state).collect()}
+    assert st == {("srcA", 0): 2, ("srcA", 1): 1, ("srcB", 1): 1}, st
+
+    # replay batch 1 (crash between write and checkpoint commit)
+    batch1 = doc_rows([(10, "srcA"), (11, "srcA"), (12, "srcB")])
+    sink(batch1, 1)
+    kept1r = {r.doc_id for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert kept1r == {10, 12}
+    st2 = {(r.source, r.batch_id): r.n_kept for r in spark.read.parquet(state).collect()}
+    assert st2 == st
