@@ -208,6 +208,11 @@ def _is_overflow(name: str) -> bool:
         # build shape) and a13 (the decoded labels as group keys).
         # Both green r1-r7, untouched.
         "a10", "st3",
+        # a9 out for dd12 (round 8): grouped daily counts are evidenced
+        # in-window by a17 (calendar rollup counts over the same
+        # timestamps) and w1 (grouped counts under a rank window).
+        # Green r1-r7, untouched.
+        "a9",
     )
     return name.split("_")[0] in overflow_prefixes
 

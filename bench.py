@@ -118,6 +118,9 @@ CURATION = [
     "x14_curation_pipeline_v3",
     "t17_bigram_logprob",
     "v13_knn_outliers",
+    # dd12's cert shape (uncapped index) is ~2.7x its capped prod shape
+    # (dd12_prod in prod_paths) — benched both ways per standing policy
+    "dd12_containment_pairs",
 ]
 
 

@@ -557,3 +557,53 @@ def incremental_dedup(
             (F.coalesce("n_corpus_matches", F.lit(0)) > 0).alias("is_dup"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs — the subset-duplicate
+    detector Jaccard structurally misses: a short document embedded
+    verbatim in a much longer one has containment(short→long) ≈ 1 while
+    its Jaccard ≈ |short|/|long| ≈ 0 (quote inclusion, boilerplate
+    wrappers, articles + their excerpts). Same inverted-shingle-index
+    kernel as :func:`jaccard_pairs` (explode → self-equi-join →
+    per-pair common count; pairs sharing no shingle never materialize;
+    same stop-shingle df-cap and the same recall tradeoff) — only the
+    final metric differs: both directional containments are emitted and
+    a pair qualifies when EITHER clears ``threshold``.
+    """
+    sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k)
+    sh = sh.select(id_col, F.array_size("shingle").alias("n_sh"), "shingle")
+    inv = sh.select(id_col, "n_sh", F.explode("shingle").alias("sh"))
+    if max_shingle_freq is not None:
+        w = Window.partitionBy("sh")
+        inv = (
+            inv.withColumn("df_", F.count(F.lit(1)).over(w))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .drop("df_")
+        )
+    inv = inv.persist()
+    a = inv.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
+    )
+    b = inv.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), F.col("sh")
+    )
+    return (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn("c_a_in_b", F.round(F.col("common") / F.col("n_a"), 6))
+        .withColumn("c_b_in_a", F.round(F.col("common") / F.col("n_b"), 6))
+        .filter(
+            (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
+        )
+        .select("id_a", "id_b", "c_a_in_b", "c_b_in_a")
+    )

@@ -2286,6 +2286,49 @@ FROM toks t JOIN freq f USING (token) CROSS JOIN tot
 GROUP BY t.doc_id"""
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd12: asymmetric n-gram CONTAINMENT pairs — the subset-duplicate
+    detector (quote inclusion, boilerplate wrappers, article+excerpt)
+    that Jaccard structurally misses: containment(short→long) ≈ 1 while
+    jaccard ≈ |short|/|long|. Same inverted-index kernel as dd2, both
+    directional containments emitted, pair kept when either ≥ 0.6.
+    Certification disables the stop-shingle df-cap (the oracle is the
+    exhaustive pairwise intersect); production keeps the cap — dd2's
+    documented recall tradeoff applies unchanged."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), threshold=0.6, max_shingle_freq=None
+    )
+
+
+QUERIES["dd12_containment_pairs"] = q_containment_pairs
+
+
+def q_containment_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd12_prod: the capped production shape — identical output on this
+    fixture, 2.9 s vs the cert's 8.1 s at sf0.1 (cert/prod benched both
+    ways from day one per the r7 standing policy; the df-cap is what
+    keeps the inverted index sub-quadratic on stop-shingles at corpus
+    scale)."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), threshold=0.6, max_shingle_freq=100
+    )
+
+
+BENCH_ONLY["dd12_prod"] = q_containment_pairs_prod
+ORACLES["dd12_containment_pairs"] = f"""
+WITH {_SHINGLES_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(a.shingle), 6) AS c_a_in_b,
+       round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(b.shingle), 6) AS c_b_in_a
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(a.shingle), 6) >= 0.6
+   OR round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(b.shingle), 6) >= 0.6"""
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t17: language-model quality scoring, BIGRAM form — t10's shape
     one order up: per-doc mean log p(w2|w1) with add-one smoothing over
