@@ -163,6 +163,27 @@ def main() -> None:
     # warm up the JVM/codegen paths once (excluded from timings)
     queries["a6_total_trips"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # fixed-work box calibration: a codegen'd grouped sum over a
+    # synthetic range (CPU + one small shuffle, no IO, no fixture) — the
+    # same work every round on every box. Cross-round comparisons can
+    # divide suite times by (calibration / its historical baseline) to
+    # normalize out machine drift (round-8 measured the SAME commit's
+    # suite swinging ~15-25% intra-day on this box).
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def _calibrate() -> float:
+        med, _, _ = _timed(
+            lambda: spark.range(200_000_000, numPartitions=32)
+            .groupBy((F.col("id") % 4096).alias("g"))
+            .agg(F.sum(F.col("id") * 2 + 1).alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(med, 3)
+
+    calibration_sec = _calibrate()
+
     spread: dict[str, list[float]] = {}
 
     def run_suite(names: list[str]) -> dict[str, float]:
@@ -299,6 +320,11 @@ def main() -> None:
         "pipe_transform_rows": n_rows,
         "pipe_transform_rps": round(n_rows / pipeline_sec),
         "pipe_transform_bronze_rps": round(n_rows / bronze_sec),
+        # fixed-work calibration (200M-row codegen'd grouped sum: CPU +
+        # one 4096-key shuffle, no IO, no fixture): divide suite times by
+        # (calibration_sec / baseline) to normalize box drift across
+        # rounds
+        "calibration_sec": calibration_sec,
         "detail": "BENCH_local.json",
     }
     full = dict(summary)
