@@ -320,6 +320,13 @@ def main() -> None:
         "pipe_transform_rows": n_rows,
         "pipe_transform_rps": round(n_rows / pipeline_sec),
         "pipe_transform_bronze_rps": round(n_rows / bronze_sec),
+        # min-based twins (same estimator as value_min/curation_min —
+        # the ADVICE-r6 noise-robust plan-cost read on a drifting box;
+        # medians above remain the primary series)
+        "pipe_transform_rps_min": round(n_rows / spread["pipe_transform_full"][0]),
+        "pipe_transform_bronze_rps_min": round(
+            n_rows / spread["pipe_transform_bronze"][0]
+        ),
         # fixed-work calibration (200M-row codegen'd grouped sum: CPU +
         # one 4096-key shuffle, no IO, no fixture): divide suite times by
         # (calibration_sec / baseline) to normalize box drift across
