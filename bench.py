@@ -209,11 +209,20 @@ def main() -> None:
 
     prod_paths: dict[str, float] = {}
     for name, fn in BENCH_ONLY.items():
-        med, lo, hi = _timed(
-            lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        )
+        # registered queries arrive pre-wrapped with a per-call
+        # clearCache (__spark_entry__.pinned); BENCH_ONLY functions are
+        # raw, so clear here too — otherwise each of the N_RUNS
+        # executions of a persist()-ing prod path (t15_prod, v11_prod)
+        # stacks a fresh cache entry and the accumulated memory pressure
+        # leaks into later timings (ADVICE r8).
+        def _run(fn=fn):
+            spark.catalog.clearCache()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        med, lo, hi = _timed(_run)
         prod_paths[name] = round(med, 3)
         spread[name] = [round(lo, 3), round(med, 3), round(hi, 3)]
+    spark.catalog.clearCache()  # last prod path's blocks
 
     # rows/s through the full transform pipeline INCLUDING the parquet
     # writes of both branches (the reference's 300k rows/s covers load →
@@ -332,11 +341,27 @@ def main() -> None:
         # (calibration_sec / baseline) to normalize box drift across
         # rounds
         "calibration_sec": calibration_sec,
+        # drift-normalized twins (VERDICT r8 item 4): suite totals as
+        # MULTIPLES OF THE FIXED-WORK CALIBRATION on the same box at the
+        # same moment — box drift inflates numerator and denominator
+        # together, so these ratios are comparable across rounds even
+        # when absolute seconds are not. Per-query ratios are in
+        # BENCH_local.json under "queries_norm".
+        "value_norm": round(total / calibration_sec, 2),
+        "value_min_norm": round(
+            _suite_min([*HEADLINE, "pipe_transform_full", "pipe_transform_bronze"])
+            / calibration_sec,
+            2,
+        ),
+        "curation_norm": round(sum(curation.values()) / calibration_sec, 2),
         "detail": "BENCH_local.json",
     }
     full = dict(summary)
     full["curation_queries"] = curation
     full["spread"] = spread
+    full["queries_norm"] = {
+        name: round(vals[1] / calibration_sec, 2) for name, vals in spread.items()
+    }
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )

@@ -80,14 +80,22 @@ def knn_bruteforce(
     )
 
 
-def rhp_signature(vec_col: str = "embedding", n_planes: int = 16, dim: int = 64) -> Column:
+def rhp_signature(
+    vec_col: str = "embedding_d", n_planes: int = 16, dim: int = 64
+) -> Column:
     """Random-hyperplane LSH sketch: bit p = sign(v · h_p), hyperplanes
     derived deterministically from (p, dimension index) via a hash-based
     pseudo-random ±1 weight — no stored model, reproducible cluster-wide.
+
+    ``vec_col`` names the (array<double>) vector column; the default
+    matches the in-repo convention of casting to double as
+    ``embedding_d`` first. (ADVICE r8: an earlier revision advertised
+    the parameter but hardcoded the column — callers now bind it
+    explicitly.)
     """
     per_plane = (
         f"aggregate(transform(sequence(0, {dim - 1}), j -> "
-        f"cast(embedding_d[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
+        f"cast({vec_col}[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
         "cast(0.0 as double), (acc, x) -> acc + x)"
     )
     return F.expr(
@@ -122,7 +130,9 @@ def rhp_cell_portable(
     )
 
 
-def rhp_projections(n_planes: int = 16, dim: int = 64) -> Column:
+def rhp_projections(
+    vec_col: str = "embedding_d", n_planes: int = 16, dim: int = 64
+) -> Column:
     """Per-plane signed projections v · h_p (array<double>) for the same
     deterministic hyperplanes :func:`rhp_signature` uses. The sign of
     entry p is bit p of the signature; |entry p| is the margin — how far
@@ -130,7 +140,7 @@ def rhp_projections(n_planes: int = 16, dim: int = 64) -> Column:
     differ for a true near neighbor."""
     per_plane = (
         f"aggregate(transform(sequence(0, {dim - 1}), j -> "
-        f"cast(embedding_d[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
+        f"cast({vec_col}[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
         "cast(0.0 as double), (acc, x) -> acc + x)"
     )
     return F.expr(f"transform(sequence(0, {n_planes - 1}), p -> {per_plane})")
@@ -176,11 +186,11 @@ def knn_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("embedding_d"),
-    ).withColumn("sig", rhp_signature(n_planes=n_planes, dim=dim))
+    ).withColumn("sig", rhp_signature(vec_col="embedding_d", n_planes=n_planes, dim=dim))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("embedding_d"),
-    ).withColumn("proj", rhp_projections(n_planes=n_planes, dim=dim))
+    ).withColumn("proj", rhp_projections(vec_col="embedding_d", n_planes=n_planes, dim=dim))
     q = q.withColumn(
         "sig",
         F.expr(
@@ -533,7 +543,7 @@ def embedding_candidate_pairs(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("embedding_d"),
         )
-        .withColumn("sig", rhp_signature(n_planes=n_planes))
+        .withColumn("sig", rhp_signature(vec_col="embedding_d", n_planes=n_planes))
         .select("id", "sig")
         .persist()
     )

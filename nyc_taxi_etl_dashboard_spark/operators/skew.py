@@ -73,10 +73,24 @@ def capped_keep_first(
        phase 1), and phase 2 applies the exact original predicate.
 
     ``quota`` is a per-row Column (e.g. a broadcast-map lookup keyed on
-    the domain) that must be constant within a domain. Pass a slim
-    projection (id + domain) and join the payload back on id — the
-    windows should never carry document bodies.
+    the domain) that must be constant within a domain and NON-NULL: a
+    NULL quota would make both the under-filter (``__n <= quota``) and
+    the over-filter (``__n > quota``) evaluate to NULL and silently
+    delete the whole domain, so it is rejected loudly instead (ADVICE
+    r8) — callers with an optional per-domain map coalesce a default
+    BEFORE passing it in. Pass a slim projection (id + domain) and join
+    the payload back on id — the windows should never carry document
+    bodies.
     """
+    quota = F.when(quota.isNotNull(), quota).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("capped_keep_first: NULL quota for domain "),
+                F.col(domain_col).cast("string"),
+                F.lit(" — coalesce a default before calling"),
+            )
+        )
+    )
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
     with_n = df.join(F.broadcast(counts), domain_col)
     under = with_n.filter(F.col("__n") <= quota).drop("__n")

@@ -2343,11 +2343,19 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     history + a per-doc avg. Same skew note as t10 (stopword-headed
     histories are hot; AQE splits them)."""
     d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
+    # the size(t) >= 2 guard matters (ADVICE r8): Spark's sequence()
+    # auto-steps DOWNWARD when start > stop, so a 1-token doc would
+    # build sequence(0, -1) = [0, -1] and emit out-of-range lookups
+    # whose NULL bigrams only vanished by accident of concat-null +
+    # inner-join propagation; the DuckDB oracle's range(len-1) is empty
+    # instead. Short docs now never enter the descending-sequence path.
     bg = d.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"
+                "IF(size(t) >= 2, "
+                "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])), "
+                "cast(array() as array<string>))"
             )
         ).alias("bg"),
     )

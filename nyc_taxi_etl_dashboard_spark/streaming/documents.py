@@ -42,6 +42,20 @@ def read_documents_stream(spark: SparkSession, directory: str) -> DataFrame:
     return spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(directory)
 
 
+def _warehouse_exists(spark: SparkSession, path: str) -> bool:
+    """Does the sink's state/warehouse table exist yet? Resolved through
+    the Hadoop FileSystem API, not ``os.path.exists`` (ADVICE r8): with
+    an ``hdfs://`` or ``s3a://`` warehouse a local-only check would
+    silently report the history absent — resetting the quota sink's
+    running counts and re-admitting semantic/near dups on every batch.
+    The FS is derived from the path's own scheme, so local paths behave
+    exactly as before."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def curate_documents_stream(
     docs: DataFrame, min_tokens: int = 20, watermark: str = "1 hour"
 ) -> DataFrame:
@@ -102,14 +116,12 @@ def incremental_dedup_sink(
     stats_box: dict = {"batches": []}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
         inc_sigs = minhash_signature_table(
             batch_df, num_hashes=num_hashes, portable=portable
         ).localCheckpoint()  # cut the streaming-source lineage: the sigs
         # are consumed by a join, a filtered merge, and two counts
-        if os.path.exists(table_path):
+        if _warehouse_exists(spark, table_path):
             corpus = spark.read.parquet(table_path)
             verdicts = incremental_dedup(
                 inc_sigs, corpus,
@@ -179,19 +191,19 @@ def semantic_dedup_sink(
     stats_box: dict = {"batches": []}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
         inc = (
             batch_df.select(
                 F.col(id_col).alias("vec_id"),
                 F.col(vec_col).cast("array<double>").alias("embedding_d"),
             )
-            .withColumn("sig", rhp_signature(n_planes=n_planes, dim=dim))
+            .withColumn(
+                "sig", rhp_signature(vec_col="embedding_d", n_planes=n_planes, dim=dim)
+            )
             .withColumn("nrm", l2_norm("embedding_d"))
             .localCheckpoint()  # cut streaming lineage; consumed 3×
         )
-        if os.path.exists(table_path):
+        if _warehouse_exists(spark, table_path):
             cor = spark.read.parquet(table_path)
             masks = _probe_masks(n_planes, probe_radius)
             probes = inc.select(
@@ -338,11 +350,9 @@ def domain_quota_sink(
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
         slim = batch_df.select("doc_id", "text", "lang", "source").localCheckpoint()
-        if os.path.exists(state_path):
+        if _warehouse_exists(spark, state_path):
             taken = (
                 spark.read.parquet(state_path)
                 .filter(F.col("batch_id") != batch_id)  # replay safety

@@ -874,6 +874,31 @@ def test_capped_keep_first_equals_plain_window(spark):
     assert "__salt" in plan
 
 
+def test_capped_keep_first_null_quota_raises(spark):
+    """A NULL per-row quota must FAIL LOUDLY, not silently delete the
+    domain (ADVICE r8): pre-guard, both the under-filter (__n <= NULL)
+    and over-filter (__n > NULL) evaluated to NULL and the domain's rows
+    vanished from the keep-set without a trace. A raw map lookup with no
+    coalesced default is exactly how a caller hits this."""
+    import pytest
+
+    from nyc_taxi_etl_dashboard_spark.operators.skew import capped_keep_first
+
+    df = spark.createDataFrame(
+        [(1, "listed"), (2, "listed"), (3, "unlisted")], "doc_id long, source string"
+    )
+    quota_no_default = F.element_at(
+        F.create_map(F.lit("listed"), F.lit(10)), F.col("source")
+    )
+    with pytest.raises(Exception, match="NULL quota"):
+        capped_keep_first(df, "source", "doc_id", quota_no_default).collect()
+    # non-null quotas still pass through untouched
+    got = capped_keep_first(
+        df, "source", "doc_id", F.coalesce(quota_no_default, F.lit(10))
+    )
+    assert got.count() == 3
+
+
 def test_semantic_dedup_keeps_exactly_cluster_minima(spark, sf_dir):
     """v10 keeps exactly one vector per semantic cluster (the id
     minimum), singletons keep themselves, and every dropped vector's
