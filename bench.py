@@ -214,9 +214,15 @@ def main() -> None:
         # raw, so clear here too — otherwise each of the N_RUNS
         # executions of a persist()-ing prod path (t15_prod, v11_prod)
         # stacks a fresh cache entry and the accumulated memory pressure
-        # leaks into later timings (ADVICE r8).
+        # leaks into later timings (ADVICE r8). The partition-count memo
+        # drops alongside the cache for full parity with pinned
+        # (ADVICE r9): a BENCH_ONLY path must not consume a memo
+        # populated by earlier registered queries.
+        from nyc_taxi_etl_dashboard_spark.operators import clear_nparts_memo
+
         def _run(fn=fn):
             spark.catalog.clearCache()
+            clear_nparts_memo()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
         med, lo, hi = _timed(_run)

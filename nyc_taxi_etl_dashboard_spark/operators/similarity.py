@@ -22,6 +22,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into a SQL expr
+    string (ADVICE r9): the rhp_* builders splice ``vec_col`` into
+    ``F.expr`` text, so a name needing quoting (dots, spaces, reserved
+    words) would break parsing — and an untrusted name would be
+    SQL-injectable. Embedded backticks are doubled per Spark's
+    identifier-escaping rule, making the result a single identifier
+    token no matter the input."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Σ aᵢ·bᵢ as a sequential double fold (deterministic order)."""
     ca = F.col(a) if isinstance(a, str) else a
@@ -95,7 +106,7 @@ def rhp_signature(
     """
     per_plane = (
         f"aggregate(transform(sequence(0, {dim - 1}), j -> "
-        f"cast({vec_col}[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
+        f"cast({_qident(vec_col)}[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
         "cast(0.0 as double), (acc, x) -> acc + x)"
     )
     return F.expr(
@@ -120,7 +131,7 @@ def rhp_cell_portable(
     """
     per_plane = (
         f"aggregate(transform(sequence(0, {dim - 1}), j -> "
-        f"cast({vec_col}[j] as double) * (CASE WHEN (cast(p * {dim} + j as bigint) * 1103515245 + 12345) % 2147483648 < 1073741824 "
+        f"cast({_qident(vec_col)}[j] as double) * (CASE WHEN (cast(p * {dim} + j as bigint) * 1103515245 + 12345) % 2147483648 < 1073741824 "
         "THEN 1.0 ELSE -1.0 END)), "
         "cast(0.0 as double), (acc, x) -> acc + x)"
     )
@@ -140,7 +151,7 @@ def rhp_projections(
     differ for a true near neighbor."""
     per_plane = (
         f"aggregate(transform(sequence(0, {dim - 1}), j -> "
-        f"cast({vec_col}[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
+        f"cast({_qident(vec_col)}[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
         "cast(0.0 as double), (acc, x) -> acc + x)"
     )
     return F.expr(f"transform(sequence(0, {n_planes - 1}), p -> {per_plane})")

@@ -48,11 +48,25 @@ def _warehouse_exists(spark: SparkSession, path: str) -> bool:
     an ``hdfs://`` or ``s3a://`` warehouse a local-only check would
     silently report the history absent — resetting the quota sink's
     running counts and re-admitting semantic/near dups on every batch.
-    The FS is derived from the path's own scheme, so local paths behave
-    exactly as before."""
-    jvm = spark._jvm
+    Scheme-qualified paths resolve through their own scheme's FS;
+    scheme-less paths resolve via ``fs.defaultFS`` — which is exactly
+    what keeps this check consistent with the ``spark.read.parquet``
+    that consumes the warehouse (ADVICE r9 wording fix).
+
+    Under Spark Connect there is no py4j bridge (``spark._jvm`` is
+    None), so the check falls back to a read-probe against the same
+    reader the warehouse consumer uses — heavier (schema inference) but
+    scheme-correct and only ever hit on Connect sessions."""
+    jvm = getattr(spark, "_jvm", None)
+    jsc = getattr(spark, "_jsc", None)
+    if jvm is None or jsc is None:  # Spark Connect: no py4j internals
+        try:
+            spark.read.parquet(path).schema
+            return True
+        except Exception:
+            return False
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
 
 
