@@ -34,6 +34,12 @@ if _REPO_ROOT not in sys.path:
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
+#: the driver verifies only the first CORRECTNESS_WINDOW registry
+#: entries against their oracles each round; later entries are covered
+#: by the committed full-registry sweep (tools/full_sweep.py →
+#: CORRECTNESS_local.json)
+CORRECTNESS_WINDOW = 50
+
 
 def _pin(spark: SparkSession) -> SparkSession:
     from nyc_taxi_etl_dashboard_spark.session import pin_session
@@ -65,7 +71,25 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
     merged: dict = {}
     for mapping in mapping_per_module:
         merged.update(mapping)
-    priority = [
+    priority = [*PRIORITY_IN_WINDOW, *PRIORITY_TAIL]
+    out: dict = {}
+    for name, value in merged.items():
+        if name not in priority and not _is_overflow(name):
+            out[name] = value
+    for name in priority:
+        if name in merged:
+            out[name] = merged[name]
+    for name, value in merged.items():
+        if name not in out:
+            out[name] = value
+    return out
+
+
+#: rotation names that MUST land inside the driver's 50-query window
+#: (tests/test_oracle_parity.py::test_registry_window_membership pins
+#: this — the x9 off-by-one sat unnoticed two rounds because window
+#: membership lived only in comments, VERDICT r8 item 6)
+PRIORITY_IN_WINDOW = [
         # Round-3 rotation (VERDICT r02 item 1): the 11 round-2 queries that
         # never earned a driver CORRECTNESS row move inside the 50-query
         # window. The 9 llmops queries green in r02 (t7 t8 t9 x5 x6 dd7 dd2
@@ -114,25 +138,23 @@ def _ordered(mapping_per_module: list[dict]) -> dict:
         # evidenced by x9 which composes its water-filling math —
         # absorbs the overflow instead.
         "x9_planned_sample",
+]
+
+#: past the 50-query window BY DESIGN: driver-green in earlier rounds
+#: and semantically unchanged since. The membership test allows these
+#: (and overflow-prefixed names) past index 49 and nothing else.
+PRIORITY_TAIL = [
+        # x8 rotated out in round 8 when x9 moved ahead of it (x9
+        # composes x8's water-filling math, so the machinery stays
+        # evidenced in-window); sits at exactly index 50. The guard
+        # test documents this as deliberate — it was previously only a
+        # comment, which is how the original x9 spill went unnoticed.
         "x8_mixture_plan",
-        # past the 50-query window from here down: all driver-green in r01
-        # or r02 and semantically unchanged since.
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",
         "v1_embedding_norms",
-    ]
-    out: dict = {}
-    for name, value in merged.items():
-        if name not in priority and not _is_overflow(name):
-            out[name] = value
-    for name in priority:
-        if name in merged:
-            out[name] = merged[name]
-    for name, value in merged.items():
-        if name not in out:
-            out[name] = value
-    return out
+]
 
 
 def _is_overflow(name: str) -> bool:
