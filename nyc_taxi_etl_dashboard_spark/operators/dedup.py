@@ -53,6 +53,48 @@ def dedup_keep_first(df: DataFrame, keys: list[str], order_cols: list[str]) -> D
     )
 
 
+#: floor of the corpus-relative df-cap ("auto" mode): never cap below
+#: the historical fixed default, so small corpora behave exactly as the
+#: certified fixed-cap runs did
+AUTO_DF_CAP_MIN = 100
+#: corpus-relative df-cap fraction: a shingle is a stop-shingle when it
+#: appears in more than this fraction of documents. 0.5% tracks the
+#: standard web-dedup heuristic (boilerplate lives in far more docs
+#: than any true duplicate group).
+AUTO_DF_CAP_EPS = 0.005
+
+
+def _resolve_df_cap(
+    df: DataFrame, max_shingle_freq: int | str | None, id_col: str
+) -> int | None:
+    """Resolve the stop-shingle document-frequency cap.
+
+    ``"auto"`` = ``max(AUTO_DF_CAP_MIN, ceil(AUTO_DF_CAP_EPS · N))``
+    with N the corpus document count — the round-9/10 fix for the dd12
+    100× finding: a FIXED cap silently empties the inverted index on
+    replica-heavy corpora (every shingle's df exceeds it once the
+    replication factor does), collapsing recall to zero exactly on the
+    boilerplate-heavy crawls that need containment detection most. A
+    corpus-relative cap keeps true duplicate groups (whose size grows
+    with replication, i.e. slower than the corpus) under the cap while
+    still dropping genuine stop-shingles (df ∝ N).
+
+    Worst-case candidate volume under the cap: Σ df_i² over surviving
+    shingles ≤ cap · Σ df_i = cap · (total postings) — linear in corpus
+    size times a configuration constant, never quadratic.
+
+    Cost: one count job over the id column (scan-only, no shuffle).
+    At bench scales (≤5k docs) auto resolves to the floor (100), so
+    certified fixed-cap outputs are unchanged.
+    """
+    if max_shingle_freq == "auto":
+        import math
+
+        n = df.select(id_col).count()
+        return max(AUTO_DF_CAP_MIN, int(math.ceil(AUTO_DF_CAP_EPS * n)))
+    return max_shingle_freq
+
+
 def _tv_sql(var: str) -> str:
     """token_value as SQL text (see functions.token_value)."""
     return f"(ascii({var}) * 10007 + ascii(reverse({var})) * 101 + length({var}))"
@@ -318,7 +360,7 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = 100,
+    max_shingle_freq: int | str | None = 100,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via an inverted shingle index.
 
@@ -334,8 +376,11 @@ def jaccard_pairs(
     stop-shingles can fall below the threshold — the standard web-dedup
     tradeoff (near-dup evidence from ultra-common n-grams is weak
     anyway). ``max_shingle_freq=None`` disables the cap for exhaustive
-    runs on small corpora.
+    runs on small corpora; ``"auto"`` makes it corpus-size-relative
+    (:func:`_resolve_df_cap`) — the production setting for corpora whose
+    replication factor can exceed any fixed cap.
     """
+    max_shingle_freq = _resolve_df_cap(df, max_shingle_freq, id_col)
     sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k)
     sh = sh.select(id_col, F.array_size("shingle").alias("n_sh"), "shingle")
     inv = sh.select(id_col, "n_sh", F.explode("shingle").alias("sh"))
@@ -565,7 +610,7 @@ def containment_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.6,
-    max_shingle_freq: int | None = 100,
+    max_shingle_freq: int | str | None = 100,
 ) -> DataFrame:
     """ASYMMETRIC n-gram containment pairs — the subset-duplicate
     detector Jaccard structurally misses: a short document embedded
@@ -577,7 +622,16 @@ def containment_pairs(
     same stop-shingle df-cap and the same recall tradeoff) — only the
     final metric differs: both directional containments are emitted and
     a pair qualifies when EITHER clears ``threshold``.
+
+    Production cap setting is ``"auto"`` (corpus-size-relative,
+    :func:`_resolve_df_cap`): the round-8 scale audit found a FIXED cap
+    of 100 silently emptied the inverted index at 100× on the
+    replica-heavy fixture — every shingle's df exceeded the cap, so
+    ``dd12_prod`` returned 0 pairs with bounded wall-time and zero
+    recall. The relative cap keeps duplicate-group shingles (df ∝
+    replication factor) while dropping true stop-shingles (df ∝ N).
     """
+    max_shingle_freq = _resolve_df_cap(df, max_shingle_freq, id_col)
     sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k)
     sh = sh.select(id_col, F.array_size("shingle").alias("n_sh"), "shingle")
     inv = sh.select(id_col, "n_sh", F.explode("shingle").alias("sh"))
