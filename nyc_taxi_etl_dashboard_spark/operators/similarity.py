@@ -509,6 +509,89 @@ def ivf_ann_trained(
     )
 
 
+def knn_density_outliers(
+    corpus: DataFrame,
+    k: int = 5,
+    decile: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    n_cells: int = 8,
+    n_probes: int = 4,
+    centroids: list[list[float]] | None = None,
+    pa_accuracy: int = 10_000,
+) -> DataFrame:
+    """kNN-density outlier gate (v13): flag the lowest-density
+    ``decile`` of vectors by mean cosine to their ``k`` nearest
+    neighbors — the OOD-pruning stage of embedding-based curation.
+
+    ``exact=True`` is the CERTIFICATION shape: brute-force all-pairs
+    kNN plus a global ``percent_rank`` window — O(n²) pair folds and a
+    single-task global sort; correct at any data distribution, usable
+    only at cert scale. Output adds the exact ``pct`` column.
+
+    The default is the PRODUCTION shape (VERDICT r8 item 1):
+
+    - neighbors: EXACT kNN *within trained k-means coarse cells*
+      (:func:`ivf_ann_trained` — the quantizer trains on a bounded
+      sample, assignment is the Arrow kernel, each query probes its
+      ``n_probes`` nearest cells and brute-forces only within them).
+      Per-cell work is |cell|·|probed candidates| folds — the cell
+      layout bounds the quadratic, and cells shard across executors.
+    - gate: a ``percentile_approx`` threshold (t13's certified sketch
+      shape) — one aggregation producing a scalar, broadcast back over
+      the scores. No global sort, no unpartitioned window, no driver
+      loop. ``pa_accuracy=10_000`` holds the rank error under 0.01 %.
+
+    The round-8 measured negative stands: LOW-recall neighbor kernels
+    (nprobe=2-of-8 on near-random vectors) scramble the gate, so the
+    production path is only meaningful where the embedding space has
+    real cluster structure — which the recall floor in
+    tests/test_llmops.py measures on a planted-cluster fixture
+    (recall@5 ≥ 0.9, outlier-set Jaccard vs exact ≥ 0.9). On
+    structure-free fixtures raise ``n_probes`` toward ``n_cells``
+    (degrades gracefully to exact, at brute-force cost).
+    """
+    if exact:
+        nn = knn_bruteforce(corpus, corpus, k=k, id_col=id_col, vec_col=vec_col)
+        scored = nn.groupBy("query_id").agg(
+            F.round(F.avg("cosine"), 6).alias("mean_knn_cos")
+        )
+        w = Window.orderBy("mean_knn_cos")
+        return scored.withColumn(
+            "pct", F.round(F.percent_rank().over(w), 6)
+        ).select(
+            F.col("query_id").alias(id_col),
+            "mean_knn_cos",
+            "pct",
+            (F.col("pct") <= decile).alias("is_outlier"),
+        )
+    nn = ivf_ann_trained(
+        corpus,
+        corpus,
+        k=k,
+        n_cells=n_cells,
+        n_probes=n_probes,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+    )
+    scored = nn.groupBy("query_id").agg(
+        F.round(F.avg("cosine"), 6).alias("mean_knn_cos")
+    )
+    thr = scored.agg(
+        F.percentile_approx("mean_knn_cos", decile, pa_accuracy).alias("__thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(
+            F.col("query_id").alias(id_col),
+            "mean_knn_cos",
+            (F.col("mean_knn_cos") <= F.col("__thr")).alias("is_outlier"),
+        )
+    )
+
+
 def _probe_masks(n_planes: int, radius: int) -> list[int]:
     """All bitmasks of popcount <= radius over n_planes bits (multi-probe
     expansion set). Tiny by construction: C(n_planes, <=radius)."""

@@ -2420,29 +2420,13 @@ def q_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     in sparse regions regardless of any fixed similarity threshold.
 
     Certification runs the exact brute-force kNN (v2's certified
-    kernel); at 100 TB swap in the IVF probe (v7) or RHP blocking (v4)
-    for neighbor generation — the density scoring and the relative
-    gate are unchanged (the same cert/production split as the ANN
+    kernel) and the exact percent_rank gate; the production kernel —
+    exact kNN within trained k-means cells + percentile-sketch gate —
+    is ``v13_prod`` below (same cert/production split as the ANN
     family)."""
-    from ..operators.similarity import knn_bruteforce
-    from pyspark.sql import Window
+    from ..operators.similarity import knn_density_outliers
 
-    e = _embs(spark, sf_dir)
-    nn = knn_bruteforce(e, e, k=5)
-    scored = nn.groupBy("query_id").agg(
-        F.round(F.avg("cosine"), 6).alias("mean_knn_cos")
-    )
-    return (
-        scored.withColumn(
-            "pct", F.round(F.percent_rank().over(Window.orderBy("mean_knn_cos")), 6)
-        )
-        .select(
-            F.col("query_id").alias("vec_id"),
-            "mean_knn_cos",
-            "pct",
-            (F.col("pct") <= 0.1).alias("is_outlier"),
-        )
-    )
+    return knn_density_outliers(_embs(spark, sf_dir), k=5, decile=0.1, exact=True)
 
 
 QUERIES["v13_knn_outliers"] = q_knn_outliers
@@ -2464,20 +2448,33 @@ r AS (SELECT query_id AS vec_id, mean_knn_cos,
 SELECT vec_id, mean_knn_cos, pct, pct <= 0.1 AS is_outlier FROM r"""
 
 
-#: v13 production note — a MEASURED negative worth recording instead of
-#: a bench-only path: swapping v13's neighbor generation for the cheap
-#: approximate kernels scrambles the gate on this fixture. At
-#: nprobe=2-of-8 trained IVF the outlier-set Jaccard vs exact is 0.19;
-#: RHP blocking at (4 planes, 2-3 probes) gives neighbor recall@5 of
-#: only 0.34-0.42 (64-dim near-random embeddings have weak locality)
-#: while the density spread is narrow (p5..p95 of mean_knn_cos:
-#: 0.286..0.365), so decile membership flips under approximation.
-#: A production v13 therefore needs HIGH-RECALL neighbors — exhaustive
-#: within IVF cells at high nprobe, or exact kNN inside coarse
-#: partitions — before the relative gate is meaningful; shipping a
-#: low-recall "prod path" would bench fast and compute a different
-#: answer, the exact failure mode the cert/prod split exists to
-#: prevent.
+def q_knn_outliers_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v13_prod (VERDICT r8 item 1): the scale shape — exact kNN within
+    trained k-means coarse cells (bounded-sample Lloyd fit, Arrow-kernel
+    assignment, nprobe-bounded candidate blocks) and a
+    ``percentile_approx`` decile threshold instead of the global
+    ``percent_rank`` sort. Per-cell work bounds the quadratic; the gate
+    is one aggregation plus a broadcast scalar.
+
+    The round-8 measured negative still governs the CONFIG: on this
+    near-random 64-dim fixture low nprobe scrambles decile membership,
+    so the benched prod config probes 4 of 8 cells (~half the corpus as
+    candidates — still 2× cheaper than all-pairs and, unlike the cert
+    path, free of the single-task global sort). The recall floor and
+    outlier-set agreement are pytest-pinned on a planted-CLUSTER
+    fixture (tests/test_llmops.py), where real structure lets the same
+    kernel run at low nprobe: that's the honest production claim —
+    cells help exactly where the embedding space has density structure,
+    which is the only regime where a density gate is meaningful at
+    all."""
+    from ..operators.similarity import knn_density_outliers
+
+    return knn_density_outliers(
+        _embs(spark, sf_dir), k=5, decile=0.1, n_cells=8, n_probes=4
+    )
+
+
+BENCH_ONLY["v13_prod"] = q_knn_outliers_prod
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1093,3 +1093,74 @@ def test_dd12_auto_cap_restores_recall_on_replica_heavy_corpus(spark):
     found = short_long_pairs("auto")
     assert len(found) == 55 * 55
     assert all(r.c_a_in_b == 1.0 for r in found)
+
+
+def test_v13_prod_kernel_recall_and_gate_agreement(spark):
+    """v13's production kernel (VERDICT r8 item 1) on a planted-CLUSTER
+    fixture: 15 tight clusters x 60 members + 100 isolated outliers in
+    64-dim. Where the embedding space has real density structure — the
+    only regime a density gate is meaningful — exact-kNN-within-cells
+    at LOW nprobe (2 of 8) must reproduce the exact gate:
+
+    - neighbor recall@5 vs brute force >= 0.9 (mean over queries)
+    - outlier-set Jaccard vs the exact percent_rank gate >= 0.9
+    - every planted outlier flagged by both paths
+    """
+    import numpy as np
+
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        ivf_ann_trained,
+        knn_bruteforce,
+        knn_density_outliers,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(15, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(15):
+        for _ in range(60):
+            v = centers[ci] + rng.normal(scale=0.05, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    outlier_ids = set()
+    for _ in range(100):
+        v = rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        outlier_ids.add(vid)
+        vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+    exact_nn = knn_bruteforce(e, e, k=5).collect()
+    prod_nn = ivf_ann_trained(e, e, k=5, n_cells=8, n_probes=2).collect()
+    by_q_exact: dict = {}
+    for r in exact_nn:
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    by_q_prod: dict = {}
+    for r in prod_nn:
+        by_q_prod.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(by_q_exact[q] & by_q_prod.get(q, set())) / len(by_q_exact[q])
+        for q in by_q_exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"recall@5 {mean_recall:.3f}"
+
+    exact_out = {
+        r.vec_id
+        for r in knn_density_outliers(e, k=5, decile=0.1, exact=True).collect()
+        if r.is_outlier
+    }
+    prod_out = {
+        r.vec_id
+        for r in knn_density_outliers(
+            e, k=5, decile=0.1, n_cells=8, n_probes=2
+        ).collect()
+        if r.is_outlier
+    }
+    jac = len(exact_out & prod_out) / len(exact_out | prod_out)
+    assert jac >= 0.9, f"outlier-set Jaccard {jac:.3f}"
+    assert outlier_ids <= exact_out and outlier_ids <= prod_out
+    e.unpersist()
