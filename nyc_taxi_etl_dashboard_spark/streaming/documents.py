@@ -193,12 +193,15 @@ def semantic_dedup_sink(
     dups are v10's batch job — two mutually-near vectors arriving in
     the SAME micro-batch both survive (and both guard the future).
 
-    At 100 TB: the warehouse can be bucketed on ``sig`` exactly like
-    dd11's banded table (zero corpus-side shuffle per refresh), and the
-    stored vectors can be swapped for v11 PQ codes (32× less state) by
-    replacing the exact cosine verify with the ADC estimate plus a
-    margin — the docstring-level design; this sink keeps the exact
-    verify. Returns ``(sink_fn, stats_box)`` as the dd11 sink does."""
+    At 100 TB: the warehouse buckets on ``sig`` exactly like dd11's
+    banded table — zero corpus-side shuffle per refresh, plan-asserted
+    in tests/test_streaming.py (the bucketed warehouse scan feeds the
+    probe join with no Exchange above it; only the batch side
+    shuffles). The stored vectors can further be swapped for v11 PQ
+    codes (32× less state) by replacing the exact cosine verify with
+    the ADC estimate plus a margin — that part remains
+    docstring-level; this sink keeps the exact verify. Returns
+    ``(sink_fn, stats_box)`` as the dd11 sink does."""
     from ..operators.similarity import _probe_masks, dot, l2_norm, rhp_signature
     from ..sources.writers import merge_parquet
 
