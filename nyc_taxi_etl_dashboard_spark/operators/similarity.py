@@ -377,13 +377,30 @@ def _assign_kernel(centroids: list[list[float]]):
     @F.pandas_udf("struct<cell:int,d2:double>")
     def assign(v: pd.Series) -> pd.DataFrame:
         V = np.stack(v.to_numpy())
-        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        d2 = _d2_matrix(V, C)
         cell = d2.argmin(axis=1)  # first min ⇒ lowest cell id on ties
         return pd.DataFrame(
             {"cell": cell.astype("int32"), "d2": d2[np.arange(len(cell)), cell]}
         )
 
     return assign
+
+
+def _d2_matrix(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Pairwise squared distances |v−c|² = |v|² − 2 v·c + |c|² as one
+    GEMM plus two rank-1 updates. The naive broadcast-subtract form
+    materializes an (n × k × dim) temp — 2.3 GB per 10k-row Arrow batch
+    at k=448/dim=64, times 32 concurrent tasks — where the decomposed
+    form's largest array is the (n × k) result itself and the flops run
+    through BLAS. Matters exactly when the cell count scales with the
+    corpus (k ≈ √N, the IVF guideline), i.e. on the 100× semantic
+    suite. Clamped at 0 (cancellation can produce −1e-16)."""
+    d2 = (
+        (V * V).sum(axis=1)[:, None]
+        - 2.0 * (V @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    return np.maximum(d2, 0.0, out=d2)
 
 
 def nearest_cells(vec_col: str, centroids: list[list[float]], m: int = 1) -> Column:
@@ -396,7 +413,7 @@ def nearest_cells(vec_col: str, centroids: list[list[float]], m: int = 1) -> Col
     @F.pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
         V = np.stack(v.to_numpy())
-        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        d2 = _d2_matrix(V, C)
         order = np.argsort(d2, axis=1, kind="stable")[:, :m].astype("int32")
         return pd.Series(list(order))
 
@@ -444,7 +461,7 @@ def kmeans_fit(
     C = X[:k].copy()
     history: list[float] = []
     for _ in range(n_iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        d2 = _d2_matrix(X, C)
         cell = d2.argmin(axis=1)  # first min ⇒ lowest cell id on ties
         history.append(float(d2[np.arange(len(cell)), cell].sum()))
         for c in range(k):
