@@ -103,7 +103,12 @@ PRIORITY_IN_WINDOW = [
         # dd9 left this list in round 8 (rotated to overflow for the
         # three new round-8 queries t15/x12/x13; signature-agreement
         # scoring still evidenced in-window by dd11's estimate column)
-        "dd10_cluster_curation",
+        # NEW in round 10: segment-level exact dedup (C4/RefinedWeb
+        # line dedup — a granularity dd1-dd12 don't cover). dd10 —
+        # green r3-r9, frozen; its CC + cluster-canonical machinery
+        # stays evidenced in-window by dd8 (the same CC kernel) and
+        # dd11 — rotates to the tail to make room.
+        "dd13_line_dedup",
         "x7_corpus_pipeline",
         "w6_cumulative_revenue",
         "a26_mom_growth",
@@ -150,6 +155,8 @@ PRIORITY_TAIL = [
         # test documents this as deliberate — it was previously only a
         # comment, which is how the original x9 spill went unnoticed.
         "x8_mixture_plan",
+        # dd10 rotated out in round 10 for dd13 (see PRIORITY_IN_WINDOW)
+        "dd10_cluster_curation",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

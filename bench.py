@@ -121,6 +121,8 @@ CURATION = [
     # dd12's cert shape (uncapped index) is ~2.7x its capped prod shape
     # (dd12_prod in prod_paths) — benched both ways per standing policy
     "dd12_containment_pairs",
+    # round-10: segment-level exact dedup (C4/RefinedWeb line dedup)
+    "dd13_line_dedup",
 ]
 
 

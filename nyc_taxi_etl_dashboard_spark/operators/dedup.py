@@ -604,6 +604,80 @@ def incremental_dedup(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """SEGMENT-level exact dedup across the corpus — the C4/RefinedWeb
+    "line dedup" stage, a different granularity from every doc-level
+    operator here: boilerplate SEGMENTS (nav bars, license headers,
+    repeated paragraphs) are removed from otherwise-unique documents,
+    keeping exactly ONE global occurrence of each segment. Documents
+    split into consecutive ``seg_tokens``-token segments (last segment
+    may be partial); a segment's canonical occurrence is its lowest
+    (doc_id, seg_idx); all other occurrences are dropped and each doc's
+    text is rebuilt from its kept segments in order.
+
+    Output: (doc_id, n_segs, n_kept, clean_text) — one row per input
+    document (clean_text '' when every segment was dropped).
+
+    Scale shape: the canonical-occurrence computation is a MIN
+    aggregation keyed on the segment text — map-side combinable, so a
+    boilerplate segment appearing in millions of docs contributes one
+    partial row per task, never a hot sort group (deliberately NOT a
+    row_number window, which would sort the hottest segment's
+    occurrences in one task). Then one equi-join on segment (AQE splits
+    residual hot keys) and one per-doc rebuild aggregation. (doc_id,
+    seg_idx) packs into one bigint for the min — portable to any
+    engine and a single-column agg — which bounds seg_idx at 1e6
+    segments per document.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tok")
+    )
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(tok) / {seg_tokens}.0) as int) - 1), "
+                f"i -> array_join(slice(tok, i * {seg_tokens} + 1, {seg_tokens}), ' '))"
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    segs = segs.withColumn(
+        "occ_key", F.col("doc_id") * F.lit(1_000_000) + F.col("seg_idx")
+    )
+    canon = segs.groupBy("seg").agg(F.min("occ_key").alias("canon_key"))
+    kept = (
+        segs.join(canon, "seg")
+        .withColumn("is_kept", F.col("occ_key") == F.col("canon_key"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(filter(collect_list("
+                "CASE WHEN is_kept THEN struct(seg_idx, seg) END), x -> x IS NOT NULL)), "
+                "x -> x.seg)"
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segs", F.lit(0)).alias("n_segs"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

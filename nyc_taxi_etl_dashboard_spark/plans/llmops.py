@@ -3104,3 +3104,45 @@ SELECT doc_id, CAST(i AS INTEGER) AS seg_id,
        array_to_string(toks[i*16+1 : i*16+16], ' ') AS segment,
        CAST(len(toks[i*16+1 : i*16+16]) AS INTEGER) AS n_tokens
 FROM seg"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd13: SEGMENT-level exact dedup — the C4/RefinedWeb "line dedup"
+    stage, removing boilerplate segments (nav bars, license headers,
+    repeated paragraphs) from otherwise-unique documents while keeping
+    exactly one global occurrence of each segment. A granularity none
+    of the doc-level operators (dd1-dd12) covers: dd1 drops whole
+    duplicate documents, dd12 finds whole contained documents — dd13
+    cleans INSIDE documents.
+
+    Scale shape (see operators/dedup.py:line_dedup): the canonical
+    occurrence per segment is a map-side-combinable MIN aggregation —
+    a boilerplate segment in millions of docs contributes one partial
+    row per task, never a hot sort group — then one equi-join on
+    segment and one per-doc rebuild agg."""
+    from ..operators.dedup import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir), seg_tokens=8)
+
+
+QUERIES["dd13_line_dedup"] = q_line_dedup
+ORACLES["dd13_line_dedup"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+ix AS (SELECT doc_id, tok,
+              unnest(range(CAST(ceil(len(tok) / 8.0) AS BIGINT))) AS i
+       FROM t),
+segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                array_to_string(tok[i*8+1 : i*8+8], ' ') AS seg,
+                doc_id * 1000000 + i AS occ_key
+         FROM ix),
+canon AS (SELECT seg, min(occ_key) AS canon_key FROM segs GROUP BY seg),
+kept AS (SELECT doc_id, seg_idx, seg, occ_key = canon_key AS is_kept
+         FROM segs JOIN canon USING (seg)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+               CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(CASE WHEN is_kept THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.n_segs, 0) AS n_segs,
+       coalesce(agg.n_kept, 0) AS n_kept,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg USING (doc_id)"""

@@ -1164,3 +1164,29 @@ def test_v13_prod_kernel_recall_and_gate_agreement(spark):
     assert jac >= 0.9, f"outlier-set Jaccard {jac:.3f}"
     assert outlier_ids <= exact_out and outlier_ids <= prod_out
     e.unpersist()
+
+
+def test_dd13_line_dedup_keeps_one_global_occurrence(spark):
+    """Planted boilerplate: three docs share an identical 8-token
+    header segment; only the lowest (doc_id, seg_idx) occurrence
+    survives, unique tails are untouched, and a doc reduced to nothing
+    comes back with empty clean_text rather than vanishing."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import line_dedup
+
+    header = "h1 h2 h3 h4 h5 h6 h7 h8"
+    docs = spark.createDataFrame(
+        [
+            (1, header + " tail1a tail1b"),
+            (2, header + " tail2a tail2b tail2c"),
+            (3, header),  # nothing but the boilerplate
+            (4, "unique u2 u3 u4 u5 u6 u7 u8 u9"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, seg_tokens=8).collect()}
+    assert out[1].clean_text == header + " tail1a tail1b"
+    assert (out[1].n_segs, out[1].n_kept) == (2, 2)
+    assert out[2].clean_text == "tail2a tail2b tail2c"
+    assert (out[2].n_segs, out[2].n_kept) == (2, 1)
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[4].n_segs == out[4].n_kept == 2
