@@ -685,6 +685,7 @@ def containment_pairs(
     k: int = 3,
     threshold: float = 0.6,
     max_shingle_freq: int | str | None = 100,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC n-gram containment pairs — the subset-duplicate
     detector Jaccard structurally misses: a short document embedded
@@ -704,7 +705,30 @@ def containment_pairs(
     ``dd12_prod`` returned 0 pairs with bounded wall-time and zero
     recall. The relative cap keeps duplicate-group shingles (df ∝
     replication factor) while dropping true stop-shingles (df ∝ N).
+
+    ``collapse_exact=True`` (the production default's second half,
+    round 10) runs an exact-dedup collapse FIRST: verbatim-identical
+    texts group to one representative (lowest id) and the inverted
+    index runs over representatives only. Rationale, measured at 100×:
+    with the recall-correct auto cap, a corpus of 100-way verbatim
+    replica groups generates Σ df² ≈ 2.5 B candidate rows whose
+    shuffle spill exceeded local disk — the quadratic is per DUPLICATE
+    GROUP and no cap may drop it without recall collapse. But verbatim
+    duplicates are dd1's finding, not a containment relationship worth
+    rediscovering 100² times; every real pipeline (and this repo's
+    dd6/x7/x14 compositions) runs exact dedup before fuzzy ops. With
+    the collapse, candidate volume is governed by the DISTINCT-text
+    corpus, intra-group pairs are (by design) not emitted, and
+    cross-group subset pairs survive at representative level. On a
+    replica-free corpus the collapse is a no-op passthrough (one
+    hash-agg) and the output is identical.
     """
+    if collapse_exact:
+        df = (
+            df.select(id_col, text_col)
+            .groupBy(text_col)
+            .agg(F.min(id_col).alias(id_col))
+        )
     max_shingle_freq = _resolve_df_cap(df, max_shingle_freq, id_col)
     sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k)
     sh = sh.select(id_col, F.array_size("shingle").alias("n_sh"), "shingle")

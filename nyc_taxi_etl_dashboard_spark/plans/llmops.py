@@ -2316,13 +2316,22 @@ def q_containment_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed cap of 100 silently emptied the index at 100× — every
     shingle's df exceeded it on the replica fixture, 0 pairs, recall 0.
     The corpus-relative cap (max(100, ceil(0.005·N))) restores the
-    planted subset pairs at 100× with wall-time still bounded
-    (SCALE100X.md) while resolving to the identical fixed cap at sf0.1
-    and below."""
+    planted subset pairs while resolving to the identical fixed cap at
+    sf0.1 and below. ``collapse_exact=True`` adds the exact-dedup
+    collapse pre-pass: with the recall-correct cap, a fully-replicated
+    corpus otherwise generates Σ df² ≈ 2.5 B candidate rows (measured:
+    shuffle spill exceeded local disk at 100×) — verbatim dups are
+    dd1's finding, so the index runs over distinct-text
+    representatives (see operators/dedup.py:containment_pairs). On the
+    replica-free bench fixtures both knobs are output-neutral
+    (re-verified at sf0.01)."""
     from ..operators.dedup import containment_pairs
 
     return containment_pairs(
-        _docs(spark, sf_dir), threshold=0.6, max_shingle_freq="auto"
+        _docs(spark, sf_dir),
+        threshold=0.6,
+        max_shingle_freq="auto",
+        collapse_exact=True,
     )
 
 

@@ -1094,6 +1094,24 @@ def test_dd12_auto_cap_restores_recall_on_replica_heavy_corpus(spark):
     assert len(found) == 55 * 55
     assert all(r.c_a_in_b == 1.0 for r in found)
 
+    # the production shape adds the exact-dedup collapse: verbatim
+    # replica groups reduce to their lowest-id representative, so the
+    # planted containment surfaces as ONE rep-level pair — candidate
+    # volume governed by distinct texts, not replication (the 100x
+    # disk-blowup fix) — and intra-group pairs (dd1's finding) are not
+    # re-emitted
+    collapsed = containment_pairs(
+        docs, threshold=0.6, max_shingle_freq="auto", collapse_exact=True
+    )
+    got = (
+        collapsed.filter(F.col("id_a") >= 1_000_000)
+        .select("id_a", "id_b", "c_a_in_b")
+        .collect()
+    )
+    assert [(r.id_a, r.id_b, r.c_a_in_b) for r in got] == [
+        (1_000_000, 2_000_000, 1.0)
+    ]
+
 
 def test_v13_prod_kernel_recall_and_gate_agreement(spark):
     """v13's production kernel (VERDICT r8 item 1) on a planted-CLUSTER

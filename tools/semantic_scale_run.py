@@ -38,6 +38,18 @@ if REPO not in sys.path:
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+#: comma-separated subset of ops to run (default all) — re-measuring
+#: one operator must not cost a v13 rerun
+OPS = set(
+    filter(
+        None,
+        os.environ.get(
+            "SPARK_GRAFT_SEMANTIC_OPS",
+            "v10_prod,v11_prod,v12_prod,v13_prod,dd12_prod,semantic_sink",
+        ).split(","),
+    )
+)
+
 
 def _timed(fn) -> float:
     best = float("inf")
@@ -82,6 +94,8 @@ def main() -> None:
         n_vec[label] = n
 
         for name in ("v10_prod", "v11_prod", "v12_prod"):
+            if name not in OPS:
+                continue
             fn = BENCH_ONLY[name]
 
             def run(fn=fn):
@@ -105,18 +119,23 @@ def main() -> None:
                 )
             )
 
-        per["v13_prod"] = round(_timed(run_v13), 2)
-        print(f"{label} v13_prod (cells={n_cells}) {per['v13_prod']}s", flush=True)
+        if "v13_prod" in OPS:
+            per["v13_prod"] = round(_timed(run_v13), 2)
+            print(f"{label} v13_prod (cells={n_cells}) {per['v13_prod']}s", flush=True)
 
         def run_dd12():
             fresh()
             noop(BENCH_ONLY["dd12_prod"](spark, d))
 
-        per["dd12_prod"] = round(_timed(run_dd12), 2)
-        print(f"{label} dd12_prod {per['dd12_prod']}s", flush=True)
+        if "dd12_prod" in OPS:
+            per["dd12_prod"] = round(_timed(run_dd12), 2)
+            print(f"{label} dd12_prod {per['dd12_prod']}s", flush=True)
 
         # semantic sink: seed warehouse with 99 % of vectors, then time
         # one batch of the remaining 1 % (timing excludes the seed)
+        if "semantic_sink" not in OPS:
+            results[label] = per
+            continue
         wh_dir = tempfile.mkdtemp(prefix="semsink_wh_")
         wh_path = os.path.join(wh_dir, "warehouse.parquet")
         try:
