@@ -724,10 +724,14 @@ def containment_pairs(
     hash-agg) and the output is identical.
     """
     if collapse_exact:
+        # persist: the auto-cap count and the shingling pass both
+        # consume the collapsed corpus — without this the groupBy runs
+        # twice. Callers own cleanup (driver/bench clearCache per query).
         df = (
             df.select(id_col, text_col)
             .groupBy(text_col)
             .agg(F.min(id_col).alias(id_col))
+            .persist()
         )
     max_shingle_freq = _resolve_df_cap(df, max_shingle_freq, id_col)
     sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k)
