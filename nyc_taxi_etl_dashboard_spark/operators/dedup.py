@@ -604,6 +604,32 @@ def incremental_dedup(
     )
 
 
+def doc_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Split documents into consecutive ``seg_tokens``-token segments
+    (last may be partial): one row per (doc_id, seg_idx, seg, occ_key),
+    where ``occ_key`` packs (doc_id, seg_idx) into one bigint — the
+    portable single-column canonical-occurrence key :func:`line_dedup`
+    and the streaming line-dedup sink both order on. Narrow (explode
+    only); bounds seg_idx at 1e6 segments per document."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tok")
+    )
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(tok) / {seg_tokens}.0) as int) - 1), "
+                f"i -> array_join(slice(tok, i * {seg_tokens} + 1, {seg_tokens}), ' '))"
+            )
+        ).alias("seg_idx", "seg"),
+    ).withColumn("occ_key", F.col("doc_id") * F.lit(1_000_000) + F.col("seg_idx"))
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -634,21 +660,7 @@ def line_dedup(
     engine and a single-column agg — which bounds seg_idx at 1e6
     segments per document.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tok")
-    )
-    segs = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size(tok) / {seg_tokens}.0) as int) - 1), "
-                f"i -> array_join(slice(tok, i * {seg_tokens} + 1, {seg_tokens}), ' '))"
-            )
-        ).alias("seg_idx", "seg"),
-    )
-    segs = segs.withColumn(
-        "occ_key", F.col("doc_id") * F.lit(1_000_000) + F.col("seg_idx")
-    )
+    segs = doc_segments(df, id_col=id_col, text_col=text_col, seg_tokens=seg_tokens)
     canon = segs.groupBy("seg").agg(F.min("occ_key").alias("canon_key"))
     kept = (
         segs.join(canon, "seg")

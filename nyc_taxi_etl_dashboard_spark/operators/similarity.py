@@ -91,6 +91,73 @@ def knn_bruteforce(
     )
 
 
+def _murmur3_hash_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``hash()`` of one int value (Murmur3_x86_32.hashInt,
+    seed 42), as a signed int32. Driver-side scalar — used only to
+    derive the tiny (dim × n_planes) hyperplane weight matrix once, so
+    the Arrow signature kernel reproduces rhp_signature's hash-derived
+    ±1 weights without ever calling into the JVM. Pinned bit-equal to
+    ``F.hash`` in tests/test_llmops.py."""
+    M = 0xFFFFFFFF
+    k1 = ((x & M) * 0xCC9E2D51) & M
+    k1 = ((k1 << 15) | (k1 >> 17)) & M
+    k1 = (k1 * 0x1B873593) & M
+    h1 = (seed ^ k1) & M
+    h1 = ((h1 << 13) | (h1 >> 19)) & M
+    h1 = (h1 * 5 + 0xE6546B64) & M
+    h1 ^= 4  # fmix: fold in the input length (4 bytes)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & M
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & M
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def rhp_planes(n_planes: int = 16, dim: int = 64) -> "np.ndarray":
+    """The (dim × n_planes) ±1 weight matrix :func:`rhp_signature`'s SQL
+    derives element-wise: ``H[j, p] = +1 iff hash(p*dim + j) & 1``.
+    n_planes·dim driver-side murmur evals (≈1k), computed once per
+    kernel construction; the matrix rides the UDF closure."""
+    H = np.empty((dim, n_planes), dtype=np.float64)
+    for p in range(n_planes):
+        for j in range(dim):
+            H[j, p] = 1.0 if (_murmur3_hash_int32(p * dim + j) & 1) else -1.0
+    return H
+
+
+def rhp_signature_arrow(
+    vec_col: Column | str, n_planes: int = 16, dim: int = 64
+) -> Column:
+    """Arrow-vectorized twin of :func:`rhp_signature` — identical bits,
+    ~10× the throughput (r10 agenda item 1).
+
+    The HOF form evaluates n_planes·dim interpreted lambda calls per
+    vector (CodegenFallback — 1,024 µs-scale evals at 16×64), which
+    dominated v10_prod at 200 k vectors. Here the hyperplanes become a
+    driver-built (dim × n_planes) ±1 matrix (same murmur-derived
+    weights, :func:`rhp_planes`) and each Arrow batch is one GEMM
+    ``V @ H`` plus a sign-bit pack — BLAS flops, no interpreter.
+
+    Bit-equality caveat: the HOF fold sums sequentially, the GEMM sums
+    in BLAS order; a projection within one ulp of 0.0 could flip a
+    sign bit between the two. tests/test_llmops.py pins exact
+    signature equality on the fixture corpus and on adversarial random
+    vectors; the certified HOF twin remains the oracle-comparable form
+    (DuckDB reproduces sequential folds, not BLAS order).
+    """
+    H = rhp_planes(n_planes, dim)
+    bit_weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("bigint")
+    def sig(v: pd.Series) -> pd.Series:
+        V = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        P = V @ H
+        return pd.Series((P > 0.0) @ bit_weights)
+
+    return sig(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
 def rhp_signature(
     vec_col: str = "embedding_d", n_planes: int = 16, dim: int = 64
 ) -> Column:
@@ -167,6 +234,7 @@ def knn_lsh(
     dim: int = 64,
     n_probes: int = 0,
     exhaustive: bool = False,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """ANN scale path: bucket corpus and queries by RHP signature, then
     exact cosine top-k *within* matching buckets.
@@ -194,10 +262,15 @@ def knn_lsh(
     set bounded when using it (a certification/debug mode, not the
     production path).
     """
+    # corpus-side signatures take the kernel knob (the corpus is the
+    # scale side; bits pinned equal between kernels, see
+    # rhp_signature_arrow). Query-side signatures derive from the
+    # projections either way — queries are small by contract.
+    sig_fn = rhp_signature_arrow if kernel == "arrow" else rhp_signature
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("embedding_d"),
-    ).withColumn("sig", rhp_signature(vec_col="embedding_d", n_planes=n_planes, dim=dim))
+    ).withColumn("sig", sig_fn(vec_col="embedding_d", n_planes=n_planes, dim=dim))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("embedding_d"),
@@ -630,6 +703,7 @@ def embedding_candidate_pairs(
     vec_col: str = "embedding",
     n_planes: int = 16,
     probe_radius: int = 1,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Blocked candidate generation for embedding dedup: distinct
     (id_a < id_b) pairs whose RHP signatures are within ``probe_radius``
@@ -641,6 +715,12 @@ def embedding_candidate_pairs(
     the probed signature yields candidates. The only wide ops are the
     equi-join and the pair-dedup — both shuffle id-pairs, never vectors,
     so candidate volume (not corpus size squared) bounds the work.
+
+    ``kernel`` picks the signature producer: ``"arrow"`` (default — the
+    GEMM kernel, :func:`rhp_signature_arrow`) or ``"hof"`` (the
+    certified Catalyst-HOF twin). Bits are test-pinned equal, so the
+    choice is pure throughput; at 200 k vectors the interpreted fold
+    dominated v10_prod's wall time (r10 agenda item 1).
     """
     # persist the slim (id, sig) projection: both join sides consume it,
     # so the signature fold computes ONCE per vector instead of once per
@@ -649,12 +729,13 @@ def embedding_candidate_pairs(
     # signature recomputation into the parquet scan filter (the dd7
     # constraint-pushdown trap, caught by the round-3 plan audit).
     # Callers own cleanup: driver/bench wrappers clearCache() per query.
+    sig_fn = rhp_signature_arrow if kernel == "arrow" else rhp_signature
     sigs = (
         df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("embedding_d"),
         )
-        .withColumn("sig", rhp_signature(vec_col="embedding_d", n_planes=n_planes))
+        .withColumn("sig", sig_fn(vec_col="embedding_d", n_planes=n_planes))
         .select("id", "sig")
         .persist()
     )

@@ -165,6 +165,7 @@ def semantic_dedup_sink(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ):
     """The STREAMING form of v10 (SemDeDup keep-list), built on the dd11
     warehouse pattern (VERDICT r7 item 6): a ``foreachBatch`` sink that
@@ -201,8 +202,20 @@ def semantic_dedup_sink(
     codes (32× less state) by replacing the exact cosine verify with
     the ADC estimate plus a margin — that part remains
     docstring-level; this sink keeps the exact verify. Returns
-    ``(sink_fn, stats_box)`` as the dd11 sink does."""
-    from ..operators.similarity import _probe_masks, dot, l2_norm, rhp_signature
+    ``(sink_fn, stats_box)`` as the dd11 sink does.
+
+    ``kernel="arrow"`` (default) signs incoming vectors with the GEMM
+    kernel instead of the interpreted HOF fold — bits are test-pinned
+    equal (see :func:`..operators.similarity.rhp_signature_arrow`), so
+    warehouse state written by either kernel joins correctly against
+    batches signed by the other."""
+    from ..operators.similarity import (
+        _probe_masks,
+        dot,
+        l2_norm,
+        rhp_signature,
+        rhp_signature_arrow,
+    )
     from ..sources.writers import merge_parquet
 
     stats_box: dict = {"batches": []}
@@ -215,7 +228,10 @@ def semantic_dedup_sink(
                 F.col(vec_col).cast("array<double>").alias("embedding_d"),
             )
             .withColumn(
-                "sig", rhp_signature(vec_col="embedding_d", n_planes=n_planes, dim=dim)
+                "sig",
+                (rhp_signature_arrow if kernel == "arrow" else rhp_signature)(
+                    vec_col="embedding_d", n_planes=n_planes, dim=dim
+                ),
             )
             .withColumn("nrm", l2_norm("embedding_d"))
             .localCheckpoint()  # cut streaming lineage; consumed 3×
@@ -256,6 +272,108 @@ def semantic_dedup_sink(
         if n_kept:
             merge_parquet(spark, table_path, kept, ["vec_id"])
         stats_box["batches"].append((batch_id, n_kept, n_inc - n_kept))
+
+    return sink, stats_box
+
+
+def line_dedup_sink(
+    table_path: str,
+    out_path: str,
+    seg_tokens: int = 8,
+):
+    """The STREAMING form of dd13 (segment-level "line dedup"): a
+    ``foreachBatch`` sink that removes boilerplate SEGMENTS against the
+    whole stream history — each consecutive ``seg_tokens``-token
+    segment is kept exactly once across every batch ever ingested
+    (first occurrence wins), and each batch's documents are rebuilt
+    from their kept segments and written to
+    ``{out_path}/epoch={batch_id}``.
+
+    State model (the dd11 warehouse pattern, at segment granularity):
+    a parquet table ``(seg_hash, occ_key)`` — the xxhash64 of the
+    segment text plus the packed (doc_id, seg_idx) of its canonical
+    occurrence. State is one slim row per DISTINCT segment ever kept,
+    never per occurrence — a boilerplate segment seen in millions of
+    documents is one warehouse row. Hashing trades exactness for state
+    size: two distinct segments colliding in 64 bits (birthday ~N²/2⁶⁴
+    — ~3·10⁻⁸ at a billion distinct segments) would drop the later one;
+    the batch operator (``line_dedup``) keys on the segment text itself
+    and remains the exact form.
+
+    Per-batch plan: segment-split (narrow) → within-batch canonical MIN
+    agg on seg_hash (map-side combinable — the dd13 hot-segment
+    argument) → ONE equi-join against the warehouse → per-doc rebuild
+    agg → epoch write + ``merge_parquet`` of the newly-kept segment
+    rows. At 100 TB the warehouse buckets on ``seg_hash`` exactly like
+    dd11's signature table: the history join plans with no Exchange
+    above the bucketed scan; only the (small) batch side shuffles —
+    plan-asserted in tests/test_streaming.py.
+
+    Replay safety: a warehouse match is a drop only when its
+    ``occ_key`` differs from the probing occurrence's own — so a batch
+    replayed AFTER its own merge landed (crash between merge and
+    checkpoint commit) finds its canonical occurrences in the warehouse
+    keyed by their own occ_keys, keeps them again, rewrites its epoch
+    directory byte-identically, and re-merges the same rows
+    (``merge_parquet`` is key-idempotent on seg_hash). Returns
+    ``(sink_fn, stats_box)``; stats rows are
+    ``(batch_id, n_docs, n_segs, n_kept_segs)``."""
+    from ..operators.dedup import doc_segments
+    from ..sources.writers import merge_parquet
+
+    stats_box: dict = {"batches": []}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        segs = (
+            doc_segments(
+                batch_df.select("doc_id", "text"), seg_tokens=seg_tokens
+            )
+            .withColumn("seg_hash", F.xxhash64("seg"))
+            .localCheckpoint()  # cut streaming lineage; consumed 3×
+        )
+        # within-batch canonical occurrence per segment (MIN agg — the
+        # dd13 shape: map-side combinable, no hot sort group)
+        canon = segs.groupBy("seg_hash").agg(F.min("occ_key").alias("canon_key"))
+        verdict = segs.join(canon, "seg_hash").withColumn(
+            "batch_canon", F.col("occ_key") == F.col("canon_key")
+        )
+        if _warehouse_exists(spark, table_path):
+            hist = spark.read.parquet(table_path).select(
+                "seg_hash", F.col("occ_key").alias("hist_key")
+            )
+            verdict = verdict.join(hist, "seg_hash", "left").withColumn(
+                "is_kept",
+                F.col("batch_canon")
+                & (
+                    F.col("hist_key").isNull()  # never seen
+                    | (F.col("hist_key") == F.col("occ_key"))  # own replay
+                ),
+            )
+        else:
+            verdict = verdict.withColumn("is_kept", F.col("batch_canon"))
+        verdict = verdict.localCheckpoint()  # consumed by rebuild + merge
+        rebuilt = verdict.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(filter(collect_list("
+                    "CASE WHEN is_kept THEN struct(seg_idx, seg) END), x -> x IS NOT NULL)), "
+                    "x -> x.seg)"
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        rebuilt.write.mode("overwrite").parquet(f"{out_path}/epoch={batch_id}")
+        new_segs = verdict.filter("is_kept").select("seg_hash", "occ_key")
+        n_new = new_segs.count()
+        if n_new:
+            merge_parquet(spark, table_path, new_segs, ["seg_hash"])
+        totals = segs.agg(
+            F.count_distinct("doc_id").alias("d"), F.count(F.lit(1)).alias("s")
+        ).first()
+        stats_box["batches"].append((batch_id, totals.d, totals.s, n_new))
 
     return sink, stats_box
 

@@ -359,6 +359,53 @@ def test_embedding_dedup_blocked_matches_exact(spark, sf_dir):
         assert abs(exact[k] - v) < 1e-12
 
 
+def test_murmur_hash_matches_spark(spark):
+    """The driver-side Murmur3_x86_32 scalar must reproduce Spark's
+    ``hash()`` for int inputs exactly — it derives the Arrow kernel's
+    hyperplane weights, so one wrong bit silently changes every bucket."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import _murmur3_hash_int32
+
+    vals = list(range(0, 4096)) + [2**31 - 1, -1, -7, -2**31, 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "x int").withColumn(
+        "h", F.hash("x")
+    )
+    for r in df.collect():
+        assert _murmur3_hash_int32(r.x) == r.h, r.x
+
+
+def test_rhp_arrow_kernel_bit_equal_hof(spark, sf_dir):
+    """The GEMM signature kernel must produce the SAME bigint signature
+    as the certified HOF fold — on the fixture corpus and on random
+    dense vectors (the adversarial case for sign flips near 0: random
+    vectors put projections closest to the hyperplanes). Bit-equality
+    is what makes the arrow default safe for the hash-certified v6/v10
+    queries and for warehouse state written by the semantic sink."""
+    import numpy as np
+
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        rhp_signature,
+        rhp_signature_arrow,
+    )
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    fixture = read_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("embedding_d")
+    )
+    rng = np.random.RandomState(7)
+    rand = spark.createDataFrame(
+        [([float(x) for x in rng.randn(64)],) for _ in range(500)],
+        "embedding_d array<double>",
+    )
+    for df in (fixture, rand):
+        for n_planes in (8, 16):
+            cmp = df.withColumn(
+                "s_hof", rhp_signature("embedding_d", n_planes=n_planes)
+            ).withColumn(
+                "s_arw", rhp_signature_arrow("embedding_d", n_planes=n_planes)
+            )
+            assert cmp.filter(F.col("s_hof") != F.col("s_arw")).count() == 0
+
+
 def test_embedding_candidates_subquadratic(spark):
     """On a clustered corpus the blocked candidate set must be far below
     all-pairs: vectors in orthogonal clusters land in different RHP

@@ -891,3 +891,94 @@ def test_quota_sink_state_join_broadcasts_state_not_documents(spark, tmp_path):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert kept.count() > 0
+
+
+def test_line_dedup_sink_drops_history_segments_and_survives_replay(spark, tmp_path):
+    """dd13's continuous form: a boilerplate segment is kept exactly
+    once across the whole stream history — within a batch the lowest
+    (doc_id, seg_idx) occurrence wins (the batch operator's rule),
+    across batches the warehouse wins; and a batch replayed after its
+    own merge landed (crash between merge and checkpoint commit)
+    reproduces its verdicts, epoch output, and state byte-for-byte."""
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import line_dedup_sink
+
+    state = str(tmp_path / "seg_warehouse")
+    out = str(tmp_path / "clean")
+    sink, stats = line_dedup_sink(state, out, seg_tokens=2)
+
+    def doc_rows(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # batch 0: NAV BAR is shared; doc 1 (lowest occ_key) keeps it
+    sink(doc_rows([(1, "NAV BAR alpha beta"), (2, "NAV BAR gamma delta")]), 0)
+    ep0 = {r.doc_id: r for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+    assert ep0[1].clean_text == "NAV BAR alpha beta" and ep0[1].n_kept == 2
+    assert ep0[2].clean_text == "gamma delta" and ep0[2].n_kept == 1
+    # state: one row per distinct kept segment (3: NAV BAR, alpha beta, gamma delta)
+    assert spark.read.parquet(state).count() == 3
+    assert stats["batches"][-1] == (0, 2, 4, 3)
+
+    # batch 1: NAV BAR now history -> dropped; new segment survives
+    sink(doc_rows([(3, "NAV BAR epsilon zeta")]), 1)
+    ep1 = {r.doc_id: r for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert ep1[3].clean_text == "epsilon zeta" and ep1[3].n_segs == 2
+    st = {(r.seg_hash, r.occ_key) for r in spark.read.parquet(state).collect()}
+    assert len(st) == 4
+
+    # replay batch 1: own canonical occurrences are in the warehouse
+    # keyed by their own occ_keys -> kept again, state unchanged
+    sink(doc_rows([(3, "NAV BAR epsilon zeta")]), 1)
+    ep1r = {r.doc_id: r for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+    assert ep1r[3].clean_text == "epsilon zeta"
+    st2 = {(r.seg_hash, r.occ_key) for r in spark.read.parquet(state).collect()}
+    assert st2 == st
+
+
+def test_line_dedup_sink_warehouse_bucketed_on_seg_hash_is_history_shuffle_free(
+    spark, tmp_path
+):
+    """The 100 TB layout claim in line_dedup_sink's docstring (the dd11
+    pattern at segment granularity): persist the segment warehouse —
+    (seg_hash, occ_key), exactly the columns the sink merges — BUCKETED
+    on seg_hash, and the per-batch history join plans with NO Exchange
+    above the bucketed scan: only the (small) batch side shuffles."""
+    import re
+
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import doc_segments
+
+    docs = spark.createDataFrame(
+        [(i, f"seg{i} words here padding tokens {i % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    wh = (
+        doc_segments(docs, seg_tokens=4)
+        .withColumn("seg_hash", F.xxhash64("seg"))
+        .groupBy("seg_hash")
+        .agg(F.min("occ_key").alias("occ_key"))
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS segwh LOCATION '{tmp_path / 'wh'}'")
+    spark.catalog.setCurrentDatabase("segwh")
+    try:
+        wh.write.bucketBy(8, "seg_hash").sortBy("seg_hash").saveAsTable(
+            "segment_warehouse"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hist = spark.table("segment_warehouse")
+        batch = (
+            doc_segments(
+                spark.createDataFrame(
+                    [(900, "fresh batch of eight tokens right here now")],
+                    "doc_id long, text string",
+                ),
+                seg_tokens=4,
+            )
+            .withColumn("seg_hash", F.xxhash64("seg"))
+        )
+        joined = batch.join(hist.withColumnRenamed("occ_key", "hist_key"), "seg_hash", "left")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE segwh CASCADE")
