@@ -41,6 +41,39 @@ def dot(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_arrow(a: Column | str, b: Column | str) -> Column:
+    """Arrow-vectorized twin of :func:`dot` — one einsum per batch
+    instead of ``dim`` interpreted lambda evals per row.
+
+    MEASURED NEGATIVE at dim 64 (r11 session, 9.4 M candidate pairs
+    from 200 k vectors, interleaved A/B ×3): HOF verify 8.3-9.5 s,
+    Arrow verify 11.5-19.1 s — the pair-verify leg ships BOTH vectors
+    of every candidate pair through Arrow (~9.6 GB here), and that
+    transfer dominates the ~130 interpreted evals/pair it saves. This
+    is the opposite economics from :func:`rhp_signature_arrow` (1,024
+    evals per single-vector row, transfer linear in corpus size), so
+    the HOF fold stays the default verify kernel everywhere; this
+    kernel exists for high-dim embeddings (≥512-d, where the eval/byte
+    ratio flips) and is agreement-pinned in tests/test_llmops.py.
+
+    Last-ulp caveat: einsum sums in SIMD order, the HOF fold
+    sequentially — values can differ by ~1e-16 relative, so
+    hash-certified queries (sequential-fold SQL oracles) must never
+    use it."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+
+    @F.pandas_udf("double")
+    def d(x: pd.Series, y: pd.Series) -> pd.Series:
+        if not len(x):
+            return pd.Series([], dtype="float64")
+        A = np.stack(x.to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(y.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return d(ca, cb)
+
+
 def l2_norm(a: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     sq = F.transform(ca, lambda x: x.cast("double") * x.cast("double"))
@@ -763,9 +796,16 @@ def embedding_dedup_pairs(
     exact: bool = False,
     n_planes: int | None = None,
     probe_radius: int | None = None,
+    verify_kernel: str = "hof",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic-dedup
     primitive): (a < b) pairs with cosine >= threshold.
+
+    ``verify_kernel="arrow"`` scores candidates with the einsum kernel
+    (:func:`dot_arrow`) — only worthwhile for high-dim embeddings; at
+    this repo's dim-64 fixtures the HOF default measured FASTER (see
+    dot_arrow's recorded A/B), and certified queries must keep "hof"
+    anyway (the oracle reproduces sequential folds).
 
     Default path is BLOCKED: RHP-bucket candidates via
     :func:`embedding_candidate_pairs` (signature equi-join + multi-probe),
@@ -799,8 +839,9 @@ def embedding_dedup_pairs(
             df, id_col=id_col, vec_col=vec_col, n_planes=n_planes, probe_radius=probe_radius
         )
         pairs = cand.join(a, "id_a").join(b, "id_b")
+    dot_fn = dot_arrow if verify_kernel == "arrow" else dot
     return (
-        pairs.withColumn("cosine", dot("va", "vb") / (F.col("na") * F.col("nb")))
+        pairs.withColumn("cosine", dot_fn("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

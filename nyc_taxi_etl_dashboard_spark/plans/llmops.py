@@ -749,7 +749,10 @@ WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.45"
 
 
 def q_semantic_dedup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    verify_kernel: str = "hof",
 ) -> DataFrame:
     """v10: SEMANTIC dedup keep-list (SemDeDup shape) — the
     embedding-space analogue of dd10's cluster curation: v6's
@@ -775,7 +778,7 @@ def q_semantic_dedup(
     from ..operators.similarity import embedding_dedup_pairs
 
     e = _embs(spark, sf_dir)
-    pairs = embedding_dedup_pairs(e, threshold=threshold)
+    pairs = embedding_dedup_pairs(e, threshold=threshold, verify_kernel=verify_kernel)
     cc = connected_components(pairs).select(
         F.col("id").alias("vec_id"), "cluster_id"
     )

@@ -208,7 +208,10 @@ def semantic_dedup_sink(
     kernel instead of the interpreted HOF fold — bits are test-pinned
     equal (see :func:`..operators.similarity.rhp_signature_arrow`), so
     warehouse state written by either kernel joins correctly against
-    batches signed by the other."""
+    batches signed by the other. The VERIFY leg stays on the HOF fold
+    regardless of ``kernel`` — the einsum alternative measured slower
+    at dim 64 (pair rows ship both vectors through Arrow; see
+    ``dot_arrow``'s recorded A/B)."""
     from ..operators.similarity import (
         _probe_masks,
         dot,

@@ -359,6 +359,30 @@ def test_embedding_dedup_blocked_matches_exact(spark, sf_dir):
         assert abs(exact[k] - v) < 1e-12
 
 
+def test_arrow_verify_kernel_agrees_with_hof(spark, sf_dir):
+    """The einsum verify kernel must reproduce the HOF fold's pair SET
+    exactly and its cosines to ~1e-12 (summation-order FP noise only) —
+    what makes verify_kernel='arrow' safe for prod paths and the sink
+    while the sequential-fold form stays the certified default."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import embedding_dedup_pairs
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    hof = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dedup_pairs(e, threshold=0.45).collect()
+    }
+    arw = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dedup_pairs(
+            e, threshold=0.45, verify_kernel="arrow"
+        ).collect()
+    }
+    assert set(arw) == set(hof)
+    for k, v in arw.items():
+        assert abs(hof[k] - v) < 1e-12
+
+
 def test_murmur_hash_matches_spark(spark):
     """The driver-side Murmur3_x86_32 scalar must reproduce Spark's
     ``hash()`` for int inputs exactly — it derives the Arrow kernel's
