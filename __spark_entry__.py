@@ -114,7 +114,10 @@ PRIORITY_IN_WINDOW = [
         "a26_mom_growth",
         "mm2_frame_samples",
         "t10_unigram_logprob",
-        "v8_sq_cosine",
+        # v8_sq_cosine rotated to the tail in round 11 for the two new
+        # queries (x15 shuffle-shard, a28 cube): scalar-quantization
+        # machinery stays evidenced in-window by v11 (PQ+ADC — the
+        # strictly richer quantize-then-score certification).
         # Round-6 rotation (VERDICT r05 item 1): a25/x3 (bounded-hash
         # oracles ready since r3) and v4 (round-5 exhaustive-LSH reshape,
         # oracle added this round) enter the window; u3/u4/a20 — green
@@ -157,6 +160,8 @@ PRIORITY_TAIL = [
         "x8_mixture_plan",
         # dd10 rotated out in round 10 for dd13 (see PRIORITY_IN_WINDOW)
         "dd10_cluster_curation",
+        # v8 rotated out in round 11 (see PRIORITY_IN_WINDOW note)
+        "v8_sq_cosine",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",
@@ -242,6 +247,10 @@ def _is_overflow(name: str) -> bool:
         # timestamps) and w1 (grouped counts under a rank window).
         # Green r1-r7, untouched.
         "a9",
+        # a19 out for a28 (round 11): GROUPING SETS machinery is
+        # evidenced in-window by a28's CUBE (Spark expands CUBE into
+        # grouping sets — the superset shape). Green r1-r10, untouched.
+        "a19",
     )
     return name.split("_")[0] in overflow_prefixes
 

@@ -123,6 +123,9 @@ CURATION = [
     "dd12_containment_pairs",
     # round-10: segment-level exact dedup (C4/RefinedWeb line dedup)
     "dd13_line_dedup",
+    # round-11: deterministic shuffle-and-shard (the final pre-training
+    # layout stage: one shuffle keyed on shard + per-shard sorts)
+    "x15_shuffle_shard",
 ]
 
 

@@ -375,6 +375,30 @@ def q_pivot_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup (a28): quantity totals at every grouping level of
+    (returnflag × orderstatus) in ONE pass — the dashboard's
+    "all-slicers-plus-grand-total" shape without re-scanning per level.
+    Spark expands the cube into grouping sets before the aggregation,
+    so partial (map-side) aggregation still applies per set; cost is
+    |sets| × the single-level agg, never extra scans. Subtotal rows are
+    labeled 'ALL' via coalesce — safe because both keys are non-null in
+    the fixture (TPC-H contract), which keeps the output portable
+    without relying on engine-specific GROUPING_ID numbering."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        j.cube("l_returnflag", "o_orderstatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            "qty",
+        )
+    )
+
+
 def q_unpivot_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (wide -> long) via the ids/values API — one output
     row per (order line, amount kind)."""
@@ -487,6 +511,7 @@ QUERIES.update(
         "a23_unpivot_amounts": q_unpivot_amounts,
         "x2_hash_sample": q_hash_sample,
         "a24_stat_moments": q_stat_moments,
+        "a28_cube_qty": q_cube_qty,
     }
 )
 ORACLES.update(
@@ -523,6 +548,12 @@ UNPIVOT (amount FOR amount_kind IN (l_extendedprice, l_discount, l_tax))""",
         "x2_hash_sample": """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders WHERE ((o_orderkey % 1000003) * 2654435761) % 100 < 10""",
+        "a28_cube_qty": """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(o_orderstatus, 'ALL') AS st,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY CUBE (l_returnflag, o_orderstatus)""",
         "a24_stat_moments": """
 SELECT l_returnflag,
        round(stddev_samp(l_quantity), 4) AS sd_qty,

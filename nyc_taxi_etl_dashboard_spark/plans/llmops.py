@@ -1775,6 +1775,56 @@ r AS (SELECT doc_id, lang, w, priority,
 SELECT doc_id, lang, w, round(priority, 6) AS priority FROM r WHERE rn <= {X13_PER_STRATUM}"""
 
 
+#: x15 config: shard count for the shuffle-shard layout (8 at fixture
+#: scale; production sizes it so corpus/n_shards ≈ one data-loader
+#: file, e.g. 1 M docs/shard at 1 B docs → 1 024 shards)
+X15_SHARDS = 8
+
+
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x15: deterministic SHUFFLE-AND-SHARD — the last layout stage
+    before training: assign every document a pseudorandom rank (Knuth
+    multiplicative hash of doc_id, the x2 portable recipe — no RNG
+    state, reproducible on any engine), derive its shard from the rank,
+    and its position within the shard from the rank order. Training
+    data loaders then stream shards sequentially and get a globally
+    shuffled corpus without ever materializing a global sort.
+
+    Scale shape: ONE shuffle keyed on shard + a per-shard sort — at
+    production scale this is exactly
+    ``repartition(n_shards, shard).sortWithinPartitions(rank)`` + write
+    (position becomes implicit file order); the query form emits the
+    position explicitly via a window PARTITIONED BY SHARD (each shard
+    sorts independently — n_shards parallel sort tasks, never a global
+    order-by). Shard sizes concentrate at corpus/n_shards (multiplied
+    hash ranks spread uniformly), so the per-shard sort is bounded by
+    the shard-size choice, not the corpus. Ties cannot occur: rank is
+    injective on doc_id below the 1000003 modulus at fixture scale, and
+    doc_id breaks order ties beyond it."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") % 1000003) * F.lit(2654435761)).alias("rank_key"),
+    ).withColumn("shard", (F.col("rank_key") % X15_SHARDS).cast("int"))
+    w = Window.partitionBy("shard").orderBy("rank_key", "doc_id")
+    return ranked.withColumn("pos", F.row_number().over(w))
+
+
+QUERIES["x15_shuffle_shard"] = q_shuffle_shard
+ORACLES["x15_shuffle_shard"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, (doc_id % 1000003) * 2654435761 AS rank_key
+  FROM documents),
+s AS (SELECT doc_id, lang, rank_key,
+             CAST(rank_key % {X15_SHARDS} AS INTEGER) AS shard FROM t)
+SELECT doc_id, lang, rank_key, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY rank_key, doc_id) AS INTEGER) AS pos
+FROM s"""
+
+
 #: x14 config: weighted-sample width before the diversity cap, and the
 #: text-locality cell = low 4 bits of the dd5 SimHash (16 cells, cap 8
 #: — both sized so every stage bites on the sf0.01 fixture).
