@@ -251,6 +251,10 @@ def _is_overflow(name: str) -> bool:
         # evidenced in-window by a28's CUBE (Spark expands CUBE into
         # grouping sets — the superset shape). Green r1-r10, untouched.
         "a19",
+        # x12 out for x16 (round 11): the cell-balanced diversity cap is
+        # composed verbatim inside the in-window x14 (its final stage),
+        # and stratified sampling machinery by x13. Green r8-r10.
+        "x12",
     )
     return name.split("_")[0] in overflow_prefixes
 

@@ -1825,6 +1825,76 @@ SELECT doc_id, lang, rank_key, shard,
 FROM s"""
 
 
+def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x16: the FINAL-MILE composition — what runs between a curated
+    corpus and the training store, in production order:
+
+    1. dd13 line dedup (boilerplate segments removed globally — BEFORE
+       any length gate, so the gate judges real content, not nav bars),
+    2. quality gate on the CLEANED text (>= GATE_MIN_TOKENS tokens
+       after segment removal — a doc that was all boilerplate dies
+       here),
+    3. x15 shuffle-and-shard of the survivors (deterministic
+       pseudorandom rank → shard + position; the data-loader layout).
+
+    Complements x7 (decontamination arm), x11 (domain balance +
+    classifier), x14 (quota → bloom → sampling): none of the three
+    cleans INSIDE documents or emits the final shard layout. Scale
+    shape: a linear chain (no stage output is consumed twice, so no
+    persist boundary is needed) — dd13's MIN agg + equi-join, a
+    map-side filter, one shard shuffle with per-shard sorts."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import line_dedup
+
+    cleaned = line_dedup(_docs(spark, sf_dir), seg_tokens=8)
+    gated = cleaned.withColumn(
+        "n_clean_tokens", F.array_size(F.split("clean_text", " "))
+    ).filter(F.col("n_clean_tokens") >= GATE_MIN_TOKENS)
+    ranked = gated.select(
+        "doc_id",
+        "n_clean_tokens",
+        ((F.col("doc_id") % 1000003) * F.lit(2654435761)).alias("rank_key"),
+    ).withColumn("shard", (F.col("rank_key") % X15_SHARDS).cast("int"))
+    w = Window.partitionBy("shard").orderBy("rank_key", "doc_id")
+    return ranked.select(
+        "doc_id",
+        "n_clean_tokens",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+QUERIES["x16_curation_pipeline_v4"] = q_curation_pipeline_v4
+ORACLES["x16_curation_pipeline_v4"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+ix AS (SELECT doc_id, tok,
+              unnest(range(CAST(ceil(len(tok) / 8.0) AS BIGINT))) AS i
+       FROM t),
+segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                array_to_string(tok[i*8+1 : i*8+8], ' ') AS seg,
+                doc_id * 1000000 + i AS occ_key
+         FROM ix),
+canon AS (SELECT seg, min(occ_key) AS canon_key FROM segs GROUP BY seg),
+kept AS (SELECT doc_id, seg_idx, seg, occ_key = canon_key AS is_kept
+         FROM segs JOIN canon USING (seg)),
+agg AS (SELECT doc_id,
+               coalesce(string_agg(CASE WHEN is_kept THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text
+        FROM kept GROUP BY doc_id),
+gated AS (
+  SELECT doc_id,
+         CAST(len(string_split(clean_text, ' ')) AS INTEGER) AS n_clean_tokens
+  FROM agg
+  WHERE len(string_split(clean_text, ' ')) >= {GATE_MIN_TOKENS}),
+s AS (SELECT doc_id, n_clean_tokens,
+             (doc_id % 1000003) * 2654435761 AS rank_key,
+             CAST(((doc_id % 1000003) * 2654435761) % {X15_SHARDS} AS INTEGER) AS shard
+      FROM gated)
+SELECT doc_id, n_clean_tokens, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY rank_key, doc_id) AS INTEGER) AS pos
+FROM s"""
+
+
 #: x14 config: weighted-sample width before the diversity cap, and the
 #: text-locality cell = low 4 bits of the dd5 SimHash (16 cells, cap 8
 #: — both sized so every stage bites on the sf0.01 fixture).
