@@ -272,3 +272,15 @@ def test_no_hof_recompute_in_scan_filters(spark, sf_dir):
         )
         for marker in markers:
             assert marker not in plan, (name, marker)
+
+
+def test_shuffle_shard_sorts_per_shard_never_globally(spark, sf_dir):
+    """x15/x16's layout claim: position-in-shard comes from per-shard
+    sorts under a hash Exchange on the shard key — a global order-by
+    (Exchange rangepartitioning) anywhere in either plan would mean the
+    'shuffled corpus without a global sort' promise regressed to
+    exactly the single-task sort it exists to avoid."""
+    for name in ("x15_shuffle_shard", "x16_curation_pipeline_v4"):
+        plan = _plan(spark, sf_dir, name)
+        assert "rangepartitioning" not in plan, name
+        assert re.search(r"Exchange hashpartitioning\(shard", plan), name
