@@ -730,11 +730,24 @@ def _probe_masks(n_planes: int, radius: int) -> list[int]:
     return masks
 
 
+def auto_n_planes(n: int, floor: int = 16, cap: int = 30) -> int:
+    """Corpus-adaptive RHP plane count: ``ceil(log2 n) + 4``, clamped.
+    Keeps expected bucket occupancy n/2^planes ≈ 1/16 as the corpus
+    grows, so candidate volume stays ~linear in n instead of growing
+    with collision density. Each added plane costs one more probe at
+    radius 1 (linear) and halves occupancy (geometric) — the trade is
+    one-sided until the recall term bites; see
+    :func:`embedding_candidate_pairs` for the measured recall."""
+    import math
+
+    return max(floor, min(cap, math.ceil(math.log2(max(n, 2))) + 4))
+
+
 def embedding_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
+    n_planes: int | str = 16,
     probe_radius: int = 1,
     kernel: str = "arrow",
 ) -> DataFrame:
@@ -754,7 +767,20 @@ def embedding_candidate_pairs(
     certified Catalyst-HOF twin). Bits are test-pinned equal, so the
     choice is pure throughput; at 200 k vectors the interpreted fold
     dominated v10_prod's wall time (r10 agenda item 1).
+
+    ``n_planes="auto"`` sizes the plane count to the corpus
+    (:func:`auto_n_planes`, one count() pre-pass — the dd12 auto-cap
+    precedent): a FIXED plane count means bucket occupancy, and with it
+    candidate volume per vector, grows linearly with the corpus.
+    Recall falls with added planes only for pairs far from cosine 1
+    (flip probability per plane is arccos(cos)/π) — near-dup pairs in
+    SemDeDup's regime (≥0.99) keep radius-1 collision probability
+    ≥0.99 out to 30 planes, while threshold-boundary pairs (≈0.92)
+    were already recall-limited at 16 planes. Measured at 200 k
+    vectors: see SCALE100X.md round-11.
     """
+    if n_planes == "auto":
+        n_planes = auto_n_planes(df.count())
     # persist the slim (id, sig) projection: both join sides consume it,
     # so the signature fold computes ONCE per vector instead of once per
     # side — and the cache boundary stops Catalyst from inferring
@@ -794,7 +820,7 @@ def embedding_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
-    n_planes: int | None = None,
+    n_planes: int | str | None = None,
     probe_radius: int | None = None,
     verify_kernel: str = "hof",
 ) -> DataFrame:

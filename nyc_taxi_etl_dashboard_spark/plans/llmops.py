@@ -753,6 +753,7 @@ def q_semantic_dedup(
     sf_dir: str,
     threshold: float = 0.45,
     verify_kernel: str = "hof",
+    n_planes: int | str | None = None,
 ) -> DataFrame:
     """v10: SEMANTIC dedup keep-list (SemDeDup shape) — the
     embedding-space analogue of dd10's cluster curation: v6's
@@ -778,7 +779,9 @@ def q_semantic_dedup(
     from ..operators.similarity import embedding_dedup_pairs
 
     e = _embs(spark, sf_dir)
-    pairs = embedding_dedup_pairs(e, threshold=threshold, verify_kernel=verify_kernel)
+    pairs = embedding_dedup_pairs(
+        e, threshold=threshold, verify_kernel=verify_kernel, n_planes=n_planes
+    )
     cc = connected_components(pairs).select(
         F.col("id").alias("vec_id"), "cluster_id"
     )
@@ -797,7 +800,7 @@ def q_semantic_dedup(
 
 QUERIES["v10_semantic_dedup"] = q_semantic_dedup
 BENCH_ONLY["v10_prod"] = lambda spark, sf_dir: q_semantic_dedup(
-    spark, sf_dir, threshold=0.92
+    spark, sf_dir, threshold=0.92, n_planes="auto"
 )
 ORACLES["v10_semantic_dedup"] = f"""
 WITH RECURSIVE

@@ -381,6 +381,39 @@ def line_dedup_sink(
     return sink, stats_box
 
 
+def compact_every(sink, table_path: str, every: int = 50, target_file_mb: int = 128):
+    """Wrap a foreachBatch warehouse sink with PERIODIC STATE
+    COMPACTION (r11 agenda item 3): every ``every`` batches, after the
+    batch's own merge lands, the state table is rewritten into
+    ~``target_file_mb`` files via ``sources.writers.compact_parquet``.
+
+    Why: each ``merge_parquet`` full-table merge rewrites the state
+    into one file per shuffle partition (32 here), so a small warehouse
+    carries 32 tiny files whose per-file open/footer cost taxes EVERY
+    subsequent batch's history join — the classic streaming small-file
+    problem Delta's OPTIMIZE exists for.
+
+    Replay-safe because compaction is CONTENT-PRESERVING: a batch
+    replayed after its compaction ran (crash between compaction and
+    checkpoint commit) re-merges the same rows (key-idempotent) and
+    re-compacts — same content, same verdicts, pinned by the
+    bit-identical-state test in tests/test_streaming.py. Works on any
+    of the warehouse sinks here (dd11 signatures, semantic vectors,
+    segment hashes, quota counts) since all share the
+    ``sink(batch_df, batch_id)`` contract and a single state path."""
+    from ..sources.writers import compact_parquet
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        sink(batch_df, batch_id)
+        if every and batch_id > 0 and batch_id % every == 0:
+            if _warehouse_exists(batch_df.sparkSession, table_path):
+                compact_parquet(
+                    batch_df.sparkSession, table_path, target_file_mb=target_file_mb
+                )
+
+    return wrapped
+
+
 def bloom_decontaminate_sink(
     eval_docs: DataFrame,
     out_path: str,

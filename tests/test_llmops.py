@@ -383,6 +383,24 @@ def test_arrow_verify_kernel_agrees_with_hof(spark, sf_dir):
         assert abs(hof[k] - v) < 1e-12
 
 
+def test_auto_plane_count_schedule():
+    """auto_n_planes keeps bucket occupancy ~1/16: floor 16 through 4k
+    vectors (every certification-fixture scale — so 'auto' changes
+    NOTHING where oracles run), +1 plane per corpus doubling above,
+    capped at 30. The 200k measurement behind the schedule: candidates
+    9.4M → 343k (27×), planted near-dup recall 0.999 → 0.9985
+    (SCALE100X)."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(500) == 16
+    assert auto_n_planes(2_000) == 16
+    assert auto_n_planes(4_096) == 16
+    assert auto_n_planes(65_000) == 20
+    assert auto_n_planes(200_000) == 22
+    assert auto_n_planes(1_000_000) == 24
+    assert auto_n_planes(10**9) == 30  # cap
+
+
 def test_murmur_hash_matches_spark(spark):
     """The driver-side Murmur3_x86_32 scalar must reproduce Spark's
     ``hash()`` for int inputs exactly — it derives the Arrow kernel's

@@ -982,3 +982,46 @@ def test_line_dedup_sink_warehouse_bucketed_on_seg_hash_is_history_shuffle_free(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.catalog.setCurrentDatabase("default")
         spark.sql("DROP DATABASE segwh CASCADE")
+
+
+def test_compact_every_preserves_state_and_verdicts(spark, tmp_path):
+    """Periodic warehouse compaction must be invisible to semantics:
+    state CONTENT is bit-identical across a compaction (file count
+    drops, rows don't change), and the next batch's verdicts against
+    the compacted warehouse match what the uncompacted one would have
+    produced — here via the line-dedup sink, whose history join reads
+    the state every batch."""
+    import glob
+
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        compact_every,
+        line_dedup_sink,
+    )
+
+    state = str(tmp_path / "seg_warehouse")
+    out = str(tmp_path / "clean")
+    raw_sink, stats = line_dedup_sink(state, out, seg_tokens=2)
+    sink = compact_every(raw_sink, state, every=2, target_file_mb=128)
+
+    def doc_rows(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    sink(doc_rows([(1, "NAV BAR alpha beta")]), 0)
+    sink(doc_rows([(2, "NAV BAR gamma delta")]), 1)
+    before = {(r.seg_hash, r.occ_key) for r in spark.read.parquet(state).collect()}
+    files_before = len(glob.glob(f"{state}/**/*.parquet", recursive=True))
+    # batch 2 triggers compaction after its merge
+    sink(doc_rows([(3, "NAV BAR epsilon zeta")]), 2)
+    mid = {(r.seg_hash, r.occ_key) for r in spark.read.parquet(state).collect()}
+    files_after = len(glob.glob(f"{state}/**/*.parquet", recursive=True))
+    assert files_after < files_before, (files_before, files_after)
+    # content = pre-compaction state plus exactly batch 2's new segment
+    assert before < mid and len(mid) == len(before) + 1
+    # the NEXT batch still sees full history through the compacted state
+    sink(doc_rows([(4, "NAV BAR eta theta")]), 3)
+    ep3 = {r.doc_id: r for r in spark.read.parquet(f"{out}/epoch=3").collect()}
+    assert ep3[4].clean_text == "eta theta"
+    # replay of the compaction batch reproduces its output and state
+    sink(doc_rows([(3, "NAV BAR epsilon zeta")]), 2)
+    ep2 = {r.doc_id: r for r in spark.read.parquet(f"{out}/epoch=2").collect()}
+    assert ep2[3].clean_text == "epsilon zeta"
