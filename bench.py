@@ -191,6 +191,26 @@ def main() -> None:
 
     calibration_sec = _calibrate()
 
+    # fixed-work IO calibration (r11 agenda item 2): a full scan+sum of
+    # the RAW single-row-group lineitem fixture — the exact scan-serial
+    # shape that bottlenecks pipe_transform_full. Three same-commit
+    # runs in round 11 spanned 153-288k rows/s on the raw path while
+    # curation totals agreed within 2%: the drift is IO-side, which the
+    # CPU calibration (no IO by construction) cannot see. Dividing the
+    # raw-path timing by this probe normalizes that axis the same way
+    # value_norm normalizes CPU drift.
+    def _calibrate_io() -> float:
+        med, _, _ = _timed(
+            lambda: spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .agg(F.sum("l_quantity").alias("s"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(med, 3)
+
+    io_calibration_sec = _calibrate_io()
+
     spread: dict[str, list[float]] = {}
 
     def run_suite(names: list[str]) -> dict[str, float]:
@@ -367,6 +387,10 @@ def main() -> None:
         # (calibration_sec / baseline) to normalize box drift across
         # rounds
         "calibration_sec": calibration_sec,
+        # IO twin: raw-path seconds as a multiple of the fixed-work
+        # single-file scan probe on the same box at the same moment
+        "io_calibration_sec": io_calibration_sec,
+        "pipe_transform_io_norm": round(pipeline_sec / io_calibration_sec, 2),
         # drift-normalized twins (VERDICT r8 item 4): suite totals as
         # MULTIPLES OF THE FIXED-WORK CALIBRATION on the same box at the
         # same moment — box drift inflates numerator and denominator

@@ -1833,10 +1833,12 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus and the training store, in production order:
 
     1. dd13 line dedup (boilerplate segments removed globally — BEFORE
-       any length gate, so the gate judges real content, not nav bars),
-    2. quality gate on the CLEANED text (>= GATE_MIN_TOKENS tokens
-       after segment removal — a doc that was all boilerplate dies
-       here),
+       any quality gate, so the gate judges real content, not nav
+       bars),
+    2. t7's FULL rule bank on the CLEANED text (>= GATE_MIN_TOKENS
+       tokens AND distinct-token ratio >= GATE_MIN_DISTINCT_RATIO,
+       both recomputed post-cleaning — a doc that was all boilerplate,
+       or whose unique remainder is repetition, dies here),
     3. x15 shuffle-and-shard of the survivors (deterministic
        pseudorandom rank → shard + position; the data-loader layout).
 
@@ -1851,9 +1853,18 @@ def q_curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import line_dedup
 
     cleaned = line_dedup(_docs(spark, sf_dir), seg_tokens=8)
-    gated = cleaned.withColumn(
-        "n_clean_tokens", F.array_size(F.split("clean_text", " "))
-    ).filter(F.col("n_clean_tokens") >= GATE_MIN_TOKENS)
+    toks = F.split("clean_text", " ")
+    gated = (
+        cleaned.withColumn("n_clean_tokens", F.array_size(toks))
+        .withColumn(
+            "__distinct_ratio",
+            F.array_size(F.array_distinct(toks)) / F.array_size(toks),
+        )
+        .filter(
+            (F.col("n_clean_tokens") >= GATE_MIN_TOKENS)
+            & (F.col("__distinct_ratio") >= GATE_MIN_DISTINCT_RATIO)
+        )
+    )
     ranked = gated.select(
         "doc_id",
         "n_clean_tokens",
@@ -1888,7 +1899,9 @@ gated AS (
   SELECT doc_id,
          CAST(len(string_split(clean_text, ' ')) AS INTEGER) AS n_clean_tokens
   FROM agg
-  WHERE len(string_split(clean_text, ' ')) >= {GATE_MIN_TOKENS}),
+  WHERE len(string_split(clean_text, ' ')) >= {GATE_MIN_TOKENS}
+    AND len(list_distinct(string_split(clean_text, ' '))) * 1.0
+          / len(string_split(clean_text, ' ')) >= {GATE_MIN_DISTINCT_RATIO}),
 s AS (SELECT doc_id, n_clean_tokens,
              (doc_id % 1000003) * 2654435761 AS rank_key,
              CAST(((doc_id % 1000003) * 2654435761) % {X15_SHARDS} AS INTEGER) AS shard
