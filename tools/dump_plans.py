@@ -39,6 +39,9 @@ SHOWCASE = [
     # each of the quota kernel's three references (20k lines of duplicated
     # text for a plan that EXECUTES each subtree once from cache).
     ("x14_curation_pipeline_v3", "Composed curation v3 (round 8): quota + weighted-sample + diversity-cap windows all ride the skew-safe kernel (count-broadcast, map-side pass-through, salted two-phase) over PERSISTED slim stage outputs; the bloom probe stage adds zero joins.", "simple"),
+    ("dd13_line_dedup", "Segment-level line dedup (round 10): canonical occurrence is a map-side-combinable MIN partial_min/min pair keyed on the segment — a boilerplate segment in millions of docs never becomes a hot sort group (deliberately NOT a row_number window); one equi-join on segment, one per-doc rebuild agg."),
+    ("x15_shuffle_shard", "Shuffle-and-shard layout (round 11): ONE Exchange hashpartitioning(shard) with per-shard Sorts under it — a globally shuffled corpus with no Exchange rangepartitioning (global sort) anywhere."),
+    ("x16_curation_pipeline_v4", "Final-mile composition (round 11): a linear chain — dd13's MIN-agg + equi-join, the rule-bank gate folded into the rebuild projection (no extra pass over the corpus), then the x15 shard exchange; no persist boundaries because no stage output is consumed twice."),
 ]
 
 
