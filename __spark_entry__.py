@@ -109,11 +109,21 @@ PRIORITY_IN_WINDOW = [
         # stays evidenced in-window by dd8 (the same CC kernel) and
         # dd11 — rotates to the tail to make room.
         "dd13_line_dedup",
+        # NEW in round 12: the split/chunk trio — x17 exact per-stratum
+        # train/val/test assignment (histogram-cut kernel), x19 the
+        # leakage-safe cluster-atomic variant, t18 overlapping RAG
+        # chunking. Rotations to make room (see PRIORITY_TAIL): v5
+        # (probe-all IVF evidenced in-window by v7, the trained
+        # superset), t10 (unigram LM evidenced by t17's bigram richer
+        # form + t12 which recomputes t10's scores in-window), mm2
+        # (mapInPandas frame plumbing evidenced by mm3's resize over
+        # the same batch shape).
+        "x17_split_assign",
+        "x19_leakage_safe_split",
+        "t18_chunk_overlap",
         "x7_corpus_pipeline",
         "w6_cumulative_revenue",
         "a26_mom_growth",
-        "mm2_frame_samples",
-        "t10_unigram_logprob",
         # v8_sq_cosine rotated to the tail in round 11 for the two new
         # queries (x15 shuffle-shard, a28 cube): scalar-quantization
         # machinery stays evidenced in-window by v11 (PQ+ADC — the
@@ -128,7 +138,6 @@ PRIORITY_IN_WINDOW = [
         # v5/v7 gained the same exhaustive-probe oracles in round 6
         # (probe-all IVF ≡ brute force, quantizer-independent);
         # a22/a23 — green r3/r4/r5, frozen — absorb the overflow.
-        "v5_ivf_ann",
         "v7_ivf_trained",
         # NEW in round 6: PII scrub + audit counts (cross-engine regex
         # certification); w5 — green r3/r4/r5, frozen, lag machinery
@@ -162,6 +171,15 @@ PRIORITY_TAIL = [
         "dd10_cluster_curation",
         # v8 rotated out in round 11 (see PRIORITY_IN_WINDOW note)
         "v8_sq_cosine",
+        # round-12 rotations for x17/x19/t18 (see PRIORITY_IN_WINDOW):
+        # v5's probe-all IVF certification is subsumed by the in-window
+        # v7 (trained IVF, same oracle shape); t10's unigram LM scores
+        # are recomputed verbatim inside the in-window t12, and t17's
+        # bigram LM is the richer scoring cert; mm2's Arrow frame
+        # explosion shares its batch contract with the in-window mm3.
+        "v5_ivf_ann",
+        "t10_unigram_logprob",
+        "mm2_frame_samples",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

@@ -1911,6 +1911,202 @@ SELECT doc_id, n_clean_tokens, shard,
 FROM s"""
 
 
+#: x17/x19 split configuration: cumulative ceil-cuts in exact integer
+#: fractions (float fractions round differently across engines) —
+#: train ≤ ceil(0.8n) < val ≤ ceil(0.9n) < test.
+SPLIT_CUTS = ((8, 10), (9, 10))
+SPLIT_LABELS = ("train", "val", "test")
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x17: deterministic EXACT train/val/test split per language — the
+    holdout-assignment stage every training pipeline runs between
+    curation and the training store. Each stratum sends exactly
+    ceil(0.8n)/ceil(0.9n)−ceil(0.8n)/rest docs (ordered by the x15
+    portable pseudorandom rank, doc_id tie-break) to train/val/test, so
+    the held-out fraction is exact even for tiny strata where a
+    hash-threshold split's binomial error is material — and re-runs,
+    retries, and backfills assign byte-identical splits on any engine.
+
+    Scale shape (:mod:`..operators.split`): the naive exact form is a
+    per-stratum global window — ONE reducer per language at 100 TB.
+    The histogram-cut kernel instead takes one map-side-combinable
+    (stratum, bucket) count (driver-bounded by the bucket-width
+    configuration, the x8-planner pattern), locates each cut's boundary
+    bucket driver-side, labels every non-boundary row MAP-SIDE, and
+    windows only the ≤2 boundary buckets per stratum (~n/n_buckets rows
+    each, skew-independent). Exact-equivalence to the plain window is
+    pinned by tests/test_llmops.py; the oracle IS the plain window."""
+    from ..operators.split import exact_proportional_split
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") % PRIO_MOD) * F.lit(PRIO_MULT)).alias("rank_key"),
+    )
+    out = exact_proportional_split(
+        d, "lang", "rank_key", "doc_id", cuts=SPLIT_CUTS, labels=SPLIT_LABELS
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+QUERIES["x17_split_assign"] = q_split_assign
+ORACLES["x17_split_assign"] = f"""
+WITH t AS (SELECT doc_id, lang, (doc_id % {PRIO_MOD}) * {PRIO_MULT} AS rank_key
+           FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY rank_key, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM t)
+SELECT doc_id, lang,
+       CASE WHEN rn <= (8 * n + 9) // 10 THEN 'train'
+            WHEN rn <= (9 * n + 9) // 10 THEN 'val'
+            ELSE 'test' END AS split
+FROM r"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x19: LEAKAGE-SAFE train/val/test split — the x17 assignment with
+    near-duplicate atomicity: a document and its near-dups always land
+    in the SAME split. A plain per-document split leaks held-out
+    content into training whenever the corpus still carries fuzzy
+    duplicates (the classic eval-contamination failure: a val document
+    whose 0.9-Jaccard twin trained); splitting by CLUSTER closes it.
+
+    Composition, all certified pieces: dd4's MinHash-LSH pairs at
+    jaccard ≥ 0.8 → dd8's connected components → every doc labeled
+    with its component id (singletons = own id) → the x17 exact-cut
+    kernel assigns splits to CLUSTERS (one global stratum — the unit
+    of exact proportion is the cluster, the only unit compatible with
+    atomicity) → members inherit by an equi-join on cluster_id.
+
+    Scale shape: LSH pair generation is banded (dd4), CC is
+    O(log diameter) rounds (dd8), the cluster table is one slim row
+    per component, the split kernel windows only boundary buckets, and
+    the inherit join is a plain shuffle equi-join on cluster_id (no
+    broadcast of a corpus-sized side). Oracle: the dd8 recursive-CTE
+    closure extended with singleton labeling + the plain-window cut
+    over clusters."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+    from ..operators.split import exact_proportional_split
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(d, threshold=0.8)
+    labels = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    members = (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    clusters = (
+        members.select("cluster_id")
+        .distinct()
+        .withColumn("rank_key", (F.col("cluster_id") % PRIO_MOD) * F.lit(PRIO_MULT))
+        .withColumn("__stratum", F.lit(0))
+    )
+    assigned = exact_proportional_split(
+        clusters, "__stratum", "rank_key", "cluster_id",
+        cuts=SPLIT_CUTS, labels=SPLIT_LABELS,
+    )
+    return members.join(
+        assigned.select("cluster_id", "split"), "cluster_id"
+    ).select("doc_id", "cluster_id", "split")
+
+
+QUERIES["x19_leakage_safe_split"] = q_leakage_safe_split
+ORACLES["x19_leakage_safe_split"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+p AS ({_JACCARD_PAIRS.format(thr=0.8)}),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src
+),
+lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+m AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lab l USING (doc_id)),
+cl AS (SELECT DISTINCT cluster_id FROM m),
+r AS (SELECT cluster_id,
+             row_number() OVER (ORDER BY (cluster_id % {PRIO_MOD}) * {PRIO_MULT}, cluster_id) AS rn,
+             count(*) OVER () AS n
+      FROM cl),
+s AS (SELECT cluster_id,
+             CASE WHEN rn <= (8 * n + 9) // 10 THEN 'train'
+                  WHEN rn <= (9 * n + 9) // 10 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r)
+SELECT m.doc_id, m.cluster_id, s.split FROM m JOIN s USING (cluster_id)"""
+
+
+#: t18 config: 32-token context windows advancing by 24 (8-token
+#: overlap) — the RAG/embedding chunking shape, vs x4's back-to-back
+#: 16-token segments.
+T18_CHUNK = 32
+T18_STRIDE = 24
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t18: OVERLAPPING sliding-window chunking — the RAG/embedding
+    ingestion form (fixed-size windows with overlap so no semantic
+    boundary is lost at a cut), complementing x4's non-overlapping
+    UDTF segmentation. A doc of n tokens yields
+    ceil(max(n−CHUNK,0)/STRIDE)+1 chunks; chunk i covers tokens
+    [i·STRIDE, i·STRIDE+CHUNK), the last one possibly short.
+
+    Scale shape: pure map-side — split/sequence/explode/slice are all
+    codegen'd expressions, no UDF, no shuffle; the explode fan-out is
+    bounded by n/STRIDE per doc. Exactly the plan shape a 100 TB
+    chunking pass wants: read → explode → write, partition-parallel
+    end to end."""
+    d = _docs(spark, sf_dir)
+    d2 = (
+        d.select("doc_id", F.split("text", " ").alias("tok"))
+        .withColumn("n_tokens", F.array_size("tok"))
+        .withColumn(
+            "n_chunks",
+            (
+                (F.greatest(F.col("n_tokens") - T18_CHUNK, F.lit(0)) + (T18_STRIDE - 1))
+                / T18_STRIDE
+            ).cast("int")
+            + 1,
+        )
+        .select(
+            "doc_id",
+            "tok",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        )
+        .withColumn("start_token", (F.col("chunk_id") * T18_STRIDE).cast("int"))
+        .withColumn(
+            "chunk", F.slice("tok", F.col("start_token") + F.lit(1), F.lit(T18_CHUNK))
+        )
+    )
+    return d2.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "start_token",
+        F.array_size("chunk").alias("n_chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+QUERIES["t18_chunk_overlap"] = q_chunk_overlap
+ORACLES["t18_chunk_overlap"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+n AS (SELECT doc_id, tok, len(tok) AS n_tokens FROM t),
+c AS (SELECT doc_id, tok,
+             unnest(range((greatest(n_tokens - {T18_CHUNK}, 0) + {T18_STRIDE - 1}) // {T18_STRIDE} + 1)) AS chunk_id
+      FROM n)
+SELECT doc_id,
+       CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(chunk_id * {T18_STRIDE} AS INTEGER) AS start_token,
+       CAST(len(tok[chunk_id * {T18_STRIDE} + 1 : chunk_id * {T18_STRIDE} + {T18_CHUNK}]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(tok[chunk_id * {T18_STRIDE} + 1 : chunk_id * {T18_STRIDE} + {T18_CHUNK}], ' ') AS chunk_text
+FROM c"""
+
+
 #: x14 config: weighted-sample width before the diversity cap, and the
 #: text-locality cell = low 4 bits of the dd5 SimHash (16 cells, cap 8
 #: — both sized so every stage bites on the sf0.01 fixture).

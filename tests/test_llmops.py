@@ -1297,3 +1297,152 @@ def test_dd13_line_dedup_keeps_one_global_occurrence(spark):
     assert (out[2].n_segs, out[2].n_kept) == (2, 1)
     assert out[3].clean_text == "" and out[3].n_kept == 0
     assert out[4].n_segs == out[4].n_kept == 2
+
+
+def test_exact_split_equals_plain_window(spark):
+    """The histogram-cut split kernel must reproduce EXACTLY the plain
+    per-stratum window assignment (rn <= ceil(f·n) per cumulative cut)
+    on a planted skewed corpus — one stratum holds 80% of rows, plus
+    strata of size 1/2/3 (every label-boundary edge), plus rank TIES
+    across different ids (tie-break correctness). Checked at three
+    bucket widths: huge (one bucket — everything boundary-windowed),
+    mid (the real regime: map-side labels + boundary windows), and 1
+    (every distinct rank its own bucket)."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_etl_dashboard_spark.operators.split import exact_proportional_split
+
+    import random
+
+    rng = random.Random(12)
+    rows = []
+    i = 0
+    for stratum, n in [("hot", 800), ("a", 120), ("b", 57), ("t1", 1), ("t2", 2), ("t3", 3)]:
+        for _ in range(n):
+            # small rank range → guaranteed collisions (ties)
+            rows.append((i, stratum, rng.randrange(0, 97)))
+            i += 1
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id long, lang string, rank_key long")
+
+    w = Window.partitionBy("lang").orderBy("rank_key", "doc_id")
+    n_w = Window.partitionBy("lang")
+    plain = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        .withColumn(
+            "split",
+            F.when(F.col("rn") <= F.floor((8 * F.col("n") + 9) / 10), "train")
+            .when(F.col("rn") <= F.floor((9 * F.col("n") + 9) / 10), "val")
+            .otherwise("test"),
+        )
+    )
+    want = sorted((r.doc_id, r.split) for r in plain.collect())
+    for width in (1 << 50, 16, 1):
+        got = exact_proportional_split(
+            df, "lang", "rank_key", "doc_id", bucket_width=width
+        )
+        assert sorted((r.doc_id, r.split) for r in got.collect()) == want, width
+    # per-stratum proportions are EXACT: ceil(0.8n) / ceil(0.9n)-ceil(0.8n) / rest
+    out = exact_proportional_split(df, "lang", "rank_key", "doc_id", bucket_width=16)
+    counts = {
+        (r.lang, r.split): r.c
+        for r in out.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    sizes = {"hot": 800, "a": 120, "b": 57, "t1": 1, "t2": 2, "t3": 3}
+    for lang, n in sizes.items():
+        c1 = (8 * n + 9) // 10
+        c2 = (9 * n + 9) // 10
+        assert counts.get((lang, "train"), 0) == c1
+        assert counts.get((lang, "val"), 0) == c2 - c1
+        assert counts.get((lang, "test"), 0) == n - c2
+
+
+def test_exact_split_boundary_windows_only(spark):
+    """Structural skew-safety: the kernel's row_number window partitions
+    on (stratum, bucket) — never on the stratum alone — and the
+    windowed branch is filtered to the boundary buckets, so a hot
+    stratum's non-boundary rows take the map-side path."""
+    from nyc_taxi_etl_dashboard_spark.operators.split import exact_proportional_split
+
+    rows = [(i, "only", (i * 2654435761) % 1_000_003) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, rank_key long")
+    out = exact_proportional_split(df, "lang", "rank_key", "doc_id", bucket_width=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan  # window keyed on the bucket, not the bare stratum
+    # proportions still exact under the multi-bucket config
+    got = {r.split: r.c for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert got == {"train": 1600, "val": 200, "test": 200}
+
+
+def test_leakage_safe_split_cluster_atomic(spark, sf_dir):
+    """x19's whole point: no near-dup cluster straddles splits. Every
+    cluster maps to exactly one split label, every LSH pair lands in
+    the same split, and the cluster-level proportions are the exact
+    ceil cuts."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import minhash_lsh_pairs
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import _docs, q_leakage_safe_split
+
+    out = q_leakage_safe_split(spark, sf_dir).collect()
+    split_of_doc = {r.doc_id: r.split for r in out}
+    by_cluster: dict[int, set[str]] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # pairs (the raw leakage edges) never straddle
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert split_of_doc[p.id_a] == split_of_doc[p.id_b]
+    # exact proportions at the CLUSTER level (the unit of atomicity)
+    n = len(by_cluster)
+    c1, c2 = (8 * n + 9) // 10, (9 * n + 9) // 10
+    lab = {}
+    for s in by_cluster.values():
+        (x,) = s
+        lab[x] = lab.get(x, 0) + 1
+    assert lab.get("train", 0) == c1
+    assert lab.get("val", 0) == c2 - c1
+    assert lab.get("test", 0) == n - c2
+
+
+def test_chunk_overlap_reconstructs_documents(spark, sf_dir):
+    """t18 geometry: chunk 0 starts at 0, consecutive chunks advance by
+    STRIDE, every chunk except the last is full-size, the last reaches
+    the end of the doc — and concatenating each chunk's first STRIDE
+    tokens plus the last chunk entirely reconstructs every document
+    byte-for-byte."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        T18_CHUNK,
+        T18_STRIDE,
+        _docs,
+        q_chunk_overlap,
+    )
+
+    docs = {r.doc_id: r.text for r in _docs(spark, sf_dir).select("doc_id", "text").collect()}
+    rows = q_chunk_overlap(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        toks = docs[doc_id].split(" ")
+        n = len(toks)
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.start_token == c.chunk_id * T18_STRIDE
+            want = toks[c.start_token : c.start_token + T18_CHUNK]
+            assert c.chunk_text == " ".join(want)
+            assert c.n_chunk_tokens == len(want)
+        # full-size except possibly the last; last covers the tail
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == T18_CHUNK
+        last = chunks[-1]
+        assert last.start_token + last.n_chunk_tokens == n
+        # reconstruction from stride-prefixes + whole last chunk
+        rebuilt: list[str] = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.chunk_text.split(" ")[:T18_STRIDE])
+        rebuilt.extend(last.chunk_text.split(" "))
+        assert rebuilt == toks
