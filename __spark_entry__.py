@@ -121,6 +121,12 @@ PRIORITY_IN_WINDOW = [
         "x17_split_assign",
         "x19_leakage_safe_split",
         "t18_chunk_overlap",
+        # NEW in round 12 (second wave): mm4 audio windowing completes
+        # the modality family. a25 rotates to the tail — its
+        # quantile-sketch bound-verdict machinery is evidenced
+        # in-window by t13 (percentile_approx thresholds certified
+        # against the exact window gate).
+        "mm4_audio_windows",
         "x7_corpus_pipeline",
         "w6_cumulative_revenue",
         "a26_mom_growth",
@@ -131,8 +137,8 @@ PRIORITY_IN_WINDOW = [
         # Round-6 rotation (VERDICT r05 item 1): a25/x3 (bounded-hash
         # oracles ready since r3) and v4 (round-5 exhaustive-LSH reshape,
         # oracle added this round) enter the window; u3/u4/a20 — green
-        # since r1, semantically frozen — rotate to overflow to make room.
-        "a25_approx_quantiles",
+        # since r1, semantically frozen — rotate to overflow to make
+        # room. (a25 rotated to the tail in round 12 for mm4.)
         "x3_countmin_sketch",
         "v4_knn_lsh",
         # v5/v7 gained the same exhaustive-probe oracles in round 6
@@ -180,6 +186,7 @@ PRIORITY_TAIL = [
         "v5_ivf_ann",
         "t10_unigram_logprob",
         "mm2_frame_samples",
+        "a25_approx_quantiles",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

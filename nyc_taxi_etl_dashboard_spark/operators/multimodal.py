@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -213,3 +214,72 @@ def resize_media(df: DataFrame, target_px: int = 16) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+#: output contract of the audio windowing pass — integer features only,
+#: so the oracle comparison is exact with no float-order caveats
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sum_sq", LongType()),
+        StructField("n_silence", IntegerType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_window_energy(
+    df: DataFrame, window: int = 64, silence_byte: int = 32
+) -> DataFrame:
+    """Audio windowing over binary payloads: fixed-size sample windows →
+    per-window energy (sum of squares), silence count, and peak — the
+    frame-level feature pass of an audio-curation pipeline (VAD-style
+    silence gating, clipping detection), with REAL Spark plumbing and
+    bytes standing in for PCM samples (the container has no audio
+    codec; a real pipeline decodes with soundfile/librosa where
+    ``np.frombuffer`` reads the payload below, keeping the same
+    batch shape).
+
+    Same shape rationale as :func:`sample_frames`: the window expansion
+    happens INSIDE the Arrow batch (each payload read once, only slim
+    integer feature rows emitted — never the audio bytes), and the
+    per-window math is vectorized numpy over the whole payload, not a
+    per-window Python loop. Features are integers, so cross-engine
+    certification is exact."""
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, ns, sqs, sils, peaks = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                if n == 0:
+                    continue
+                n_win = (n + window - 1) // window
+                pad = np.zeros(n_win * window, dtype=np.int64)
+                pad[:n] = a
+                w = pad.reshape(n_win, window)
+                lens = np.minimum(window, n - window * np.arange(n_win))
+                doc_ids.extend([doc_id] * n_win)
+                idxs.extend(range(n_win))
+                ns.extend(lens.tolist())
+                sqs.extend((w * w).sum(axis=1).tolist())
+                sils.extend((w == silence_byte).sum(axis=1).tolist())
+                # zero-pad never wins the max: payload bytes are >= 1
+                # for any non-empty ASCII text and the true window is
+                # non-empty by construction
+                peaks.extend(w.max(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "win_idx": idxs,
+                    "n_samples": ns,
+                    "sum_sq": sqs,
+                    "n_silence": sils,
+                    "peak": peaks,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_windows, AUDIO_WINDOW_SCHEMA)

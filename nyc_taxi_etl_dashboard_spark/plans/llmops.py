@@ -2947,6 +2947,43 @@ SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 32 AS INTEGER) AS offse
 FROM f"""
 
 
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm4: audio windowing — fixed 64-sample windows over the binary
+    payload → integer energy/silence/peak features per window (the
+    VAD-style frame-feature pass of an audio-curation pipeline),
+    completing the modality family next to mm1 (features), mm2 (video
+    frame sampling), and mm3 (image resize). Decode honesty matches
+    the rest of the family: bytes stand in for PCM samples, the
+    mapInPandas batch shape and vectorized numpy window math are real
+    (:func:`..operators.multimodal.audio_window_energy`). All features
+    are INTEGERS, so the oracle comparison is exact — no float-order
+    caveats. Same ASCII-fixture pin as mm1-mm3 (see NB above)."""
+    d = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.audio_window_energy(d, window=64)
+
+
+QUERIES["mm4_audio_windows"] = q_audio_windows
+ORACLES["mm4_audio_windows"] = """
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+wi AS (SELECT doc_id, text, n,
+              unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS i
+       FROM t WHERE n > 0),
+win AS (SELECT doc_id, i,
+               text[CAST(i*64+1 AS INTEGER) : CAST(least(i*64+64, n) AS INTEGER)] AS w
+        FROM wi)
+SELECT doc_id, CAST(i AS INTEGER) AS win_idx,
+       CAST(length(w) AS INTEGER) AS n_samples,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(length(w)),
+           j -> CAST(ascii(w[CAST(j+1 AS INTEGER):CAST(j+1 AS INTEGER)]) AS BIGINT))),
+         (a, x) -> a + x * x) AS sum_sq,
+       CAST(len(list_filter(range(length(w)),
+         j -> w[CAST(j+1 AS INTEGER):CAST(j+1 AS INTEGER)] = ' ')) AS INTEGER) AS n_silence,
+       CAST(list_max(list_transform(range(length(w)),
+         j -> ascii(w[CAST(j+1 AS INTEGER):CAST(j+1 AS INTEGER)]))) AS INTEGER) AS peak
+FROM win"""
+
+
 def q_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash Jaccard ESTIMATION: score pairs from 8-word signatures
     alone (agreement fraction ≈ Jaccard) — at 100 TB candidate pairs are

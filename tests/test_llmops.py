@@ -1446,3 +1446,37 @@ def test_chunk_overlap_reconstructs_documents(spark, sf_dir):
             rebuilt.extend(c.chunk_text.split(" ")[:T18_STRIDE])
         rebuilt.extend(last.chunk_text.split(" "))
         assert rebuilt == toks
+
+
+def test_audio_window_energy_matches_python_reference(spark):
+    """mm4 window math (vectorized zero-padded reshape) vs a plain
+    per-window Python reference, on payloads hitting every geometry
+    edge: shorter than one window, exactly one window, exact multiple
+    of the window, and a ragged tail. Integer features must be equal,
+    not approximately equal."""
+    from nyc_taxi_etl_dashboard_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_window_energy,
+    )
+
+    texts = {
+        1: "ab",                 # < window
+        2: "x" * 64,             # exactly one window
+        3: "hello world " * 16,  # ragged tail (192 chars = 3 windows)
+        4: ("y" * 64) * 2,       # exact multiple
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = audio_window_energy(attach_binary_payload(df), window=64).collect()
+    got = {(r.doc_id, r.win_idx): (r.n_samples, r.sum_sq, r.n_silence, r.peak) for r in out}
+    want = {}
+    for doc_id, text in texts.items():
+        b = text.encode()
+        for i in range(0, (len(b) + 63) // 64):
+            w = b[i * 64 : (i + 1) * 64]
+            want[(doc_id, i)] = (
+                len(w),
+                sum(x * x for x in w),
+                sum(1 for x in w if x == 32),
+                max(w),
+            )
+    assert got == want
