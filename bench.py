@@ -128,6 +128,14 @@ CURATION = [
     # the final-mile composition (line dedup → clean-text gate → shard)
     "x15_shuffle_shard",
     "x16_curation_pipeline_v4",
+    # round-12: exact train/val/test assignment (histogram-cut kernel),
+    # its leakage-safe cluster-atomic form (LSH pairs + CC + cluster
+    # split inherit), stride-overlap chunking (map-side explode), and
+    # audio windowing (Arrow-batch integer frame features)
+    "x17_split_assign",
+    "x19_leakage_safe_split",
+    "t18_chunk_overlap",
+    "mm4_audio_windows",
 ]
 
 

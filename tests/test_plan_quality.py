@@ -284,3 +284,29 @@ def test_shuffle_shard_sorts_per_shard_never_globally(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "rangepartitioning" not in plan, name
         assert re.search(r"Exchange hashpartitioning\(shard", plan), name
+
+
+def test_split_assign_windows_on_bucket_never_bare_stratum(spark, sf_dir):
+    """x17's skew claim, structurally: the cut spec arrives via
+    BroadcastHashJoin (never a shuffle of the corpus against a 6-row
+    spec), the row_number window partitions on (stratum, __bkt) — a
+    window specified on the bare stratum would recreate the one-reducer-
+    per-language cliff — and no global sort appears anywhere."""
+    plan = _plan(spark, sf_dir, "x17_split_assign")
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan
+    # every row_number window partition spec must include the bucket
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__bkt" in m.group(1), m.group(0)
+
+
+def test_chunk_overlap_plan_has_no_keyed_exchange(spark, sf_dir):
+    """t18 is a read → explode → project chain: a KEY-BASED Exchange
+    (hash or range) in the plan means the chunking pass acquired a
+    shuffle it does not need at any scale. The scale_out fan-out
+    (RoundRobinPartitioning, a no-op on production-sized scans) is the
+    only Exchange allowed."""
+    plan = _plan(spark, sf_dir, "t18_chunk_overlap")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Generate explode" in plan

@@ -42,6 +42,8 @@ SHOWCASE = [
     ("dd13_line_dedup", "Segment-level line dedup (round 10): canonical occurrence is a map-side-combinable MIN partial_min/min pair keyed on the segment — a boilerplate segment in millions of docs never becomes a hot sort group (deliberately NOT a row_number window); one equi-join on segment, one per-doc rebuild agg."),
     ("x15_shuffle_shard", "Shuffle-and-shard layout (round 11): ONE Exchange hashpartitioning(shard) with per-shard Sorts under it — a globally shuffled corpus with no Exchange rangepartitioning (global sort) anywhere."),
     ("x16_curation_pipeline_v4", "Final-mile composition (round 11): a linear chain — dd13's MIN-agg + equi-join, the rule-bank gate folded into the rebuild projection (no extra pass over the corpus), then the x15 shard exchange; no persist boundaries because no stage output is consumed twice."),
+    ("x17_split_assign", "Exact split assignment (round 12): the cut spec joins as a BroadcastHashJoin; the row_number window partitions on (lang, __bkt) — never the bare stratum — and runs only under the boundary-bucket filter, so a hot stratum's rows label map-side."),
+    ("t18_chunk_overlap", "Overlap chunking (round 12): split/sequence/explode/slice as one codegen'd Generate over the scan — zero Exchanges in the whole plan; read → explode → project, partition-parallel end to end."),
 ]
 
 
