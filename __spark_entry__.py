@@ -99,7 +99,8 @@ PRIORITY_IN_WINDOW = [
         # e6_variant_extract left this list in round 8 (rotated to
         # overflow for v11 — see _is_overflow)
         "e7_robust_json",
-        "dd8_dup_clusters",
+        # dd8 left this list in round 13 (its CC kernel runs in-window
+        # inside x19 — see the round-13 note below)
         # dd9 left this list in round 8 (rotated to overflow for the
         # three new round-8 queries t15/x12/x13; signature-agreement
         # scoring still evidenced in-window by dd11's estimate column)
@@ -127,7 +128,23 @@ PRIORITY_IN_WINDOW = [
         # in-window by t13 (percentile_approx thresholds certified
         # against the exact window gate).
         "mm4_audio_windows",
-        "x7_corpus_pipeline",
+        # NEW in round 13: x20 temperature-scaled mixing (the upsampling
+        # planner x8's water-filling cannot express), t19 eval-side
+        # contamination attribution (t8's audit twin), v14 metadata-
+        # filtered exact ANN (pre-filter semantics pinned), mm5
+        # modality-aware packing. Rotations to make room (see
+        # PRIORITY_TAIL): v4 (RHP bucketing + admissibility verdicts
+        # evidenced in-window by v10's RHP-blocked dedup and v11's
+        # bound verdicts; exact scoring by v14 itself), x3 (bounded-
+        # hash sketch-with-verdict machinery evidenced by t13's
+        # certified percentile sketch), x7 (its gate→dedup→sample
+        # chain is composed verbatim inside the in-window x11/x14/x16),
+        # dd8 (the identical connected-components kernel now runs
+        # in-window inside x19's leakage-safe split).
+        "x20_temperature_mix",
+        "t19_contamination_audit",
+        "v14_filtered_ann",
+        "mm5_interleaved_pack",
         "w6_cumulative_revenue",
         "a26_mom_growth",
         # v8_sq_cosine rotated to the tail in round 11 for the two new
@@ -138,9 +155,8 @@ PRIORITY_IN_WINDOW = [
         # oracles ready since r3) and v4 (round-5 exhaustive-LSH reshape,
         # oracle added this round) enter the window; u3/u4/a20 — green
         # since r1, semantically frozen — rotate to overflow to make
-        # room. (a25 rotated to the tail in round 12 for mm4.)
-        "x3_countmin_sketch",
-        "v4_knn_lsh",
+        # room. (a25 rotated to the tail in round 12 for mm4; x3/v4 in
+        # round 13 for the new wave — see the round-13 note above.)
         # v5/v7 gained the same exhaustive-probe oracles in round 6
         # (probe-all IVF ≡ brute force, quantizer-independent);
         # a22/a23 — green r3/r4/r5, frozen — absorb the overflow.
@@ -187,6 +203,15 @@ PRIORITY_TAIL = [
         "t10_unigram_logprob",
         "mm2_frame_samples",
         "a25_approx_quantiles",
+        # round-13 rotations for x20/t19/v14/mm5 (see the
+        # PRIORITY_IN_WINDOW note): v4's RHP machinery is evidenced
+        # in-window by v10/v11 and its exact scoring by v14; x3's
+        # sketch-verdict machinery by t13; x7's chain is composed
+        # inside x11/x14/x16; dd8's CC kernel runs inside x19.
+        "v4_knn_lsh",
+        "x3_countmin_sketch",
+        "x7_corpus_pipeline",
+        "dd8_dup_clusters",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

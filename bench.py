@@ -136,6 +136,13 @@ CURATION = [
     "x19_leakage_safe_split",
     "t18_chunk_overlap",
     "mm4_audio_windows",
+    # round-13: temperature-scaled mixing plan, eval-side contamination
+    # attribution, metadata-filtered exact ANN (v14_prod rides the
+    # BENCH_ONLY prod_paths), modality-aware packing
+    "x20_temperature_mix",
+    "t19_contamination_audit",
+    "v14_filtered_ann",
+    "mm5_interleaved_pack",
 ]
 
 

@@ -3527,3 +3527,307 @@ SELECT d.doc_id, coalesce(agg.n_segs, 0) AS n_segs,
        coalesce(agg.n_kept, 0) AS n_kept,
        coalesce(agg.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+
+# --------------------------------------------------------------------------
+# Round-13 wave: temperature mixing, contamination audit, filtered ANN,
+# modality-aware packing
+# --------------------------------------------------------------------------
+
+#: x20 temperature-scaled mixing: exponent α = 0.5 (temperature T = 1/α
+#: = 2, the multilingual-LM rebalancing shape). α is pinned at 0.5 ON
+#: PURPOSE: pow(n, 0.5) == sqrt(n), and IEEE-754 requires sqrt to be
+#: correctly rounded — so the per-language weights are bit-identical
+#: across engines with NO rounding step, unlike a generic pow() (libm
+#: pow is not correctly rounded and Java's Math.pow only promises
+#: 1-ulp, so a generic-α oracle would need round()s).
+TEMP_MIX_BUDGET = 300
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x20: temperature-scaled source mixing — the multilingual/
+    multi-source rebalancing planner (XLM-R-style p_l^α sampling):
+    per-language share q_l = n_l^α / Σ_k n_k^α with α = 0.5 flattens
+    the raw distribution so low-resource languages are upsampled
+    relative to their raw share, then a document budget turns shares
+    into per-language planned counts, sampling rates, and upsample
+    epoch counts (rate > 1 ⇒ the language repeats across epochs — the
+    knob x8's water-filling, which only ever DOWN-samples, cannot
+    express).
+
+    Scale shape: one map-side-combinable count per language (5 rows),
+    rolled into ONE per-language array so the whole plan hangs off a
+    SINGLE scan+aggregation (a naive counts→denominator→join shape
+    recomputes the groupBy — and rescans the corpus — once per branch);
+    the Σ n^α denominator is a FIXED-ORDER fold over the lang-sorted
+    weight array (not a float SUM aggregation), so the shares are
+    bit-identical across engines and partitionings — the t16 lesson as
+    policy."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    rolled = counts.agg(
+        F.array_sort(F.collect_list(F.struct("lang", "n_docs"))).alias("rows")
+    )
+    exploded = rolled.select(
+        F.explode("rows").alias("r"),
+        F.aggregate(
+            F.transform("rows", lambda s: F.sqrt(s["n_docs"].cast("double"))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("denom"),
+        F.aggregate(
+            F.transform("rows", lambda s: s["n_docs"]),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("n_total"),
+    )
+    planned = F.floor(
+        F.col("w") / F.col("denom") * F.lit(float(TEMP_MIX_BUDGET))
+    ).cast("int")
+    return (
+        exploded.select(
+            F.col("r.lang").alias("lang"),
+            F.col("r.n_docs").alias("n_docs"),
+            F.sqrt(F.col("r.n_docs").cast("double")).alias("w"),
+            "denom",
+            "n_total",
+        )
+        .withColumn("share_raw", F.col("n_docs") * F.lit(1.0) / F.col("n_total"))
+        .withColumn("share_temp", F.col("w") / F.col("denom"))
+        .withColumn("planned_docs", planned)
+        .withColumn(
+            "sample_rate", F.col("planned_docs") * F.lit(1.0) / F.col("n_docs")
+        )
+        .withColumn("upsample_epochs", F.ceil(F.col("sample_rate")).cast("int"))
+        .select(
+            "lang",
+            "n_docs",
+            "share_raw",
+            "share_temp",
+            "planned_docs",
+            "sample_rate",
+            "upsample_epochs",
+        )
+    )
+
+
+QUERIES["x20_temperature_mix"] = q_temperature_mix
+ORACLES["x20_temperature_mix"] = f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM c),
+d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY lang)),
+             (a, x) -> a + x) AS denom,
+             sum(n_docs) AS n_total FROM t)
+SELECT lang, n_docs,
+       n_docs * 1.0 / n_total AS share_raw,
+       w / denom AS share_temp,
+       CAST(floor(w / denom * {float(TEMP_MIX_BUDGET)}) AS INTEGER) AS planned_docs,
+       CAST(floor(w / denom * {float(TEMP_MIX_BUDGET)}) AS INTEGER) * 1.0 / n_docs AS sample_rate,
+       CAST(ceil(CAST(floor(w / denom * {float(TEMP_MIX_BUDGET)}) AS INTEGER) * 1.0 / n_docs) AS INTEGER) AS upsample_epochs
+FROM t CROSS JOIN d"""
+
+
+def q_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t19: EVAL-side contamination attribution — t8 answers "which
+    TRAINING docs are contaminated and should be dropped"; t19 answers
+    the audit question asked before trusting a benchmark score: for
+    each EVAL document, how many training docs share its shingles, and
+    which single training doc is the worst offender (most shared
+    distinct 3-grams, ties to the lowest doc id) with what containment
+    of the eval doc. Zero-hit eval docs survive via the left join with
+    the eval spine (null offender, containment 0).
+
+    Scale shape: the eval shingle set (tiny — benchmarks, not corpora)
+    is exploded and BROADCAST; training shingles stream through one
+    explode → broadcast-join → (eval, train) count. The per-eval
+    argmax is a plain map-side-combinable MAX over a (count, -id)
+    struct — deliberately NOT a row_number window, so a widely-leaked
+    eval item (thousands of contaminating train docs) never becomes a
+    hot sort group."""
+    return contamination_audit(_docs(spark, sf_dir))
+
+
+def contamination_audit(d: DataFrame) -> DataFrame:
+    """t19's kernel over any (doc_id, source, text) frame — factored out
+    so planted-leak fixtures can drive it directly in pytest."""
+    sh = with_shingles(d.select("doc_id", "source", "text"))
+    ev = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    ev_n = ev.select(
+        "eval_id", F.array_size("shingle").alias("n_ev_sh")
+    )
+    ev_sh = ev.select("eval_id", F.explode("shingle").alias("sh"))
+    tr_sh = (
+        sh.filter(F.col("source") != "src0")
+        .select(F.col("doc_id").alias("train_id"), F.explode("shingle").alias("sh"))
+    )
+    hits = (
+        tr_sh.join(F.broadcast(ev_sh), "sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    top = hits.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_train_docs_hit"),
+        F.max(
+            F.struct(F.col("n_overlap").alias("o"), (-F.col("train_id")).alias("nt"))
+        ).alias("m"),
+    )
+    return (
+        # both sides are eval-sized (tiny); broadcast the audit aggregate
+        # so the spine join never shuffles
+        ev_n.join(F.broadcast(top), "eval_id", "left")
+        .select(
+            "eval_id",
+            "n_ev_sh",
+            F.coalesce("n_train_docs_hit", F.lit(0)).alias("n_train_docs_hit"),
+            (-F.col("m.nt")).alias("top_train_id"),
+            F.coalesce(F.col("m.o"), F.lit(0)).alias("top_overlap"),
+            (
+                F.coalesce(F.col("m.o"), F.lit(0))
+                * F.lit(1.0)
+                / F.col("n_ev_sh")
+            ).alias("top_containment"),
+        )
+    )
+
+
+QUERIES["t19_contamination_audit"] = q_contamination_audit
+ORACLES["t19_contamination_audit"] = f"""
+WITH {_SHINGLES_CTE},
+s AS (SELECT sh.doc_id, d.source, sh.shingle FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+evn AS (SELECT doc_id AS eval_id, len(shingle) AS n_ev_sh FROM s WHERE source = 'src0'),
+ev AS (SELECT doc_id AS eval_id, unnest(shingle) AS g FROM s WHERE source = 'src0'),
+tr AS (SELECT doc_id AS train_id, unnest(shingle) AS g FROM s WHERE source <> 'src0'),
+hits AS (SELECT eval_id, train_id, count(*) AS n_overlap
+         FROM tr JOIN ev USING (g) GROUP BY eval_id, train_id),
+top AS (SELECT eval_id, count(*) AS n_train_docs_hit,
+               (max(struct_pack(o := n_overlap, nt := -train_id))).o AS top_overlap,
+               -(max(struct_pack(o := n_overlap, nt := -train_id))).nt AS top_train_id
+        FROM hits GROUP BY eval_id)
+SELECT e.eval_id, CAST(e.n_ev_sh AS INTEGER) AS n_ev_sh,
+       coalesce(t.n_train_docs_hit, 0) AS n_train_docs_hit,
+       t.top_train_id,
+       coalesce(t.top_overlap, 0) AS top_overlap,
+       coalesce(t.top_overlap, 0) * 1.0 / e.n_ev_sh AS top_containment
+FROM evn e LEFT JOIN top t USING (eval_id)"""
+
+
+#: v14 metadata filter: neighbors must carry this label (a tenant id,
+#: a license class, a language — any attribute predicate).
+V14_LABEL = 3
+
+
+def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v14: metadata-FILTERED exact top-k cosine search — retrieval
+    restricted to an attribute predicate (label = V14_LABEL: the
+    license-class / tenant / language filter every production vector
+    store needs). Semantics pinned: PRE-filtering (restrict the corpus,
+    then search) — post-filtering an unfiltered top-k under-returns
+    whenever fewer than k of the global top-k satisfy the predicate,
+    which is exactly the bug this operator exists to not have.
+
+    Scale shape: the predicate lands on the corpus SCAN (pushed to
+    parquet, prunable by a label-partitioned layout at 100 TB) BELOW
+    the broadcast-nested-loop score join, so the distance kernel only
+    ever sees surviving vectors; the top-k window partitions per query.
+    The production approximate form (filter below an IVF probe) is
+    benched as v14_prod."""
+    e = _embs(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < 3)
+    corpus = e.filter(F.col("label") == V14_LABEL)
+    out = knn_bruteforce(corpus, qs, k=5)
+    return out.withColumn("label", F.lit(V14_LABEL))
+
+
+def q_filtered_ann_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v14_prod: the production filtered-ANN shape — the same label
+    pre-filter below a TRAINED IVF probe join (filter-then-bucket:
+    cells are fit on the filtered corpus, so probe quality reflects
+    the filtered distribution, not the global one). Bench-only:
+    approximate output, recall-floor-tested in pytest like v4/v7."""
+    from ..operators.similarity import ivf_ann_trained
+
+    e = _embs(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < 3)
+    corpus = e.filter(F.col("label") == V14_LABEL)
+    return ivf_ann_trained(corpus, qs, k=5, n_cells=8, n_iters=3, n_probes=2)
+
+
+QUERIES["v14_filtered_ann"] = q_filtered_ann
+BENCH_ONLY["v14_prod"] = q_filtered_ann_prod
+ORACLES["v14_filtered_ann"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE label = {V14_LABEL}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qv', b='cv')}
+           / (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cosine, rnk, {V14_LABEL} AS label FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM scored) WHERE rnk <= 5"""
+
+
+#: mm5 packing geometry: context window and the per-image patch-token
+#: cost (a ViT-style fixed patch budget per attached image).
+MM5_CTX = 512
+MM5_PATCH_TOKENS = 64
+
+
+def q_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm5: modality-AWARE sequence packing — x6 packs text tokens;
+    multimodal training packs text AND image-patch tokens into the
+    same context budget (LLaVA-style interleaving), so a document with
+    an attached image costs n_text_tokens + MM5_PATCH_TOKENS. Media
+    attachment is the deterministic fixture stand-in (every 7th doc
+    carries one image — the codec honesty of mm1-mm4 applies; the
+    packing arithmetic, the thing this operator certifies, is real and
+    ALL-INTEGER, so the oracle comparison is exact).
+
+    Scale shape: identical to x6's — ONE window partitioned by source
+    (corpora pack within a shard, never globally) running an integer
+    cumsum; no global sort, no single-partition window."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.array_size(F.split("text", " ")).alias("n_text_tokens"),
+        )
+        .withColumn("has_media", F.col("doc_id") % 7 == F.lit(0))
+        .withColumn(
+            "n_media_tokens",
+            F.when(F.col("has_media"), F.lit(MM5_PATCH_TOKENS)).otherwise(F.lit(0)),
+        )
+        .withColumn("cost", F.col("n_text_tokens") + F.col("n_media_tokens"))
+        .withColumn(
+            "start_offset",
+            F.coalesce(F.sum("cost").over(w), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("bin_id", F.expr(f"start_offset div {MM5_CTX}"))
+    )
+
+
+QUERIES["mm5_interleaved_pack"] = q_interleaved_pack
+ORACLES["mm5_interleaved_pack"] = f"""
+WITH t AS (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_text_tokens,
+                  doc_id % 7 = 0 AS has_media
+           FROM documents),
+c AS (SELECT *, CASE WHEN has_media THEN {MM5_PATCH_TOKENS} ELSE 0 END AS n_media_tokens,
+             n_text_tokens + CASE WHEN has_media THEN {MM5_PATCH_TOKENS} ELSE 0 END AS cost
+      FROM t),
+s AS (SELECT doc_id, source, n_text_tokens, has_media, n_media_tokens, cost,
+             CAST(coalesce(sum(cost) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      FROM c)
+SELECT doc_id, source, n_text_tokens, has_media, n_media_tokens, cost,
+       start_offset, start_offset // {MM5_CTX} AS bin_id FROM s"""

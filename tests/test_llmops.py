@@ -1480,3 +1480,139 @@ def test_audio_window_energy_matches_python_reference(spark):
                 max(w),
             )
     assert got == want
+
+
+def test_temperature_mix_flattens_and_budgets(spark, sf_dir):
+    """x20 semantics: temperature shares sum to 1, the head language's
+    share SHRINKS vs raw while every tail language's GROWS (α<1
+    flattening — the whole point), planned docs never exceed budget,
+    and upsample_epochs = ceil(rate) marks the repeat knob."""
+    import math
+
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        TEMP_MIX_BUDGET,
+        q_temperature_mix,
+    )
+
+    rows = {r.lang: r for r in q_temperature_mix(spark, sf_dir).collect()}
+    head = max(rows.values(), key=lambda r: r.n_docs)
+    assert abs(sum(r.share_temp for r in rows.values()) - 1.0) < 1e-12
+    assert head.share_temp < head.share_raw
+    for r in rows.values():
+        if r.lang != head.lang:
+            assert r.share_temp > r.share_raw, r
+        assert r.upsample_epochs == math.ceil(r.sample_rate)
+    assert sum(r.planned_docs for r in rows.values()) <= TEMP_MIX_BUDGET
+
+
+def test_contamination_audit_planted_leak(spark):
+    """t19 attribution on a planted fixture: an eval doc copied verbatim
+    into training attributes to that train doc with containment 1.0; a
+    partial leak attributes to the bigger overlapper with the tie going
+    to the LOWEST train id; an unleaked eval doc survives with zero
+    hits and a null offender."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import contamination_audit
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    half = "alpha beta gamma delta unrelated tokens here now"
+    rows = [
+        (0, "src0", leak),                      # eval: fully leaked
+        (1, "src0", "one two three four five"), # eval: untouched
+        (10, "src1", leak),                     # the verbatim copy
+        (11, "src1", half),                     # partial overlap
+        (12, "src1", half),                     # same overlap, higher id
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.eval_id: r for r in contamination_audit(df).collect()}
+    full = out[0]
+    assert full.top_train_id == 10
+    assert full.top_containment == 1.0
+    assert full.n_train_docs_hit == 3  # 10 fully, 11/12 partially
+    clean = out[1]
+    assert clean.n_train_docs_hit == 0
+    assert clean.top_train_id is None
+    assert clean.top_containment == 0.0
+    # drop the verbatim copy: the partial leak must attribute to 11 (not
+    # 12) — the documented lowest-id tiebreak
+    out2 = {
+        r.eval_id: r
+        for r in contamination_audit(df.filter("doc_id <> 10")).collect()
+    }
+    assert out2[0].top_train_id == 11
+    assert 0.0 < out2[0].top_containment < 1.0
+
+
+def test_filtered_ann_prefilter_vs_postfilter(spark, sf_dir):
+    """v14's reason to exist: POST-filtering the global top-k under-
+    returns whenever fewer than k of the global winners carry the
+    label. Asserts (a) every v14 neighbor satisfies the predicate,
+    (b) every query still gets exactly k results, (c) the naive
+    post-filter pipeline returns FEWER than k for at least one query
+    on the real fixture — the bug the operator avoids."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import knn_bruteforce
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import V14_LABEL, q_filtered_ann
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    from pyspark.sql import functions as F
+
+    out = q_filtered_ann(spark, sf_dir).collect()
+    e = read_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    assert out and all(labels[r.neighbor_id] == V14_LABEL for r in out)
+    per_q = {}
+    for r in out:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {5}
+    qs = e.filter(F.col("vec_id") < 3)
+    post = [
+        r
+        for r in knn_bruteforce(e, qs, k=5).collect()
+        if labels[r.neighbor_id] == V14_LABEL
+    ]
+    post_per_q = {}
+    for r in post:
+        post_per_q[r.query_id] = post_per_q.get(r.query_id, 0) + 1
+    assert any(post_per_q.get(q, 0) < 5 for q in per_q)
+
+
+def test_filtered_ann_prod_recall_floor(spark):
+    """v14_prod (label filter below a trained-IVF probe) recall@4 vs
+    the filtered exact search on the planted near-neighbor corpus with
+    alternating labels. Measured 0.975 at n_cells=8/n_probes=2; floor
+    0.9 — and the filter must hold exactly."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        ivf_ann_trained,
+        knn_bruteforce,
+    )
+
+    from pyspark.sql import functions as F
+
+    base = _planted_corpus(spark)
+    df = base.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    qs = df.filter(F.col("vec_id") % 5 == 0)
+    corpus = df.filter(F.col("label") == 1)
+    exact = knn_bruteforce(corpus, qs, k=4).collect()
+    approx = ivf_ann_trained(corpus, qs, k=4, n_cells=8, n_iters=3, n_probes=2).collect()
+    assert all(r.neighbor_id % 2 == 1 for r in approx)
+    assert _recall(approx, exact) >= 0.9
+
+
+def test_interleaved_pack_matches_python_reference(spark, sf_dir):
+    """mm5 offsets vs a per-source running-total Python reference, and
+    the media surcharge lands on exactly the doc_id % 7 == 0 docs."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        MM5_CTX,
+        MM5_PATCH_TOKENS,
+        q_interleaved_pack,
+    )
+
+    rows = q_interleaved_pack(spark, sf_dir).collect()
+    by_source: dict = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        off = by_source.get(r.source, 0)
+        assert r.start_offset == off
+        assert r.bin_id == off // MM5_CTX
+        surcharge = MM5_PATCH_TOKENS if r.doc_id % 7 == 0 else 0
+        assert r.has_media == (r.doc_id % 7 == 0)
+        assert r.cost == r.n_text_tokens + surcharge
+        by_source[r.source] = off + r.cost

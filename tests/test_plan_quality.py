@@ -310,3 +310,48 @@ def test_chunk_overlap_plan_has_no_keyed_exchange(spark, sf_dir):
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
     assert "Generate explode" in plan
+
+
+def test_filtered_ann_predicate_reaches_the_scan(spark, sf_dir):
+    """v14's pre-filter semantics must be a SCAN property: the label
+    predicate appears in the corpus FileScan's DataFilters (prunable at
+    100 TB by a label-partitioned layout), below the broadcast score
+    join — a Filter above the join would mean post-filtering."""
+    plan = _plan(spark, sf_dir, "v14_filtered_ann")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    scan_lines = [
+        l for l in plan.splitlines() if "FileScan parquet" in l and "label" in l
+    ]
+    assert scan_lines and any("(label" in l and "= 3)" in l for l in scan_lines)
+
+
+def test_contamination_audit_joins_stay_broadcast(spark, sf_dir):
+    """t19: the shingle hit join must broadcast the (tiny) eval side and
+    the final spine join the (eval-sized) audit aggregate — the corpus
+    side streams; a SortMergeJoin anywhere means one of them started
+    shuffling the corpus. The only keyed exchanges allowed are the two
+    aggregation boundaries, both over hit rows (bounded by overlap),
+    never over raw shingles."""
+    plan = _plan(spark, sf_dir, "t19_contamination_audit")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "rangepartitioning" not in plan
+
+
+def test_temperature_mix_is_single_scan(spark, sf_dir):
+    """x20: the roll-up/explode shape exists so the plan hangs off ONE
+    corpus scan — the naive counts→denominator→join shape rescans the
+    corpus once per branch, which at 100 TB doubles the dominant cost."""
+    plan = _plan(spark, sf_dir, "x20_temperature_mix")
+    assert plan.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_interleaved_pack_windows_per_source_never_globally(spark, sf_dir):
+    """mm5 packs within a source shard like x6 — a rangepartitioning
+    (global sort) or an unpartitioned window would serialize the packing
+    pass at scale."""
+    plan = _plan(spark, sf_dir, "mm5_interleaved_pack")
+    assert "rangepartitioning" not in plan
+    assert re.search(r"Exchange hashpartitioning\(source", plan)
