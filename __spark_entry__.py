@@ -145,7 +145,17 @@ PRIORITY_IN_WINDOW = [
         "t19_contamination_audit",
         "v14_filtered_ann",
         "mm5_interleaved_pack",
-        "w6_cumulative_revenue",
+        # NEW in round 13 (second wave): v15 prototype-distance pruning
+        # (fixed-order group means + rank window, bit-exact keep
+        # decisions) and t20 per-language KL drift between snapshots.
+        # Rotations (see PRIORITY_TAIL): x9 (its deterministic
+        # hash-bucket membership runs in-window inside x13's weighted
+        # sample and x17's bucket assignment; the water-fill math is
+        # x8's, already tail) and w6 (running-frame window machinery is
+        # evidenced in-window by mm5's per-source cumsum window; rank
+        # windows by w1).
+        "v15_prototype_prune",
+        "t20_distribution_drift",
         "a26_mom_growth",
         # v8_sq_cosine rotated to the tail in round 11 for the two new
         # queries (x15 shuffle-shard, a28 cube): scalar-quantization
@@ -175,8 +185,8 @@ PRIORITY_IN_WINDOW = [
         # window, while the comments claimed it was in (its last driver
         # row is r06). x8 — green in r07's window, and partially
         # evidenced by x9 which composes its water-filling math —
-        # absorbs the overflow instead.
-        "x9_planned_sample",
+        # absorbs the overflow instead. (x9 rotated to the tail in
+        # round 13 for the second wave — see the round-13 note above.)
 ]
 
 #: past the 50-query window BY DESIGN: driver-green in earlier rounds
@@ -212,6 +222,12 @@ PRIORITY_TAIL = [
         "x3_countmin_sketch",
         "x7_corpus_pipeline",
         "dd8_dup_clusters",
+        # round-13 second-wave rotations for v15/t20 (see the
+        # PRIORITY_IN_WINDOW note): x9's hash-bucket membership runs
+        # in-window inside x13/x17; w6's running-frame window is
+        # evidenced by mm5's per-source cumsum.
+        "x9_planned_sample",
+        "w6_cumulative_revenue",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

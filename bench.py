@@ -143,6 +143,10 @@ CURATION = [
     "t19_contamination_audit",
     "v14_filtered_ann",
     "mm5_interleaved_pack",
+    # round-13 second wave: prototype-distance pruning (v15_prod rides
+    # prod_paths) and per-language snapshot KL drift
+    "v15_prototype_prune",
+    "t20_distribution_drift",
 ]
 
 

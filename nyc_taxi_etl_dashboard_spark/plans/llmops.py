@@ -3831,3 +3831,206 @@ s AS (SELECT doc_id, source, n_text_tokens, has_media, n_media_tokens, cost,
       FROM c)
 SELECT doc_id, source, n_text_tokens, has_media, n_media_tokens, cost,
        start_offset, start_offset // {MM5_CTX} AS bin_id FROM s"""
+
+
+#: v15 pruning knobs: the cert drops the PRUNE_N most prototypical
+#: vectors per label (exact rank); the prod twin drops the top
+#: PRUNE_FRAC quantile via a percentile sketch (no per-label sort).
+V15_PRUNE_N = 10
+V15_PRUNE_FRAC = 0.2
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v15: prototype-distance pruning (the SSL-prototypes shape:
+    Sorscher et al.'s "beyond neural scaling laws" easy-example
+    pruning) — score every vector by cosine to its OWN group's mean
+    vector (label = cluster stand-in, as in v3), then drop the
+    PRUNE_N most prototypical per group: near-centroid examples are
+    the redundant ones once near-duplicates (v6/v10) are gone; what
+    survives is the diverse tail that actually adds information per
+    training token.
+
+    Certification shape: the group mean is a FIXED-ORDER per-dimension
+    fold over vec_id-sorted values (a plain avg is order-dependent in
+    the last ulp, which a rank boundary could amplify), the cosine is
+    the sequential :func:`..operators.similarity.dot` fold, and the
+    per-label rank window breaks ties on vec_id — every value
+    bit-identical in DuckDB, keep decisions included. The scale path
+    is ``v15_prod``: map-side avg centroids + a percentile_approx
+    cutoff broadcast back (t13's sketch shape) — no per-label sort
+    anywhere, so a hot label never serializes."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    e = _embs(spark, sf_dir)
+    exploded = e.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    means = exploded.groupBy("label", "pos").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                    lambda s: s["val"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    cents = means.groupBy("label").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(pos, mean_val))), p -> p.mean_val)"
+        ).alias("centroid")
+    )
+    scored = e.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding").cast("array<double>"), F.col("centroid")).alias(
+            "proto_cosine"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("proto_cosine").desc(), "vec_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "keep", F.col("rnk") > F.lit(V15_PRUNE_N)
+    )
+
+
+def q_prototype_prune_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v15_prod: the production pruning shape — map-side-combinable avg
+    centroids (:func:`..operators.similarity.centroids_by_label`), the
+    same cosine fold, and a per-label ``percentile_approx`` cutoff
+    broadcast back as a 1-row-per-label join (t13's certified sketch
+    shape) instead of an exact rank window: no per-label sort, so the
+    hot-label cliff never exists. Bench-only: the sketch cutoff is
+    approximate at the boundary (cutoff quality pytest-pinned against
+    the exact rank on the fixture)."""
+    from ..operators.similarity import centroids_by_label, cosine
+
+    e = _embs(spark, sf_dir)
+    cents = centroids_by_label(e)
+    scored = e.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding").cast("array<double>"), F.col("centroid")).alias(
+            "proto_cosine"
+        ),
+    )
+    cuts = scored.groupBy("label").agg(
+        F.percentile_approx("proto_cosine", 1.0 - V15_PRUNE_FRAC, 10000).alias("cut")
+    )
+    return scored.join(F.broadcast(cuts), "label").withColumn(
+        "keep", F.col("proto_cosine") <= F.col("cut")
+    )
+
+
+QUERIES["v15_prototype_prune"] = q_prototype_prune
+BENCH_ONLY["v15_prod"] = q_prototype_prune_prod
+ORACLES["v15_prototype_prune"] = f"""
+WITH m AS (
+  SELECT label, i AS pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(embedding[i+1] AS DOUBLE) ORDER BY vec_id)), (a, x) -> a + x)
+           / count(*) AS mean_val
+  FROM embeddings CROSS JOIN range(64) r(i)
+  GROUP BY label, i),
+c AS (SELECT label, list(mean_val ORDER BY pos) AS centroid FROM m GROUP BY label),
+s AS (SELECT e.vec_id, e.label,
+        {_DOT.format(a='embedding', b='centroid')}
+          / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})) AS proto_cosine
+      FROM embeddings e JOIN c USING (label))
+SELECT vec_id, label, proto_cosine, rnk, rnk > {V15_PRUNE_N} AS keep FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY label ORDER BY proto_cosine DESC, vec_id) AS INTEGER) AS rnk
+  FROM s)"""
+
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t20: corpus distribution drift — per-language KL divergence of
+    unigram token distributions between two snapshots (doc_id parity
+    stands in for two crawl dates), with add-one smoothing over the
+    union vocabulary. The monitoring stage of a recurring ingestion
+    pipeline: a KL spike on a language flags a source change (spam
+    flood, encoding regression, topical shift) before it trains in.
+
+    Scale shape: one map-side-combinable (lang, token) count agg —
+    integer counts, exact in any order — then a per-language roll-up
+    whose payload is the VOCABULARY (Heaps-sublinear in the corpus),
+    not the corpus; both KL folds run in FIXED token-sorted order, and
+    the result is rounded to 6 decimals because ln itself is not
+    correctly rounded (Java Math.log and libm disagree in the last
+    ulp — measured here; the fold order is NOT the issue). At 100 TB the per-lang
+    vocab array is the only non-scalar state; capping to a top-V
+    vocabulary (x3's sketch shape) bounds it if a language's long tail
+    ever matters less than its drift signal."""
+    return distribution_drift(_docs(spark, sf_dir))
+
+
+def distribution_drift(d: DataFrame) -> DataFrame:
+    """t20's kernel over any (doc_id, lang, text) frame — factored out
+    so planted-drift fixtures can drive it directly in pytest."""
+    tok = d.select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("snap_a"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    counts = tok.groupBy("lang", "token").agg(
+        F.sum(F.when(F.col("snap_a"), 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(~F.col("snap_a"), 1).otherwise(0)).alias("cnt_b"),
+    )
+    rolled = counts.groupBy("lang").agg(
+        F.array_sort(F.collect_list(F.struct("token", "cnt_a", "cnt_b"))).alias("rows"),
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+    )
+    sized = rolled.withColumn("vocab_size", F.array_size("rows"))
+
+    def kl(from_cnt: str, from_n: str, to_cnt: str, to_n: str):
+        def term(s):
+            p = (s[from_cnt] + F.lit(1)) / (F.col(from_n) + F.col("vocab_size"))
+            q = (s[to_cnt] + F.lit(1)) / (F.col(to_n) + F.col("vocab_size"))
+            return p * F.log(p / q)
+
+        return F.aggregate(
+            F.transform("rows", term), F.lit(0.0), lambda a, x: a + x
+        )
+
+    return sized.select(
+        "lang",
+        "vocab_size",
+        F.col("n_a").alias("n_tok_a"),
+        F.col("n_b").alias("n_tok_b"),
+        F.round(kl("cnt_a", "n_a", "cnt_b", "n_b"), 6).alias("kl_ab"),
+        F.round(kl("cnt_b", "n_b", "cnt_a", "n_a"), 6).alias("kl_ba"),
+    )
+
+
+QUERIES["t20_distribution_drift"] = q_distribution_drift
+ORACLES["t20_distribution_drift"] = """
+WITH tok AS (SELECT lang, doc_id % 2 = 0 AS snap_a,
+                    unnest(string_split(text, ' ')) AS token
+             FROM documents),
+c AS (SELECT lang, token,
+             CAST(sum(CASE WHEN snap_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(sum(CASE WHEN snap_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      FROM tok GROUP BY lang, token),
+r AS (SELECT lang,
+             list(struct_pack(token := token, cnt_a := cnt_a, cnt_b := cnt_b)
+                  ORDER BY token) AS rows_,
+             CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt_b) AS BIGINT) AS n_b,
+             CAST(count(*) AS INTEGER) AS v
+      FROM c GROUP BY lang)
+SELECT lang, v AS vocab_size, n_a AS n_tok_a, n_b AS n_tok_b,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(rows_, s ->
+           ((s.cnt_a + 1) / (n_a + v)) * ln(((s.cnt_a + 1) / (n_a + v)) / ((s.cnt_b + 1) / (n_b + v))))),
+         (a, x) -> a + x), 6) AS kl_ab,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(rows_, s ->
+           ((s.cnt_b + 1) / (n_b + v)) * ln(((s.cnt_b + 1) / (n_b + v)) / ((s.cnt_a + 1) / (n_a + v))))),
+         (a, x) -> a + x), 6) AS kl_ba
+FROM r"""

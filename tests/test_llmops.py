@@ -1616,3 +1616,65 @@ def test_interleaved_pack_matches_python_reference(spark, sf_dir):
         assert r.has_media == (r.doc_id % 7 == 0)
         assert r.cost == r.n_text_tokens + surcharge
         by_source[r.source] = off + r.cost
+
+
+def test_prototype_prune_prod_agrees_with_exact_rank(spark, sf_dir):
+    """v15_prod's percentile-sketch cutoff vs the cert's exact rank on
+    the fixture: keep-set Jaccard >= 0.9 (measured 0.975 at sf0.001 —
+    the drop fractions coincide there: 10/label ≈ 20%), and the prod
+    path drops SOMETHING from every label (the cutoff is real)."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        q_prototype_prune,
+        q_prototype_prune_prod,
+    )
+
+    cert = {r.vec_id for r in q_prototype_prune(spark, sf_dir).collect() if r.keep}
+    prod_rows = q_prototype_prune_prod(spark, sf_dir).collect()
+    prod = {r.vec_id for r in prod_rows if r.keep}
+    jacc = len(cert & prod) / len(cert | prod)
+    assert jacc >= 0.9, jacc
+    dropped_labels = {r.label for r in prod_rows if not r.keep}
+    all_labels = {r.label for r in prod_rows}
+    assert dropped_labels == all_labels
+
+
+def test_prototype_prune_drops_most_prototypical(spark, sf_dir):
+    """The cert drops exactly PRUNE_N per label, and every dropped
+    vector's proto-cosine >= every kept vector's within its label (the
+    defining property: pruning removes the most prototypical)."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import V15_PRUNE_N, q_prototype_prune
+
+    rows = q_prototype_prune(spark, sf_dir).collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        dropped = [r for r in rs if not r.keep]
+        kept = [r for r in rs if r.keep]
+        assert len(dropped) == min(V15_PRUNE_N, len(rs)), label
+        if dropped and kept:
+            assert min(r.proto_cosine for r in dropped) >= max(
+                r.proto_cosine for r in kept
+            ), label
+
+
+def test_distribution_drift_planted(spark):
+    """t20 on planted snapshots: a language whose even/odd halves carry
+    identical token multisets has KL exactly 0 both ways; a language
+    whose B snapshot shifts (spam tokens flood in) shows strictly
+    positive KL, larger than the clean language's."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import distribution_drift
+
+    clean = "alpha beta gamma delta"
+    rows = [
+        (0, "aa", clean), (1, "aa", clean),    # identical across parity
+        (2, "aa", clean), (3, "aa", clean),
+        (10, "bb", clean), (12, "bb", clean),  # snapshot A: clean
+        (11, "bb", "spam spam spam buy now"),  # snapshot B: flooded
+        (13, "bb", "spam spam click here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.lang: r for r in distribution_drift(df).collect()}
+    assert out["aa"].kl_ab == 0.0 and out["aa"].kl_ba == 0.0
+    assert out["bb"].kl_ab > 0.0 and out["bb"].kl_ba > 0.0
+    assert out["bb"].kl_ab > out["aa"].kl_ab

@@ -355,3 +355,28 @@ def test_interleaved_pack_windows_per_source_never_globally(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm5_interleaved_pack")
     assert "rangepartitioning" not in plan
     assert re.search(r"Exchange hashpartitioning\(source", plan)
+
+
+def test_prototype_prune_prod_has_no_window(spark, sf_dir):
+    """v15_prod's reason to exist: the percentile-sketch cutoff replaces
+    the per-label rank window, so NO Window operator (and no global
+    sort) may appear — a hot label must never serialize. Both small
+    sides (centroids, cutoffs) ride broadcast joins."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import BENCH_ONLY
+
+    df = BENCH_ONLY["v15_prod"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_distribution_drift_single_scan_no_global_sort(spark, sf_dir):
+    """t20 is one corpus scan feeding two map-side-combinable aggs; a
+    second scan or a rangepartitioning exchange means the roll-up shape
+    regressed."""
+    plan = _plan(spark, sf_dir, "t20_distribution_drift")
+    assert plan.count("FileScan parquet") == 1
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
