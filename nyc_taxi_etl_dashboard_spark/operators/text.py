@@ -159,3 +159,41 @@ def redact_pii(text: Column | str) -> Column:
     for _, pat, placeholder in PII_PATTERNS:
         c = F.regexp_replace(c, pat, placeholder)
     return c
+
+
+def kl_report(counts) -> "DataFrame":  # noqa: F821 - DataFrame at runtime
+    """Per-language symmetric KL report from a unigram count frame
+    ``(lang, token, cnt_a, cnt_b)`` — the shared kernel behind the t20
+    snapshot-drift query and the streaming drift-monitor sink.
+
+    Add-one smoothing over the union vocabulary; both KL folds run in
+    FIXED token-sorted order and round to 6 decimals (ln is not
+    correctly rounded across engines — the t20 lesson). The per-lang
+    roll-up payload is the VOCABULARY (Heaps-sublinear in the corpus),
+    never the corpus; the upstream (lang, token) count agg is map-side
+    combinable integer arithmetic, exact in any order."""
+    rolled = counts.groupBy("lang").agg(
+        F.array_sort(F.collect_list(F.struct("token", "cnt_a", "cnt_b"))).alias(
+            "rows"
+        ),
+        F.sum("cnt_a").alias("n_a"),
+        F.sum("cnt_b").alias("n_b"),
+    )
+    sized = rolled.withColumn("vocab_size", F.array_size("rows"))
+
+    def kl(from_cnt: str, from_n: str, to_cnt: str, to_n: str):
+        def term(s):
+            p = (s[from_cnt] + F.lit(1)) / (F.col(from_n) + F.col("vocab_size"))
+            q = (s[to_cnt] + F.lit(1)) / (F.col(to_n) + F.col("vocab_size"))
+            return p * F.log(p / q)
+
+        return F.aggregate(F.transform("rows", term), F.lit(0.0), lambda a, x: a + x)
+
+    return sized.select(
+        "lang",
+        "vocab_size",
+        F.col("n_a").alias("n_tok_a"),
+        F.col("n_b").alias("n_tok_b"),
+        F.round(kl("cnt_a", "n_a", "cnt_b", "n_b"), 6).alias("kl_ab"),
+        F.round(kl("cnt_b", "n_b", "cnt_a", "n_a"), 6).alias("kl_ba"),
+    )

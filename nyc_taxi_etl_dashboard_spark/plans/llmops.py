@@ -3981,31 +3981,9 @@ def distribution_drift(d: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("snap_a"), 1).otherwise(0)).alias("cnt_a"),
         F.sum(F.when(~F.col("snap_a"), 1).otherwise(0)).alias("cnt_b"),
     )
-    rolled = counts.groupBy("lang").agg(
-        F.array_sort(F.collect_list(F.struct("token", "cnt_a", "cnt_b"))).alias("rows"),
-        F.sum("cnt_a").alias("n_a"),
-        F.sum("cnt_b").alias("n_b"),
-    )
-    sized = rolled.withColumn("vocab_size", F.array_size("rows"))
+    from ..operators.text import kl_report
 
-    def kl(from_cnt: str, from_n: str, to_cnt: str, to_n: str):
-        def term(s):
-            p = (s[from_cnt] + F.lit(1)) / (F.col(from_n) + F.col("vocab_size"))
-            q = (s[to_cnt] + F.lit(1)) / (F.col(to_n) + F.col("vocab_size"))
-            return p * F.log(p / q)
-
-        return F.aggregate(
-            F.transform("rows", term), F.lit(0.0), lambda a, x: a + x
-        )
-
-    return sized.select(
-        "lang",
-        "vocab_size",
-        F.col("n_a").alias("n_tok_a"),
-        F.col("n_b").alias("n_tok_b"),
-        F.round(kl("cnt_a", "n_a", "cnt_b", "n_b"), 6).alias("kl_ab"),
-        F.round(kl("cnt_b", "n_b", "cnt_a", "n_a"), 6).alias("kl_ba"),
-    )
+    return kl_report(counts)
 
 
 QUERIES["t20_distribution_drift"] = q_distribution_drift

@@ -564,3 +564,78 @@ def domain_quota_sink(
         stats_box["batches"].append((batch_id, n_kept, n_in - n_kept))
 
     return sink, stats_box
+
+
+def drift_monitor_sink(
+    state_path: str,
+    alert_threshold: float = 0.5,
+):
+    """The STREAMING form of t20 (snapshot KL drift): a ``foreachBatch``
+    sink that scores every incoming batch's per-language unigram
+    distribution against the RUNNING distribution of everything
+    ingested before it — the continuous monitoring stage that flags a
+    source change (spam flood, encoding regression, topical shift)
+    while it is arriving, not after it trained in.
+
+    State model (the quota sink's count pattern, at token granularity):
+    a parquet table keyed ``(lang, token, batch_id) → cnt`` — one slim
+    integer row per distinct token per batch, Heaps-sublinear in the
+    stream; the reference distribution is the sum over all OTHER
+    batches' rows, so a REPLAYED batch excludes its own prior
+    contribution, recomputes the identical report, and re-upserts the
+    same count rows (exactly-once by construction, same as the quota
+    sink). Wire through :func:`compact_every` to bound the
+    per-batch-row fragmentation on long streams.
+
+    Per-batch plan: one map-side (lang, token) count agg over the
+    batch, one aggregation over the state table, one
+    :func:`..operators.text.kl_report` roll-up whose payload is the
+    union VOCABULARY — never documents. Reports land in
+    ``stats_box["reports"]`` as ``(batch_id, lang, kl_ab, kl_ba,
+    alert)`` with kl_ab = KL(batch‖reference); the first batch has no
+    reference and reports nothing."""
+    from ..operators.text import kl_report
+    from ..sources.writers import merge_parquet
+
+    stats_box: dict = {"batches": [], "reports": []}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_counts = (
+            batch_df.select("lang", F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("lang", "token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint()  # cut streaming lineage; consumed twice
+        )
+        if _warehouse_exists(spark, state_path):
+            reference = (
+                spark.read.parquet(state_path)
+                .filter(F.col("batch_id") != batch_id)  # replay safety
+                .groupBy("lang", "token")
+                .agg(F.sum("cnt").alias("ref_cnt"))
+            )
+            joined = (
+                batch_counts.withColumnRenamed("cnt", "cnt_a")
+                .join(reference, ["lang", "token"], "full_outer")
+                .select(
+                    "lang",
+                    "token",
+                    F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                    F.coalesce("ref_cnt", F.lit(0)).alias("cnt_b"),
+                )
+            )
+            for r in kl_report(joined).collect():
+                stats_box["reports"].append(
+                    (
+                        batch_id,
+                        r.lang,
+                        r.kl_ab,
+                        r.kl_ba,
+                        bool(r.kl_ab > alert_threshold),
+                    )
+                )
+        rows = batch_counts.withColumn("batch_id", F.lit(batch_id))
+        merge_parquet(spark, state_path, rows, ["lang", "token", "batch_id"])
+        stats_box["batches"].append((batch_id, batch_counts.count()))
+
+    return sink, stats_box

@@ -1025,3 +1025,74 @@ def test_compact_every_preserves_state_and_verdicts(spark, tmp_path):
     sink(doc_rows([(3, "NAV BAR epsilon zeta")]), 2)
     ep2 = {r.doc_id: r for r in spark.read.parquet(f"{out}/epoch=2").collect()}
     assert ep2[3].clean_text == "epsilon zeta"
+
+
+def test_streaming_drift_monitor_scores_batches_against_history(spark, tmp_path):
+    """The streaming t20 sink: batch 0 seeds the reference (no report);
+    batch 1's 'en' stream repeats the reference distribution exactly
+    (KL 0, no alert) while 'fr' appears out of nowhere (drift by
+    definition — alert). A replayed batch 1 excludes its own state
+    rows and reproduces the identical report and state."""
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        drift_monitor_sink,
+        read_documents_stream,
+    )
+
+    def doc_rows(rows):
+        return spark.createDataFrame(
+            [(i, text, lang, "srcA", 10, None) for i, lang, text in rows],
+            DOCS_STREAM_SCHEMA,
+        ).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    state = str(tmp_path / "drift_state")
+    sink, stats = drift_monitor_sink(state, alert_threshold=0.03)
+
+    def deliver(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        doc_rows(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            next(staging.glob("part-*.parquet")), stream_dir / f"{name}.parquet"
+        )
+
+    def run():
+        q = (
+            read_documents_stream(spark, str(stream_dir))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    clean = "alpha beta gamma delta"
+    deliver("b0", [(1, "en", clean), (2, "en", clean)])
+    run()
+    assert stats["reports"] == []  # first batch: nothing to compare against
+    st0 = {
+        (r.lang, r.token, r.batch_id): r.cnt
+        for r in spark.read.parquet(state).collect()
+    }
+    assert st0 == {("en", t, 0): 2 for t in clean.split()}
+
+    deliver("b1", [(10, "en", clean), (11, "fr", "spam spam spam click")])
+    run()
+    by_lang = {r[1]: r for r in stats["reports"] if r[0] == 1}
+    assert by_lang["en"][2] == 0.0 and by_lang["en"][4] is False
+    assert by_lang["fr"][2] > 0.03 and by_lang["fr"][4] is True
+
+    # replay batch 1 (crash between state write and checkpoint commit)
+    n_before = len(stats["reports"])
+    sink(doc_rows([(10, "en", clean), (11, "fr", "spam spam spam click")]), 1)
+    replayed = {r[1]: r for r in stats["reports"][n_before:]}
+    assert replayed == by_lang
+    st = {
+        (r.lang, r.token, r.batch_id): r.cnt
+        for r in spark.read.parquet(state).collect()
+    }
+    assert st0.items() <= st.items() and len(st) == len(st0) + 4 + 2
