@@ -1980,25 +1980,48 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact proportion is the cluster, the only unit compatible with
     atomicity) → members inherit by an equi-join on cluster_id.
 
-    Scale shape: LSH pair generation is banded (dd4), CC is
-    O(log diameter) rounds (dd8), the cluster table is one slim row
-    per component, the split kernel windows only boundary buckets, and
-    the inherit join is a plain shuffle equi-join on cluster_id (no
-    broadcast of a corpus-sized side). Oracle: the dd8 recursive-CTE
-    closure extended with singleton labeling + the plain-window cut
-    over clusters."""
+    Scale shape: an exact-dedup collapse runs FIRST (the dd12 lesson,
+    applied here in round 13 after the 100× replica fixture filled
+    local disk through this query's LSH pair spill): verbatim-identical
+    texts group to their lowest-id representative (map-side-combinable
+    MIN agg), LSH + CC run over REPRESENTATIVES only, and members
+    inherit their representative's cluster through one equi-join.
+    Output is IDENTICAL by construction — verbatim copies are
+    Jaccard-1.0 near-dups, so the uncollapsed computation links them
+    into the same component anyway, and the component's min-id label is
+    unchanged because each representative is already its group's
+    minimum. LSH pair generation is banded (dd4), CC is O(log diameter)
+    rounds (dd8), the cluster table is one slim row per component, the
+    split kernel windows only boundary buckets, and both inherit joins
+    are plain shuffle equi-joins (no broadcast of a corpus-sized side).
+    Oracle: the dd8 recursive-CTE closure extended with singleton
+    labeling + the plain-window cut over clusters."""
     from ..operators.dedup import connected_components, minhash_lsh_pairs
     from ..operators.split import exact_proportional_split
 
     d = _docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(d, threshold=0.8)
-    labels = connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "cluster_id"
+    reps = (
+        d.select("doc_id", "text")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("rep_id"))
+        .persist()
+    )
+    rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "text")
+    pairs = minhash_lsh_pairs(rep_docs, threshold=0.8)
+    rep_labels = connected_components(pairs).select(
+        F.col("id").alias("rep_id"), "cluster_id"
+    )
+    rep_members = (
+        reps.select("rep_id")
+        .join(rep_labels, "rep_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "rep_id"))
     )
     members = (
-        d.select("doc_id")
-        .join(labels, "doc_id", "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+        d.select("doc_id", "text")
+        .join(reps, "text")
+        .select("doc_id", "rep_id")
+        .join(rep_members, "rep_id")
+        .select("doc_id", "cluster_id")
     )
     clusters = (
         members.select("cluster_id")
@@ -3649,36 +3672,59 @@ def q_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def contamination_audit(d: DataFrame) -> DataFrame:
     """t19's kernel over any (doc_id, source, text) frame — factored out
-    so planted-leak fixtures can drive it directly in pytest."""
-    sh = with_shingles(d.select("doc_id", "source", "text"))
-    ev = sh.filter(F.col("source") == "src0").select(
+    so planted-leak fixtures can drive it directly in pytest.
+
+    Exact-collapse pre-pass (the dd12/x19 lesson, applied after the
+    100× replica fixture OOM'd this kernel's (eval, train) hit
+    aggregation — verbatim replication makes the bipartite pair space
+    quadratic): verbatim-identical texts collapse WITHIN each side to
+    their lowest-id representative plus a group size, the shingle
+    audit runs rep-against-rep, and the rep-level report expands back
+    exactly. Output is IDENTICAL by construction: replicas carry
+    identical shingle sets, so every member of a train group has the
+    SAME overlap with a given eval doc (the per-pair count is
+    unchanged at rep level), the member-level argmax with
+    lowest-id tie-break IS the rep-level argmax (each rep is already
+    its group's minimum), n_train_docs_hit is the sum of hit groups'
+    sizes, and every eval member inherits its rep's report verbatim."""
+    flagged = d.select(
+        "doc_id", (F.col("source") == "src0").alias("is_ev"), "text"
+    )
+    groups = (
+        flagged.groupBy("is_ev", "text")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n"))
+        .persist()
+    )
+    sh = with_shingles(
+        groups.select("is_ev", F.col("rep_id").alias("doc_id"), "grp_n", "text")
+    )
+    ev = sh.filter(F.col("is_ev")).select(
         F.col("doc_id").alias("eval_id"), "shingle"
     )
-    ev_n = ev.select(
-        "eval_id", F.array_size("shingle").alias("n_ev_sh")
-    )
+    ev_n = ev.select("eval_id", F.array_size("shingle").alias("n_ev_sh"))
     ev_sh = ev.select("eval_id", F.explode("shingle").alias("sh"))
-    tr_sh = (
-        sh.filter(F.col("source") != "src0")
-        .select(F.col("doc_id").alias("train_id"), F.explode("shingle").alias("sh"))
+    tr_sh = sh.filter(~F.col("is_ev")).select(
+        F.col("doc_id").alias("train_id"),
+        "grp_n",
+        F.explode("shingle").alias("sh"),
     )
     hits = (
         tr_sh.join(F.broadcast(ev_sh), "sh")
-        .groupBy("eval_id", "train_id")
+        .groupBy("eval_id", "train_id", "grp_n")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     top = hits.groupBy("eval_id").agg(
-        F.count(F.lit(1)).alias("n_train_docs_hit"),
+        F.sum("grp_n").alias("n_train_docs_hit"),
         F.max(
             F.struct(F.col("n_overlap").alias("o"), (-F.col("train_id")).alias("nt"))
         ).alias("m"),
     )
-    return (
-        # both sides are eval-sized (tiny); broadcast the audit aggregate
-        # so the spine join never shuffles
+    rep_report = (
+        # both sides are eval-rep-sized (tiny); broadcast the audit
+        # aggregate so the spine join never shuffles
         ev_n.join(F.broadcast(top), "eval_id", "left")
         .select(
-            "eval_id",
+            F.col("eval_id").alias("rep_id"),
             "n_ev_sh",
             F.coalesce("n_train_docs_hit", F.lit(0)).alias("n_train_docs_hit"),
             (-F.col("m.nt")).alias("top_train_id"),
@@ -3689,6 +3735,19 @@ def contamination_audit(d: DataFrame) -> DataFrame:
                 / F.col("n_ev_sh")
             ).alias("top_containment"),
         )
+    )
+    members = (
+        flagged.filter(F.col("is_ev"))
+        .join(groups.filter(F.col("is_ev")).select("text", "rep_id"), "text")
+        .select(F.col("doc_id").alias("eval_id"), "rep_id")
+    )
+    return members.join(F.broadcast(rep_report), "rep_id").select(
+        "eval_id",
+        "n_ev_sh",
+        "n_train_docs_hit",
+        "top_train_id",
+        "top_overlap",
+        "top_containment",
     )
 
 

@@ -44,6 +44,9 @@ SHOWCASE = [
     ("x16_curation_pipeline_v4", "Final-mile composition (round 11): a linear chain — dd13's MIN-agg + equi-join, the rule-bank gate folded into the rebuild projection (no extra pass over the corpus), then the x15 shard exchange; no persist boundaries because no stage output is consumed twice."),
     ("x17_split_assign", "Exact split assignment (round 12): the cut spec joins as a BroadcastHashJoin; the row_number window partitions on (lang, __bkt) — never the bare stratum — and runs only under the boundary-bucket filter, so a hot stratum's rows label map-side."),
     ("t18_chunk_overlap", "Overlap chunking (round 12): split/sequence/explode/slice as one codegen'd Generate over the scan — zero Exchanges in the whole plan; read → explode → project, partition-parallel end to end."),
+    ("v14_filtered_ann", "Metadata-filtered ANN (round 13): the label predicate lands in the corpus FileScan's DataFilters BELOW the broadcast score join — pre-filter semantics as a scan property, prunable by a label-partitioned layout at 100 TB."),
+    ("t19_contamination_audit", "Contamination attribution (round 13): eval shingles broadcast into the hit join; the per-eval argmax is a map-side-combinable MAX over a (count, -id) struct — no row_number window, so a widely-leaked eval item never becomes a hot sort group."),
+    ("t20_distribution_drift", "Snapshot KL drift (round 13): ONE corpus scan into a map-side (lang, token) count agg; the per-language roll-up payload is the vocabulary, and both KL folds run in fixed token order (cross-engine bit-equality up to the documented ln rounding)."),
 ]
 
 
