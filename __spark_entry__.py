@@ -98,7 +98,10 @@ PRIORITY_IN_WINDOW = [
         # (sub-aggregate of a10) — are trimmed to make 39 + 11 = 50.
         # e6_variant_extract left this list in round 8 (rotated to
         # overflow for v11 — see _is_overflow)
-        "e7_robust_json",
+        # e7_robust_json rotated to the tail in round 13 for x21 (the
+        # export-manifest composition): green r3-r12, semantically
+        # frozen; its corrupt-record JSON machinery has no in-window
+        # twin but also no code churn since round 3.
         # dd8 left this list in round 13 (its CC kernel runs in-window
         # inside x19 — see the round-13 note below)
         # dd9 left this list in round 8 (rotated to overflow for the
@@ -156,6 +159,11 @@ PRIORITY_IN_WINDOW = [
         # windows by w1).
         "v15_prototype_prune",
         "t20_distribution_drift",
+        # NEW in round 13 (third wave): x21 — the training-store export
+        # manifest (x17 split → x15 shard-within-split → mm5 packing
+        # cumsum, one query). e7_robust_json rotated to the tail to
+        # make room (see the note above).
+        "x21_export_manifest",
         "a26_mom_growth",
         # v8_sq_cosine rotated to the tail in round 11 for the two new
         # queries (x15 shuffle-shard, a28 cube): scalar-quantization
@@ -201,6 +209,8 @@ PRIORITY_TAIL = [
         "x8_mixture_plan",
         # dd10 rotated out in round 10 for dd13 (see PRIORITY_IN_WINDOW)
         "dd10_cluster_curation",
+        # e7 rotated out in round 13 for x21 (see PRIORITY_IN_WINDOW)
+        "e7_robust_json",
         # v8 rotated out in round 11 (see PRIORITY_IN_WINDOW note)
         "v8_sq_cosine",
         # round-12 rotations for x17/x19/t18 (see PRIORITY_IN_WINDOW):

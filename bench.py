@@ -147,6 +147,9 @@ CURATION = [
     # prod_paths) and per-language snapshot KL drift
     "v15_prototype_prune",
     "t20_distribution_drift",
+    # round-13 third wave: the training-store export manifest (x17
+    # split → x15 shard-within-split → mm5 packing, one query)
+    "x21_export_manifest",
 ]
 
 

@@ -4071,3 +4071,90 @@ SELECT lang, v AS vocab_size, n_a AS n_tok_a, n_b AS n_tok_b,
            ((s.cnt_b + 1) / (n_b + v)) * ln(((s.cnt_b + 1) / (n_b + v)) / ((s.cnt_a + 1) / (n_a + v))))),
          (a, x) -> a + x), 6) AS kl_ba
 FROM r"""
+
+
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x21: the TRAINING-STORE EXPORT MANIFEST — the single query a
+    pipeline ends with: for every document, the exact layout record a
+    data loader consumes. Composes three certified stages in
+    production order:
+
+    1. x17's exact per-language train/val/test assignment (histogram-
+       cut kernel — boundary buckets windowed, everything else labeled
+       map-side),
+    2. x15's deterministic shard within (split): the Knuth-
+       multiplicative rank spreads each split's docs uniformly over
+       shards, so loaders stream shards sequentially and see a global
+       shuffle,
+    3. mm5's integer packing cumsum within (split, shard): running
+       token offset → packed-context bin.
+
+    Output: (doc_id, lang, split, shard, n_tokens, pos, start_offset,
+    bin_id) — re-runs and backfills produce byte-identical manifests
+    on any engine (every stage is integer arithmetic over portable
+    hashes).
+
+    Scale shape: the split kernel's windows touch only boundary
+    buckets; then ONE shuffle keyed by (split, shard) — exactly the
+    write partitioning the export needs, so at 100 TB this Exchange
+    IS the final `repartition(shards).sortWithinPartitions` before the
+    store write, not an extra hop — with `pos`/`start_offset`/`bin_id`
+    all computed in a single per-(split, shard) Window operator
+    (row_number and the running sum share the frame spec's sort).
+    Shard sizes concentrate at n_split/n_shards, so per-shard sorts
+    are bounded by the shard-count CHOICE, never by corpus size or
+    stratum skew."""
+    from pyspark.sql import Window
+
+    from ..operators.split import exact_proportional_split
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.array_size(F.split("text", " ")).alias("n_tokens"),
+        ((F.col("doc_id") % PRIO_MOD) * F.lit(PRIO_MULT)).alias("rank_key"),
+    )
+    assigned = exact_proportional_split(
+        d, "lang", "rank_key", "doc_id", cuts=SPLIT_CUTS, labels=SPLIT_LABELS
+    ).withColumn("shard", (F.col("rank_key") % X15_SHARDS).cast("int"))
+    w = Window.partitionBy("split", "shard").orderBy("rank_key", "doc_id")
+    return (
+        assigned.withColumn("pos", F.row_number().over(w))
+        .withColumn(
+            "start_offset",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn("bin_id", F.expr(f"start_offset div {MM5_CTX}"))
+        .select(
+            "doc_id", "lang", "split", "shard",
+            "n_tokens", "pos", "start_offset", "bin_id",
+        )
+    )
+
+
+QUERIES["x21_export_manifest"] = q_export_manifest
+ORACLES["x21_export_manifest"] = f"""
+WITH t AS (SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                  (doc_id % {PRIO_MOD}) * {PRIO_MULT} AS rank_key
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rank_key, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM t),
+s AS (SELECT doc_id, lang, n_tokens, rank_key,
+             CASE WHEN rn <= (8 * n + 9) // 10 THEN 'train'
+                  WHEN rn <= (9 * n + 9) // 10 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(rank_key % {X15_SHARDS} AS INTEGER) AS shard
+      FROM r),
+o AS (SELECT doc_id, lang, split, shard, n_tokens,
+             CAST(row_number() OVER (PARTITION BY split, shard ORDER BY rank_key, doc_id) AS INTEGER) AS pos,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY rank_key, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      FROM s)
+SELECT doc_id, lang, split, shard, n_tokens, pos, start_offset,
+       start_offset // {MM5_CTX} AS bin_id
+FROM o"""

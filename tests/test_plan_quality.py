@@ -380,3 +380,23 @@ def test_distribution_drift_single_scan_no_global_sort(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_export_manifest_one_layout_window_on_split_shard(spark, sf_dir):
+    """x21's layout claim, structurally: pos, start_offset and bin_id
+    all come out of ONE Window operator partitioned by (split, shard)
+    — the Exchange feeding it IS the final write partitioning, not an
+    extra hop — and the only other windows are the split kernel's
+    boundary-bucket ones (spec includes __bkt). No global sort
+    anywhere."""
+    plan = _plan(spark, sf_dir, "x21_export_manifest")
+    assert "rangepartitioning" not in plan
+    win_ops = [l for l in plan.splitlines() if "Window [" in l]
+    layout = [l for l in win_ops if "__bkt" not in l]
+    # one Window operator computes all three layout columns: row_number
+    # and the running sum must not split into two Window nodes
+    assert len(layout) == 1, win_ops
+    assert "split" in layout[0] and "shard" in layout[0], layout[0]
+    for l in win_ops:
+        if l is not layout[0]:
+            assert "__bkt" in l, l
