@@ -47,6 +47,7 @@ SHOWCASE = [
     ("v14_filtered_ann", "Metadata-filtered ANN (round 13): the label predicate lands in the corpus FileScan's DataFilters BELOW the broadcast score join — pre-filter semantics as a scan property, prunable by a label-partitioned layout at 100 TB."),
     ("t19_contamination_audit", "Contamination attribution (round 13): eval shingles broadcast into the hit join; the per-eval argmax is a map-side-combinable MAX over a (count, -id) struct — no row_number window, so a widely-leaked eval item never becomes a hot sort group."),
     ("t20_distribution_drift", "Snapshot KL drift (round 13): ONE corpus scan into a map-side (lang, token) count agg; the per-language roll-up payload is the vocabulary, and both KL folds run in fixed token order (cross-engine bit-equality up to the documented ln rounding)."),
+    ("x21_export_manifest", "Training-store export manifest (round 13): split kernel boundary windows + ONE layout Window on (split, shard) computing pos/start_offset/bin_id together — the Exchange feeding it IS the final write partitioning, so the manifest costs exactly the store write's repartition+sort."),
 ]
 
 
