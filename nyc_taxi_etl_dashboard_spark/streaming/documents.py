@@ -639,3 +639,97 @@ def drift_monitor_sink(
         stats_box["batches"].append((batch_id, batch_counts.count()))
 
     return sink, stats_box
+
+
+def drift_gated_ingest_sink(
+    corpus_path: str,
+    state_path: str,
+    quarantine_path: str,
+    alert_threshold: float = 0.5,
+):
+    """Drift-GATED ingestion — :func:`drift_monitor_sink` made
+    operational: every arriving batch is scored against the running
+    reference distribution FIRST, and a batch whose KL(batch‖reference)
+    exceeds ``alert_threshold`` in ANY language is routed whole to a
+    quarantine table instead of the corpus — a spam flood, encoding
+    regression or topical hijack is stopped at the door rather than
+    discovered after it trained in.
+
+    The gate is batch-atomic by design: a drifting source pollutes every
+    document it ships (the distribution IS the evidence; no per-doc
+    attribution exists at this stage), and an operator reviews the
+    quarantine table with the per-language report in
+    ``stats_box["decisions"]``.
+
+    State/replay model: identical to the monitor's ``(lang, token,
+    batch_id) → cnt`` warehouse, with one addition — a QUARANTINED
+    batch contributes NOTHING to the token state (a flood must not
+    poison the reference the next batch is judged against). Replay is
+    deterministic both ways: the reference excludes the batch's own
+    prior rows (accepted-batch replay) or never saw them (quarantined-
+    batch replay), so the recomputed report and verdict are identical
+    and both document merges are keyed upserts. Batch 0 bootstraps the
+    reference and is always accepted (documented contract: gating
+    starts once a reference exists).
+
+    Per-batch plan: the monitor's (one map-side batch count agg, one
+    state agg, a vocabulary-sized KL roll-up) plus ONE keyed
+    merge_parquet of the documents to corpus or quarantine — nothing
+    scales with the corpus except the state agg, which is
+    Heaps-sublinear in tokens and compactable via
+    :func:`compact_every`."""
+    from ..operators.text import kl_report
+    from ..sources.writers import merge_parquet
+
+    stats_box: dict = {"batches": [], "decisions": []}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select(
+            "doc_id", "lang", "source", "text"
+        ).localCheckpoint()  # cut streaming lineage; consumed twice
+        batch_counts = (
+            docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("lang", "token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint()
+        )
+        alerts: list = []
+        if _warehouse_exists(spark, state_path):
+            reference = (
+                spark.read.parquet(state_path)
+                .filter(F.col("batch_id") != batch_id)  # replay safety
+                .groupBy("lang", "token")
+                .agg(F.sum("cnt").alias("ref_cnt"))
+            )
+            joined = (
+                batch_counts.withColumnRenamed("cnt", "cnt_a")
+                .join(reference, ["lang", "token"], "full_outer")
+                .select(
+                    "lang",
+                    "token",
+                    F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                    F.coalesce("ref_cnt", F.lit(0)).alias("cnt_b"),
+                )
+            )
+            alerts = [
+                (r.lang, r.kl_ab)
+                for r in kl_report(joined).collect()
+                if r.kl_ab > alert_threshold
+            ]
+        quarantined = bool(alerts)
+        target = quarantine_path if quarantined else corpus_path
+        merge_parquet(
+            spark, target, docs.withColumn("batch_id", F.lit(batch_id)), ["doc_id"]
+        )
+        if not quarantined:
+            merge_parquet(
+                spark,
+                state_path,
+                batch_counts.withColumn("batch_id", F.lit(batch_id)),
+                ["lang", "token", "batch_id"],
+            )
+        stats_box["decisions"].append((batch_id, quarantined, sorted(alerts)))
+        stats_box["batches"].append((batch_id, docs.count()))
+
+    return sink, stats_box

@@ -1096,3 +1096,86 @@ def test_streaming_drift_monitor_scores_batches_against_history(spark, tmp_path)
         for r in spark.read.parquet(state).collect()
     }
     assert st0.items() <= st.items() and len(st) == len(st0) + 4 + 2
+
+
+def test_drift_gated_ingest_quarantines_flood_and_survives_replay(spark, tmp_path):
+    """The gated form of the drift monitor: batch 0 bootstraps (always
+    accepted), batch 1 repeats the reference distribution (accepted,
+    corpus + state grow), batch 2 is a spam flood (KL over threshold →
+    whole batch lands in quarantine, corpus AND token state untouched —
+    the flood must not poison the reference). Replaying the flood batch
+    reproduces the identical verdict and leaves every table unchanged."""
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        drift_gated_ingest_sink,
+        read_documents_stream,
+    )
+
+    def doc_rows(rows):
+        return spark.createDataFrame(
+            [(i, text, lang, "srcA", 10, None) for i, lang, text in rows],
+            DOCS_STREAM_SCHEMA,
+        ).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    quarantine = str(tmp_path / "quarantine")
+    sink, stats = drift_gated_ingest_sink(
+        corpus, state, quarantine, alert_threshold=0.3
+    )
+
+    def deliver(name, rows):
+        staging = tmp_path / f"stage_{name}"
+        doc_rows(rows).coalesce(1).write.parquet(str(staging))
+        shutil.copy(
+            next(staging.glob("part-*.parquet")), stream_dir / f"{name}.parquet"
+        )
+
+    def run():
+        q = (
+            read_documents_stream(spark, str(stream_dir))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    clean = "alpha beta gamma delta"
+    deliver("b0", [(1, "en", clean), (2, "en", clean)])
+    run()
+    assert stats["decisions"] == [(0, False, [])]
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2}
+
+    deliver("b1", [(10, "en", clean)])
+    run()
+    assert stats["decisions"][1] == (1, False, [])
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2, 10}
+
+    flood = "click spam click spam click"
+    deliver("b2", [(20, "en", flood), (21, "en", flood)])
+    run()
+    bid, quarantined, alerts = stats["decisions"][2]
+    assert (bid, quarantined) == (2, True)
+    assert [a[0] for a in alerts] == ["en"] and alerts[0][1] > 0.3
+    # corpus and token state untouched by the flood
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2, 10}
+    state_rows = {
+        (r.lang, r.token, r.batch_id): r.cnt for r in spark.read.parquet(state).collect()
+    }
+    assert {b for (_, _, b) in state_rows} == {0, 1}
+    assert {r.doc_id for r in spark.read.parquet(quarantine).collect()} == {20, 21}
+
+    # replay the flood batch (crash before checkpoint commit)
+    sink(doc_rows([(20, "en", flood), (21, "en", flood)]), 2)
+    assert stats["decisions"][3] == stats["decisions"][2]
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2, 10}
+    assert {
+        (r.lang, r.token, r.batch_id): r.cnt for r in spark.read.parquet(state).collect()
+    } == state_rows
+    assert {r.doc_id for r in spark.read.parquet(quarantine).collect()} == {20, 21}
