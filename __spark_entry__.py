@@ -123,7 +123,11 @@ PRIORITY_IN_WINDOW = [
         # (mapInPandas frame plumbing evidenced by mm3's resize over
         # the same batch shape).
         "x17_split_assign",
-        "x19_leakage_safe_split",
+        # x19 rotated to the tail in round 14: its ENTIRE kernel
+        # (collapse-first LSH pairs → CC → cluster-atomic cut → member
+        # inherit) runs verbatim in-window inside the new x21b, which
+        # adds the layout window on top — the dd8→x19 precedent applied
+        # once more.
         "t18_chunk_overlap",
         # NEW in round 12 (second wave): mm4 audio windowing completes
         # the modality family. a25 rotates to the tail — its
@@ -164,6 +168,11 @@ PRIORITY_IN_WINDOW = [
         # cumsum, one query). e7_robust_json rotated to the tail to
         # make room (see the note above).
         "x21_export_manifest",
+        # NEW in round 14: x21b — the LEAKAGE-SAFE export manifest
+        # (x19's cluster-atomic split composed into x21's layout shape;
+        # VERDICT r13 item 1). x19 rotated to the tail to make room —
+        # x21b runs its kernel as a strict superset.
+        "x21b_export_manifest_ls",
         "a26_mom_growth",
         # v8_sq_cosine rotated to the tail in round 11 for the two new
         # queries (x15 shuffle-shard, a28 cube): scalar-quantization
@@ -238,6 +247,10 @@ PRIORITY_TAIL = [
         # evidenced by mm5's per-source cumsum.
         "x9_planned_sample",
         "w6_cumulative_revenue",
+        # round-14 rotation for x21b (see PRIORITY_IN_WINDOW): x19's
+        # whole kernel — collapse-first LSH, CC, cluster-atomic cut,
+        # member inherit — executes in-window inside x21b.
+        "x19_leakage_safe_split",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

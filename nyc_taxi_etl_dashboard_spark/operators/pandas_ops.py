@@ -118,6 +118,8 @@ def cosine_pandas_udf(dim: int = 64):
 
         @pandas_udf(DoubleType())
         def _cos(col: pd.Series) -> pd.Series:
+            if not len(col):  # np.stack raises on an empty sequence (ADVICE r13)
+                return pd.Series([], dtype="float64")
             # promote to float64 BEFORE any reduction: norms on the raw
             # float32 matrix would cap precision at ~1e-7 relative
             m = np.stack(col.to_numpy()).astype(np.float64)  # batch x dim

@@ -117,6 +117,8 @@ def pq_encode(
 
     @F.pandas_udf("array<int>")
     def encode(v: pd.Series) -> pd.Series:
+        if not len(v):  # np.stack raises on an empty sequence (ADVICE r13)
+            return pd.Series([], dtype="object")
         V = np.stack(v.to_numpy()).astype(np.float64)
         codes = np.empty((len(V), m), dtype=np.int32)
         for s in range(m):
@@ -230,6 +232,8 @@ def pq_adc_topk(
 
     @F.pandas_udf("array<double>")
     def adc(codes: pd.Series) -> pd.Series:
+        if not len(codes):  # np.stack raises on an empty sequence (ADVICE r13)
+            return pd.Series([], dtype="object")
         C = np.stack(codes.to_numpy())  # n x m
         cols = np.arange(m)
         out = np.stack([LUT[qi][cols, C].sum(axis=1) for qi in range(len(q_ids))], axis=1)
@@ -340,6 +344,8 @@ def ivfadc_topk(
 
     @F.pandas_udf("array<double>")
     def adc(cell: pd.Series, codes: pd.Series) -> pd.Series:
+        if not len(codes):  # np.stack raises on an empty sequence (ADVICE r13)
+            return pd.Series([], dtype="object")
         Cd = np.stack(codes.to_numpy())
         cells = cell.to_numpy().astype(int)
         cols = np.arange(m)

@@ -184,6 +184,8 @@ def rhp_signature_arrow(
 
     @F.pandas_udf("bigint")
     def sig(v: pd.Series) -> pd.Series:
+        if not len(v):  # np.stack raises on an empty sequence (ADVICE r13)
+            return pd.Series([], dtype="int64")
         V = np.stack(v.to_numpy()).astype(np.float64, copy=False)
         P = V @ H
         return pd.Series((P > 0.0) @ bit_weights)
@@ -482,6 +484,10 @@ def _assign_kernel(centroids: list[list[float]]):
 
     @F.pandas_udf("struct<cell:int,d2:double>")
     def assign(v: pd.Series) -> pd.DataFrame:
+        if not len(v):  # np.stack raises on an empty sequence (ADVICE r13)
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype="int32"), "d2": pd.Series([], dtype="float64")}
+            )
         V = np.stack(v.to_numpy())
         d2 = _d2_matrix(V, C)
         cell = d2.argmin(axis=1)  # first min ⇒ lowest cell id on ties
@@ -518,6 +524,8 @@ def nearest_cells(vec_col: str, centroids: list[list[float]], m: int = 1) -> Col
 
     @F.pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
+        if not len(v):  # np.stack raises on an empty sequence (ADVICE r13)
+            return pd.Series([], dtype="object")
         V = np.stack(v.to_numpy())
         d2 = _d2_matrix(V, C)
         order = np.argsort(d2, axis=1, kind="stable")[:, :m].astype("int32")
@@ -823,9 +831,20 @@ def embedding_dedup_pairs(
     n_planes: int | str | None = None,
     probe_radius: int | None = None,
     verify_kernel: str = "hof",
+    signature_kernel: str = "hof",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic-dedup
     primitive): (a < b) pairs with cosine >= threshold.
+
+    ``signature_kernel`` is forwarded to
+    :func:`embedding_candidate_pairs` and defaults to ``"hof"`` — the
+    sequential-fold Catalyst twin that DuckDB oracles reproduce — so
+    hash-CERTIFIED callers (v6/v10) get oracle-comparable candidate
+    generation by default; a BLAS-order sign flip at a near-zero
+    projection in the GEMM kernel could otherwise change the candidate
+    set under the oracle's feet (ADVICE r13). Production callers
+    (v10_prod) opt into ``"arrow"`` for the ~10× signature throughput;
+    bits are test-pinned equal on the fixtures either way.
 
     ``verify_kernel="arrow"`` scores candidates with the einsum kernel
     (:func:`dot_arrow`) — only worthwhile for high-dim embeddings; at
@@ -862,7 +881,12 @@ def embedding_dedup_pairs(
         if probe_radius is None:
             probe_radius = 1 if threshold >= 0.9 else 2
         cand = embedding_candidate_pairs(
-            df, id_col=id_col, vec_col=vec_col, n_planes=n_planes, probe_radius=probe_radius
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_planes=n_planes,
+            probe_radius=probe_radius,
+            kernel=signature_kernel,
         )
         pairs = cand.join(a, "id_a").join(b, "id_b")
     dot_fn = dot_arrow if verify_kernel == "arrow" else dot

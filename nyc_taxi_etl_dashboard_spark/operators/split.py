@@ -68,6 +68,7 @@ def exact_proportional_split(
     labels: Sequence[str] = ("train", "val", "test"),
     bucket_width: int = 1 << 40,
     out_col: str = "split",
+    persist_input: bool = True,
 ) -> DataFrame:
     """Assign each row a split label with EXACT per-stratum proportions.
 
@@ -82,6 +83,19 @@ def exact_proportional_split(
     Output: ``df``'s columns plus ``out_col``. Exact-equivalence to the
     plain per-stratum window is pinned by
     tests/test_llmops.py::test_exact_split_equals_plain_window.
+
+    Two-pass consistency (ADVICE r13): the input is evaluated once for
+    the driver-side histogram and once for labeling; a nondeterministic
+    upstream (``sample`` without a seed, repartition-dependent ranks)
+    would make the collected cuts inconsistent with the second pass and
+    silently skew proportions. ``persist_input=True`` (default) pins
+    one materialization across both passes (MEMORY_AND_DISK — the
+    standard two-pass shape at scale; callers own cache cleanup, the
+    repo-wide convention the driver/bench wrappers honor). Pass
+    ``False`` only when the input is provably deterministic (a plain
+    parquet scan + narrow ops) and the double-evaluation is cheaper
+    than the cache. Rows with NULL ``stratum_col`` raise — a silent
+    inner-join drop is not a split.
     """
     if len(labels) != len(cuts) + 1:
         raise ValueError("need len(labels) == len(cuts) + 1")
@@ -91,6 +105,10 @@ def exact_proportional_split(
 
     bucket = (F.col(rank_col) / F.lit(bucket_width)).cast("bigint")
     with_bucket = df.withColumn("__bkt", bucket)
+    if persist_input:
+        from pyspark import StorageLevel
+
+        with_bucket = with_bucket.persist(StorageLevel.MEMORY_AND_DISK)
 
     # 1. bounded histogram (map-side partial agg; |strata| × n_buckets rows)
     hist = (
@@ -100,6 +118,12 @@ def exact_proportional_split(
     )
     per_stratum: dict = {}
     for row in hist:
+        if row[stratum_col] is None:
+            raise ValueError(
+                f"exact_proportional_split: {row['__cnt']} rows have NULL "
+                f"{stratum_col!r}; assign them a stratum (or filter them) first "
+                "— the labeling join would silently drop them"
+            )
         per_stratum.setdefault(row[stratum_col], []).append((row["__bkt"], row["__cnt"]))
 
     # 2. driver prefix sums → per (stratum, cut): boundary bucket + the

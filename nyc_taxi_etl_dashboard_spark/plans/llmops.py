@@ -754,6 +754,7 @@ def q_semantic_dedup(
     threshold: float = 0.45,
     verify_kernel: str = "hof",
     n_planes: int | str | None = None,
+    signature_kernel: str = "hof",
 ) -> DataFrame:
     """v10: SEMANTIC dedup keep-list (SemDeDup shape) — the
     embedding-space analogue of dd10's cluster curation: v6's
@@ -780,7 +781,11 @@ def q_semantic_dedup(
 
     e = _embs(spark, sf_dir)
     pairs = embedding_dedup_pairs(
-        e, threshold=threshold, verify_kernel=verify_kernel, n_planes=n_planes
+        e,
+        threshold=threshold,
+        verify_kernel=verify_kernel,
+        n_planes=n_planes,
+        signature_kernel=signature_kernel,
     )
     cc = connected_components(pairs).select(
         F.col("id").alias("vec_id"), "cluster_id"
@@ -800,7 +805,7 @@ def q_semantic_dedup(
 
 QUERIES["v10_semantic_dedup"] = q_semantic_dedup
 BENCH_ONLY["v10_prod"] = lambda spark, sf_dir: q_semantic_dedup(
-    spark, sf_dir, threshold=0.92, n_planes="auto"
+    spark, sf_dir, threshold=0.92, n_planes="auto", signature_kernel="arrow"
 )
 ORACLES["v10_semantic_dedup"] = f"""
 WITH RECURSIVE
@@ -1996,10 +2001,22 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     are plain shuffle equi-joins (no broadcast of a corpus-sized side).
     Oracle: the dd8 recursive-CTE closure extended with singleton
     labeling + the plain-window cut over clusters."""
-    from ..operators.dedup import connected_components, minhash_lsh_pairs
-    from ..operators.split import exact_proportional_split
+    members = _near_dup_cluster_members(_docs(spark, sf_dir))
+    assigned = _cluster_atomic_split(members)
+    return members.join(
+        assigned.select("cluster_id", "split"), "cluster_id"
+    ).select("doc_id", "cluster_id", "split")
 
-    d = _docs(spark, sf_dir)
+
+def _near_dup_cluster_members(d: DataFrame) -> DataFrame:
+    """x19's cluster-labeling kernel, shared with x21b: (doc_id,
+    cluster_id) where cluster_id is the min-id of the doc's near-dup
+    connected component (jaccard ≥ 0.8, MinHash-LSH banded), singletons
+    labeled by their own id. Collapse-first (the dd12/round-13 policy):
+    verbatim-identical texts collapse to their lowest-id representative
+    before LSH/CC, and members inherit through equi-joins."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
     reps = (
         d.select("doc_id", "text")
         .groupBy("text")
@@ -2016,26 +2033,31 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep_labels, "rep_id", "left")
         .withColumn("cluster_id", F.coalesce("cluster_id", "rep_id"))
     )
-    members = (
+    return (
         d.select("doc_id", "text")
         .join(reps, "text")
         .select("doc_id", "rep_id")
         .join(rep_members, "rep_id")
         .select("doc_id", "cluster_id")
     )
+
+
+def _cluster_atomic_split(members: DataFrame) -> DataFrame:
+    """Exact train/val/test cut over CLUSTERS (one global stratum — the
+    only unit compatible with near-dup atomicity), x17's histogram-cut
+    kernel on the slim (cluster_id) frame. Returns (cluster_id, split)."""
+    from ..operators.split import exact_proportional_split
+
     clusters = (
         members.select("cluster_id")
         .distinct()
         .withColumn("rank_key", (F.col("cluster_id") % PRIO_MOD) * F.lit(PRIO_MULT))
         .withColumn("__stratum", F.lit(0))
     )
-    assigned = exact_proportional_split(
+    return exact_proportional_split(
         clusters, "__stratum", "rank_key", "cluster_id",
         cuts=SPLIT_CUTS, labels=SPLIT_LABELS,
     )
-    return members.join(
-        assigned.select("cluster_id", "split"), "cluster_id"
-    ).select("doc_id", "cluster_id", "split")
 
 
 QUERIES["x19_leakage_safe_split"] = q_leakage_safe_split
@@ -4156,5 +4178,97 @@ o AS (SELECT doc_id, lang, split, shard, n_tokens,
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
       FROM s)
 SELECT doc_id, lang, split, shard, n_tokens, pos, start_offset,
+       start_offset // {MM5_CTX} AS bin_id
+FROM o"""
+
+
+def q_export_manifest_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x21b: the LEAKAGE-SAFE export manifest (round-14 agenda item 1)
+    — x21's layout with x19's split: a document and its near-dups land
+    in the SAME split (cluster-atomic assignment over MinHash-LSH →
+    connected-components clusters, collapse-first), and every document
+    still gets the exact (split, shard, pos, start_offset, bin_id)
+    layout record a loader consumes. This is the manifest a real
+    pretraining export wants: the strict per-language variant (x21)
+    quantifies proportions exactly but can strand a val doc's fuzzy
+    twin in train; this one trades per-LANGUAGE exactness for
+    per-CLUSTER exactness and closes the eval-contamination hole at
+    the store boundary.
+
+    Scale shape: x19's kernel (exact-collapse pre-pass → banded LSH
+    pairs over representatives → O(log d) pointer-jumping CC → slim
+    cluster cut, boundary-bucket windows only) feeds two equi-joins,
+    then x21's ONE layout Window on (split, shard) — the Exchange
+    feeding it IS the final store-write partitioning. Nothing here is
+    all-pairs and no window partitions on a corpus-scale key.
+    Plan-pinned alongside x21; 100× measured in SCALE100X.md."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    members = _near_dup_cluster_members(d)
+    assigned = _cluster_atomic_split(members)
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.array_size(F.split("text", " ")).alias("n_tokens"),
+        ((F.col("doc_id") % PRIO_MOD) * F.lit(PRIO_MULT)).alias("rank_key"),
+    )
+    labeled = (
+        docs.join(members, "doc_id")
+        .join(assigned.select("cluster_id", "split"), "cluster_id")
+        .withColumn("shard", (F.col("rank_key") % X15_SHARDS).cast("int"))
+    )
+    w = Window.partitionBy("split", "shard").orderBy("rank_key", "doc_id")
+    return (
+        labeled.withColumn("pos", F.row_number().over(w))
+        .withColumn(
+            "start_offset",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn("bin_id", F.expr(f"start_offset div {MM5_CTX}"))
+        .select(
+            "doc_id", "lang", "cluster_id", "split", "shard",
+            "n_tokens", "pos", "start_offset", "bin_id",
+        )
+    )
+
+
+QUERIES["x21b_export_manifest_ls"] = q_export_manifest_leakage_safe
+ORACLES["x21b_export_manifest_ls"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+p AS ({_JACCARD_PAIRS.format(thr=0.8)}),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src
+),
+lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+m AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN lab l USING (doc_id)),
+cl AS (SELECT DISTINCT cluster_id FROM m),
+r AS (SELECT cluster_id,
+             row_number() OVER (ORDER BY (cluster_id % {PRIO_MOD}) * {PRIO_MULT}, cluster_id) AS rn,
+             count(*) OVER () AS n
+      FROM cl),
+s AS (SELECT cluster_id,
+             CASE WHEN rn <= (8 * n + 9) // 10 THEN 'train'
+                  WHEN rn <= (9 * n + 9) // 10 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r),
+t AS (SELECT d.doc_id, d.lang, m.cluster_id, s.split,
+             CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+             (d.doc_id % {PRIO_MOD}) * {PRIO_MULT} AS rank_key,
+             CAST(((d.doc_id % {PRIO_MOD}) * {PRIO_MULT}) % {X15_SHARDS} AS INTEGER) AS shard
+      FROM documents d JOIN m USING (doc_id) JOIN s USING (cluster_id)),
+o AS (SELECT doc_id, lang, cluster_id, split, shard, n_tokens,
+             CAST(row_number() OVER (PARTITION BY split, shard ORDER BY rank_key, doc_id) AS INTEGER) AS pos,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY rank_key, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      FROM t)
+SELECT doc_id, lang, cluster_id, split, shard, n_tokens, pos, start_offset,
        start_offset // {MM5_CTX} AS bin_id
 FROM o"""

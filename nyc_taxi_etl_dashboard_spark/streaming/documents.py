@@ -593,7 +593,18 @@ def drift_monitor_sink(
     union VOCABULARY — never documents. Reports land in
     ``stats_box["reports"]`` as ``(batch_id, lang, kl_ab, kl_ba,
     alert)`` with kl_ab = KL(batch‖reference); the first batch has no
-    reference and reports nothing."""
+    reference and reports nothing.
+
+    Reports are restricted to languages PRESENT IN THE BATCH
+    (``n_tok_a > 0`` — ADVICE r13): a reference language absent from
+    this batch would otherwise score KL(smoothed-zero‖reference) —
+    huge for any Zipfian vocabulary — turning every clean
+    single-language batch of a multi-language stream into an alert. A
+    language FIRST appearing in a batch still reports (appearing out
+    of nowhere IS drift — the fr case in the tests). And when the
+    whole self-excluded reference is empty (batch-0 replay after its
+    state merge landed), the batch is treated as the bootstrap it is
+    and reports nothing."""
     from ..operators.text import kl_report
     from ..sources.writers import merge_parquet
 
@@ -624,16 +635,22 @@ def drift_monitor_sink(
                     F.coalesce("ref_cnt", F.lit(0)).alias("cnt_b"),
                 )
             )
-            for r in kl_report(joined).collect():
-                stats_box["reports"].append(
-                    (
-                        batch_id,
-                        r.lang,
-                        r.kl_ab,
-                        r.kl_ba,
-                        bool(r.kl_ab > alert_threshold),
+            rows = kl_report(joined).collect()
+            # all-n_tok_b-zero ⟺ the self-excluded reference is empty
+            # (this batch's own replay): bootstrap, nothing to report
+            if any(r.n_tok_b > 0 for r in rows):
+                for r in rows:
+                    if r.n_tok_a == 0:
+                        continue  # reference language absent from batch
+                    stats_box["reports"].append(
+                        (
+                            batch_id,
+                            r.lang,
+                            r.kl_ab,
+                            r.kl_ba,
+                            bool(r.kl_ab > alert_threshold),
+                        )
                     )
-                )
         rows = batch_counts.withColumn("batch_id", F.lit(batch_id))
         merge_parquet(spark, state_path, rows, ["lang", "token", "batch_id"])
         stats_box["batches"].append((batch_id, batch_counts.count()))
@@ -670,14 +687,26 @@ def drift_gated_ingest_sink(
     batch replay), so the recomputed report and verdict are identical
     and both document merges are keyed upserts. Batch 0 bootstraps the
     reference and is always accepted (documented contract: gating
-    starts once a reference exists).
+    starts once a reference exists) — and so does any batch whose
+    SELF-EXCLUDED reference is empty (its own replay sees one). Gating
+    is further restricted to languages PRESENT in the batch
+    (``n_tok_a > 0``): a multi-language reference must not quarantine
+    a clean single-language batch over the languages it doesn't
+    contain (ADVICE r13). A language FIRST appearing in a batch still
+    gates — appearing from nowhere is drift (the monitor's fr case).
 
     Per-batch plan: the monitor's (one map-side batch count agg, one
     state agg, a vocabulary-sized KL roll-up) plus ONE keyed
-    merge_parquet of the documents to corpus or quarantine — nothing
-    scales with the corpus except the state agg, which is
+    merge_parquet of the documents into a ``batch_id=``-partitioned
+    corpus/quarantine table — only this batch's directory is written
+    (``stable_partition_keys``: a replay carries the same batch_id),
+    so nothing scales with the corpus except the state agg, which is
     Heaps-sublinear in tokens and compactable via
-    :func:`compact_every`."""
+    :func:`compact_every`. Consequence of partition-scoped writes: a
+    doc_id re-shipped in a LATER batch lands in both batch partitions
+    (the upstream contract is exactly-once per doc_id; content-level
+    re-dedup is :func:`incremental_dedup_sink`'s job), while same-batch
+    replay stays idempotent."""
     from ..operators.text import kl_report
     from ..sources.writers import merge_parquet
 
@@ -712,15 +741,36 @@ def drift_gated_ingest_sink(
                     F.coalesce("ref_cnt", F.lit(0)).alias("cnt_b"),
                 )
             )
-            alerts = [
-                (r.lang, r.kl_ab)
-                for r in kl_report(joined).collect()
-                if r.kl_ab > alert_threshold
-            ]
+            # Gate ONLY on languages present in the batch (ADVICE r13):
+            # n_tok_a == 0 is a reference language absent from this batch,
+            # whose KL vs smoothed-zero would quarantine every clean
+            # batch of a multi-language stream. A language FIRST appearing
+            # still gates (appearing from nowhere is drift). And when the
+            # WHOLE self-excluded reference is empty (batch-0 replay after
+            # its state merge landed but before the checkpoint commit) —
+            # every n_tok_b == 0 — the replay re-accepts as the bootstrap
+            # it is, instead of re-verdicting the already-merged batch
+            # into quarantine (docs landing in corpus AND quarantine).
+            rows = kl_report(joined).collect()
+            if any(r.n_tok_b > 0 for r in rows):
+                alerts = [
+                    (r.lang, r.kl_ab)
+                    for r in rows
+                    if r.n_tok_a > 0 and r.kl_ab > alert_threshold
+                ]
         quarantined = bool(alerts)
         target = quarantine_path if quarantined else corpus_path
+        # batch_id-partitioned keyed merge: stable_partition_keys holds
+        # because a replayed batch carries the same batch_id, so only THIS
+        # batch's directory is ever rewritten — per-batch cost is O(batch),
+        # not O(corpus) (ADVICE r13; the line_dedup_sink epoch pattern).
         merge_parquet(
-            spark, target, docs.withColumn("batch_id", F.lit(batch_id)), ["doc_id"]
+            spark,
+            target,
+            docs.withColumn("batch_id", F.lit(batch_id)),
+            ["doc_id"],
+            partition_by=["batch_id"],
+            stable_partition_keys=True,
         )
         if not quarantined:
             merge_parquet(

@@ -400,3 +400,17 @@ def test_export_manifest_one_layout_window_on_split_shard(spark, sf_dir):
     for l in win_ops:
         if l is not layout[0]:
             assert "__bkt" in l, l
+
+
+def test_export_manifest_leakage_safe_one_layout_window(spark, sf_dir):
+    """x21b inherits x21's layout claim: the cluster-atomic split adds
+    LSH/CC joins and the split kernel's boundary-bucket windows, but the
+    LAYOUT is still one Window on (split, shard) — the Exchange feeding
+    it is the store-write partitioning — and no global sort appears.
+    minhash/CC must not smuggle in a corpus-keyed window."""
+    plan = _plan(spark, sf_dir, "x21b_export_manifest_ls")
+    assert "rangepartitioning" not in plan
+    win_ops = [l for l in plan.splitlines() if "Window [" in l]
+    layout = [l for l in win_ops if "__bkt" not in l]
+    assert len(layout) == 1, win_ops
+    assert "split" in layout[0] and "shard" in layout[0], layout[0]

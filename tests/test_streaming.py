@@ -1179,3 +1179,105 @@ def test_drift_gated_ingest_quarantines_flood_and_survives_replay(spark, tmp_pat
         (r.lang, r.token, r.batch_id): r.cnt for r in spark.read.parquet(state).collect()
     } == state_rows
     assert {r.doc_id for r in spark.read.parquet(quarantine).collect()} == {20, 21}
+
+
+def test_drift_gated_ingest_multilang_and_bootstrap_replay(spark, tmp_path):
+    """ADVICE r13 regressions on the drift gate. (a) A clean
+    single-language batch arriving on a MULTI-language reference must
+    not be quarantined over the languages it doesn't contain (the
+    full_outer join gives a batch-absent language cnt_a=0 everywhere —
+    KL vs smoothed-zero is huge for any real vocabulary). (b) A batch-0
+    replay AFTER its state merge landed (crash before the checkpoint
+    commit) sees an empty self-excluded reference; it must re-accept as
+    the bootstrap it was, not re-verdict into quarantine and land the
+    docs in corpus AND quarantine. (c) doc writes are batch_id-
+    partitioned so a batch's merge rewrites only its own directory."""
+    import os
+
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        drift_gated_ingest_sink,
+    )
+
+    def doc_rows(rows):
+        return spark.createDataFrame(
+            [(i, text, lang, "srcA", 10, None) for i, lang, text in rows],
+            DOCS_STREAM_SCHEMA,
+        ).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    quarantine = str(tmp_path / "quarantine")
+    sink, stats = drift_gated_ingest_sink(
+        corpus, state, quarantine, alert_threshold=0.3
+    )
+
+    en = "alpha beta gamma delta"
+    fr = "un deux trois quatre"
+    # batch 0: bootstrap, two languages
+    sink(doc_rows([(1, "en", en), (2, "fr", fr)]), 0)
+    assert stats["decisions"] == [(0, False, [])]
+
+    # (b) batch-0 replay: self-excluded reference is EMPTY → bootstrap
+    # again, deterministically accepted; corpus unchanged, no quarantine
+    sink(doc_rows([(1, "en", en), (2, "fr", fr)]), 0)
+    assert stats["decisions"][1] == (0, False, [])
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2}
+    assert not os.path.exists(quarantine)
+
+    # (a) clean en-only batch on the en+fr reference: fr is batch-absent
+    # and must not gate; the batch repeats the en distribution (KL 0)
+    sink(doc_rows([(10, "en", en)]), 1)
+    assert stats["decisions"][2] == (1, False, [])
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2, 10}
+
+    # a language FIRST appearing still gates: 'de' from nowhere (its
+    # reference is smoothed-zero == uniform over the batch vocab, so the
+    # batch must be skewed to trip the gate — 20:1 gives KL ≈ 0.40)
+    sink(doc_rows([(20, "de", " ".join(["spam"] * 20 + ["click"]))]), 2)
+    bid, quarantined, alerts = stats["decisions"][3]
+    assert (bid, quarantined) == (2, True) and [a[0] for a in alerts] == ["de"]
+    assert {r.doc_id for r in spark.read.parquet(quarantine).collect()} == {20}
+
+    # (c) partition-scoped layout: one batch_id= directory per accepted batch
+    assert sorted(
+        d for d in os.listdir(corpus) if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1"]
+
+
+def test_drift_monitor_skips_batch_absent_languages(spark, tmp_path):
+    """Monitor twin of the multi-language fix: reports cover only
+    languages PRESENT in the batch; an empty self-excluded reference
+    (batch-0 replay) reports nothing."""
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        drift_monitor_sink,
+    )
+
+    def doc_rows(rows):
+        return spark.createDataFrame(
+            [(i, text, lang, "srcA", 10, None) for i, lang, text in rows],
+            DOCS_STREAM_SCHEMA,
+        ).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+
+    state = str(tmp_path / "drift_state")
+    sink, stats = drift_monitor_sink(state, alert_threshold=0.03)
+
+    en = "alpha beta gamma delta"
+    sink(doc_rows([(1, "en", en), (2, "fr", "un deux trois quatre")]), 0)
+    assert stats["reports"] == []
+
+    # batch-0 replay: empty self-excluded reference → still no reports
+    sink(doc_rows([(1, "en", en), (2, "fr", "un deux trois quatre")]), 0)
+    assert stats["reports"] == []
+
+    # en-only batch: report for en only — fr (reference-only) is skipped
+    sink(doc_rows([(10, "en", en)]), 1)
+    assert [(r[0], r[1]) for r in stats["reports"]] == [(1, "en")]
+    assert stats["reports"][0][4] is False  # KL 0, no alert
