@@ -1281,3 +1281,110 @@ def test_drift_monitor_skips_batch_absent_languages(spark, tmp_path):
     sink(doc_rows([(10, "en", en)]), 1)
     assert [(r[0], r[1]) for r in stats["reports"]] == [(1, "en")]
     assert stats["reports"][0][4] is False  # KL 0, no alert
+
+
+def test_streaming_split_sink_prefix_exact_and_replay_safe(spark, tmp_path):
+    """x17's continuous form (round-14 agenda item 2): after EVERY
+    batch the warehouse's per-stratum split counts equal the exact
+    ceil-cut counts for that many docs (prefix-exact, not just in the
+    limit); a replayed batch excludes its own state rows, reproduces
+    identical labels, and leaves state unchanged."""
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        streaming_split_sink,
+    )
+
+    def doc_rows(ids_langs):
+        return spark.createDataFrame(
+            [(i, f"tok{i} tok", lang, "srcA", 8, None) for i, lang in ids_langs],
+            DOCS_STREAM_SCHEMA,
+        ).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+
+    def exact_counts(n):
+        t1, t2 = (8 * n + 9) // 10, (9 * n + 9) // 10
+        return {"train": t1, "val": t2 - t1, "test": n - t2}
+
+    state = str(tmp_path / "split_state")
+    out = str(tmp_path / "assign")
+    sink, stats = streaming_split_sink(state, out)
+
+    # batch 0: 7 en + 3 fr (bootstrap, no state yet)
+    b0 = [(i, "en") for i in range(7)] + [(100 + i, "fr") for i in range(3)]
+    sink(doc_rows(b0), 0)
+    got = {
+        (r.stratum, r.split): r.cnt
+        for r in spark.read.parquet(state)
+        .groupBy("stratum", "split")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    for lang, n in (("en", 7), ("fr", 3)):
+        for split, c in exact_counts(n).items():
+            assert got.get((lang, split), 0) == c, (lang, split, got)
+
+    # batch 1: 8 more en, 4 more fr → cumulative counts exact at 15/7
+    b1 = [(200 + i, "en") for i in range(8)] + [(300 + i, "fr") for i in range(4)]
+    sink(doc_rows(b1), 1)
+    got = {
+        (r.stratum, r.split): r.cnt
+        for r in spark.read.parquet(state)
+        .groupBy("stratum", "split")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    for lang, n in (("en", 15), ("fr", 7)):
+        for split, c in exact_counts(n).items():
+            assert got.get((lang, split), 0) == c, (lang, split, got)
+
+    # every doc labeled exactly once across epochs
+    assigned = spark.read.parquet(out)
+    assert assigned.count() == 22
+    assert assigned.select("doc_id").distinct().count() == 22
+
+    # replay batch 1 (crash before checkpoint commit): identical labels,
+    # state byte-identical
+    before = {
+        (r.doc_id, r.split) for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
+    state_before = {
+        (r.stratum, r.split, r.batch_id, r.cnt)
+        for r in spark.read.parquet(state).collect()
+    }
+    sink(doc_rows(b1), 1)
+    after = {
+        (r.doc_id, r.split) for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
+    state_after = {
+        (r.stratum, r.split, r.batch_id, r.cnt)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert after == before and state_after == state_before
+
+
+def test_streaming_split_label_broadcasts_state_one_batch_exchange(spark):
+    """The split sink's scale claim, pinned on the labeling kernel: the
+    per-stratum prior counts join as a BROADCAST (state is |strata|
+    scalar rows), and the only shuffle of the batch is the per-stratum
+    window — never a SortMergeJoin against state."""
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        _streaming_split_label,
+    )
+
+    slim = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("fr").alias("stratum"),
+        (F.col("id") * 7 % 97).alias("rank_key"),
+    )
+    prior = spark.createDataFrame(
+        [("en", 40), ("fr", 10)], "stratum string, prior_n bigint"
+    )
+    labeled = _streaming_split_label(
+        slim, prior, ((8, 10), (9, 10)), ("train", "val", "test")
+    )
+    plan = labeled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert labeled.count() == 200
