@@ -122,6 +122,23 @@ def bloom_build_agg(
     n_partitions × m/8 is a few hundred MB at most.
 
     Bit-identical to :func:`bloom_build` (pinned by tests)."""
+    words = np.zeros(m // 64, dtype=np.uint64)
+    for row in _partition_bitmaps(member_df, col, m, params).collect():
+        words |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return words
+
+
+def _partition_bitmaps(
+    member_df: DataFrame,
+    col: str,
+    m: int,
+    params,
+) -> DataFrame:
+    """One m-bit local bitmap per partition (binary rows): the shared
+    map stage behind :func:`bloom_build_agg` (driver OR) and
+    :func:`bloom_build_tree` (executor tree OR). Vectorized
+    ``np.bitwise_or.at`` over Arrow batches; emits m/8 bytes per
+    partition regardless of member count."""
     k = len(params)
     base = shingle_hash(F.col(col))
     pos_df = member_df.select(
@@ -138,10 +155,37 @@ def bloom_build_agg(
                 )
         yield pd.DataFrame({"bits": [w.tobytes()]})
 
-    words = np.zeros(m // 64, dtype=np.uint64)
-    for row in pos_df.mapInPandas(part_bits, "bits binary").collect():
-        words |= np.frombuffer(row["bits"], dtype=np.uint64)
-    return words
+    return pos_df.mapInPandas(part_bits, "bits binary")
+
+
+def bloom_build_tree(
+    member_df: DataFrame,
+    col: str,
+    m: int = BLOOM_M_BITS,
+    params=BLOOM_PARAMS,
+    depth: int = 2,
+) -> np.ndarray:
+    """TREE-REDUCED bitset build — the m ≥ ~2^28 escalation
+    :func:`bloom_build_agg`'s docstring promised (VERDICT r13 item 5):
+    per-partition bitmaps are OR-ed pairwise on EXECUTORS via RDD
+    ``treeReduce``, so the driver receives exactly ONE m/8-byte bitmap
+    instead of n_partitions of them. At m = 2^30 (128 MiB bitset) and
+    512 partitions, the agg form ships 64 GiB to the driver; this form
+    ships 128 MiB — the difference between a config bump and an OOM.
+
+    Cost model: one extra shuffle level per tree layer (``depth`` = 2
+    handles thousands of partitions); below ~2^26 the executor-side
+    tree costs more than it saves — keep :func:`bloom_build_agg` there
+    (measured in SCALE100X.md round-14). Bit-identical to both sibling
+    builds (pinned by tests: OR is associative and commutative, so
+    reduction order cannot change the bitset)."""
+    bitmaps = _partition_bitmaps(member_df, col, m, params)
+    words = (
+        bitmaps.rdd.map(
+            lambda row: np.frombuffer(row["bits"], dtype=np.uint64)
+        ).treeReduce(lambda a, b: np.bitwise_or(a, b), depth)
+    )
+    return np.array(words, dtype=np.uint64)
 
 
 def bloom_member_expr(

@@ -361,6 +361,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | str | None = 100,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via an inverted shingle index.
 
@@ -379,6 +380,14 @@ def jaccard_pairs(
     runs on small corpora; ``"auto"`` makes it corpus-size-relative
     (:func:`_resolve_df_cap`) — the production setting for corpora whose
     replication factor can exceed any fixed cap.
+
+    Cache ownership (VERDICT r13 item 6): the inverted index persists
+    so both self-join sides share one shingling pass; by default the
+    CALLER owns cleanup (the driver/bench loops ``clearCache()`` per
+    query). Library consumers composing many calls in one session pass
+    ``unpersist_after=True``: the slim pair output is materialized
+    eagerly (localCheckpoint) and the index unpersisted before
+    returning — no cache entry outlives the call.
     """
     max_shingle_freq = _resolve_df_cap(df, max_shingle_freq, id_col)
     sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k)
@@ -422,6 +431,9 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if unpersist_after:
+        pairs = pairs.localCheckpoint(eager=True)
+        inv.unpersist()
     return pairs
 
 
@@ -433,8 +445,11 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """MinHash + LSH banding + exact verification.
+    ``unpersist_after``: see :func:`jaccard_pairs` — same contract on
+    the shingle cache.
 
     1. signature: array<bigint>[num_hashes] per doc (narrow, no shuffle)
     2. banding: explode into ``bands`` rows keyed by (band_id, hash of
@@ -482,7 +497,13 @@ def minhash_lsh_pairs(
             common / (F.array_size("sh_a") + F.array_size("sh_b") - common),
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    out = verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+    if unpersist_after:
+        out = out.localCheckpoint(eager=True)
+        sh.unpersist()
+    return out
 
 
 def minhash_signature_table(
@@ -698,6 +719,7 @@ def containment_pairs(
     threshold: float = 0.6,
     max_shingle_freq: int | str | None = 100,
     collapse_exact: bool = False,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC n-gram containment pairs — the subset-duplicate
     detector Jaccard structurally misses: a short document embedded
@@ -734,12 +756,16 @@ def containment_pairs(
     cross-group subset pairs survive at representative level. On a
     replica-free corpus the collapse is a no-op passthrough (one
     hash-agg) and the output is identical.
+
+    ``unpersist_after``: see :func:`jaccard_pairs` — same contract on
+    the index (and collapse) caches.
     """
+    collapsed = None
     if collapse_exact:
         # persist: the auto-cap count and the shingling pass both
         # consume the collapsed corpus — without this the groupBy runs
         # twice. Callers own cleanup (driver/bench clearCache per query).
-        df = (
+        df = collapsed = (
             df.select(id_col, text_col)
             .groupBy(text_col)
             .agg(F.min(id_col).alias(id_col))
@@ -763,7 +789,7 @@ def containment_pairs(
     b = inv.select(
         F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), F.col("sh")
     )
-    return (
+    out = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
@@ -775,3 +801,9 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "c_a_in_b", "c_b_in_a")
     )
+    if unpersist_after:
+        out = out.localCheckpoint(eager=True)
+        inv.unpersist()
+        if collapsed is not None:
+            collapsed.unpersist()
+    return out

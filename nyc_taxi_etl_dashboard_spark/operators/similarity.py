@@ -45,16 +45,20 @@ def dot_arrow(a: Column | str, b: Column | str) -> Column:
     """Arrow-vectorized twin of :func:`dot` — one einsum per batch
     instead of ``dim`` interpreted lambda evals per row.
 
-    MEASURED NEGATIVE at dim 64 (r11 session, 9.4 M candidate pairs
-    from 200 k vectors, interleaved A/B ×3): HOF verify 8.3-9.5 s,
-    Arrow verify 11.5-19.1 s — the pair-verify leg ships BOTH vectors
-    of every candidate pair through Arrow (~9.6 GB here), and that
-    transfer dominates the ~130 interpreted evals/pair it saves. This
-    is the opposite economics from :func:`rhp_signature_arrow` (1,024
-    evals per single-vector row, transfer linear in corpus size), so
-    the HOF fold stays the default verify kernel everywhere; this
-    kernel exists for high-dim embeddings (≥512-d, where the eval/byte
-    ratio flips) and is agreement-pinned in tests/test_llmops.py.
+    MEASURED NEGATIVE AT EVERY DIM — the round-11 "crossover at
+    ≥512-d" prediction was tested in round 14 (tools/highdim_ab.py:
+    interleaved A/B ×3, 300 k candidate pairs, dims 64/512/1024, same
+    session) and REFUTED: HOF min 0.43/2.17/2.40 s vs Arrow min
+    0.80/4.13/12.10 s — the gap WIDENS with dim, because the Arrow leg
+    ships BOTH vectors of every pair (16·dim bytes) and serialization
+    scales with dim exactly like the ~2·dim interpreted evals it
+    saves, while the per-row object boxing only adds to it. The HOF
+    fold is therefore the default verify kernel at ALL dims
+    (:func:`verify_kernel_for_dim` is the policy in code); this kernel
+    is retained as the A/B twin and is value-agreement-pinned in
+    tests/test_llmops.py. The opposite economics hold for
+    :func:`rhp_signature_arrow` (single-vector rows: 1,024 evals per
+    16·dim shipped bytes), which stays the production signature path.
 
     Last-ulp caveat: einsum sums in SIMD order, the HOF fold
     sequentially — values can differ by ~1e-16 relative, so
@@ -72,6 +76,23 @@ def dot_arrow(a: Column | str, b: Column | str) -> Column:
         return pd.Series(np.einsum("ij,ij->i", A, B))
 
     return d(ca, cb)
+
+
+#: round-14 measured A/B (tools/highdim_ab.py): min-of-3 seconds per
+#: 300 k-pair verify leg (hof, arrow), interleaved in one session
+_VERIFY_AB = {64: (0.43, 0.80), 512: (2.17, 4.13), 1024: (2.40, 12.10)}
+
+
+def verify_kernel_for_dim(dim: int) -> str:
+    """The pair-verify default-kernel POLICY, keyed on embedding dim
+    and backed by measurement (round-14 agenda item 3): ``"hof"`` at
+    every measured dim. The predicted high-dim crossover to the einsum
+    kernel does not exist — Arrow transfer of both pair vectors scales
+    with dim exactly like the interpreted evals it replaces, and loses
+    harder as dim grows (see :func:`dot_arrow` and SCALE100X.md
+    round-14). One place to flip if a future runtime (e.g. columnar
+    shuffle that elides the Python transfer) changes the economics."""
+    return "hof"
 
 
 def l2_norm(a: Column | str) -> Column:
@@ -758,6 +779,7 @@ def embedding_candidate_pairs(
     n_planes: int | str = 16,
     probe_radius: int = 1,
     kernel: str = "arrow",
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """Blocked candidate generation for embedding dedup: distinct
     (id_a < id_b) pairs whose RHP signatures are within ``probe_radius``
@@ -786,6 +808,13 @@ def embedding_candidate_pairs(
     ≥0.99 out to 30 planes, while threshold-boundary pairs (≈0.92)
     were already recall-limited at 16 planes. Measured at 200 k
     vectors: see SCALE100X.md round-11.
+
+    Cache ownership (VERDICT r13 item 6): the (id, sig) projection
+    persists for the join's two sides; by default the caller owns
+    cleanup (driver/bench wrappers ``clearCache()`` per query).
+    ``unpersist_after=True`` materializes the slim candidate pairs
+    eagerly and unpersists before returning — for library consumers
+    composing many calls in one session.
     """
     if n_planes == "auto":
         n_planes = auto_n_planes(df.count())
@@ -814,12 +843,16 @@ def embedding_candidate_pairs(
         ).alias("sig_p"),
     )
     b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_p"))
-    return (
+    out = (
         a.join(b, "sig_p")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if unpersist_after:
+        out = out.localCheckpoint(eager=True)
+        sigs.unpersist()
+    return out
 
 
 def embedding_dedup_pairs(
@@ -846,11 +879,12 @@ def embedding_dedup_pairs(
     (v10_prod) opt into ``"arrow"`` for the ~10× signature throughput;
     bits are test-pinned equal on the fixtures either way.
 
-    ``verify_kernel="arrow"`` scores candidates with the einsum kernel
-    (:func:`dot_arrow`) — only worthwhile for high-dim embeddings; at
-    this repo's dim-64 fixtures the HOF default measured FASTER (see
-    dot_arrow's recorded A/B), and certified queries must keep "hof"
-    anyway (the oracle reproduces sequential folds).
+    ``verify_kernel``: ``"hof"`` (default — the measured winner at
+    EVERY dim, see :func:`verify_kernel_for_dim`; certified queries
+    must keep it anyway, the oracle reproduces sequential folds),
+    ``"arrow"`` (the einsum twin, measured slower at all dims —
+    retained for A/B), or ``"auto"`` (resolve through the
+    dim-keyed policy; probes one row for the dim).
 
     Default path is BLOCKED: RHP-bucket candidates via
     :func:`embedding_candidate_pairs` (signature equi-join + multi-probe),
@@ -889,6 +923,9 @@ def embedding_dedup_pairs(
             kernel=signature_kernel,
         )
         pairs = cand.join(a, "id_a").join(b, "id_b")
+    if verify_kernel == "auto":
+        probe = base.select(F.array_size("v").alias("d")).first()
+        verify_kernel = verify_kernel_for_dim(probe["d"] if probe else 64)
     dot_fn = dot_arrow if verify_kernel == "arrow" else dot
     return (
         pairs.withColumn("cosine", dot_fn("va", "vb") / (F.col("na") * F.col("nb")))

@@ -210,12 +210,20 @@ def test_t16_plan_and_idf_ordering(spark, sf_dir):
 
 
 def test_build_agg_equals_driver_build(spark, shingled):
-    """The distributed bitmap build must produce the exact bitset the
-    driver-collect build does."""
+    """All THREE bitset builds — driver distinct-collect, per-partition
+    agg (driver OR), and executor treeReduce — must produce the exact
+    same bitset: OR is associative/commutative, so reduction topology
+    cannot change a bit (the treeReduce escalation path must be a pure
+    transport change)."""
     ev, _ = shingled
     a = bloom.bloom_build(ev, "sh")
     b = bloom.bloom_build_agg(ev, "sh")
+    c = bloom.bloom_build_tree(ev, "sh")
     assert np.array_equal(a, b)
+    assert np.array_equal(a, c)
+    # and on a repartitioned input (different partition bitmaps, same OR)
+    c2 = bloom.bloom_build_tree(ev.repartition(7), "sh", depth=3)
+    assert np.array_equal(a, c2)
 
 
 def test_x14_stage_boundaries(spark, sf_dir):

@@ -448,6 +448,65 @@ def test_rhp_arrow_kernel_bit_equal_hof(spark, sf_dir):
             assert cmp.filter(F.col("s_hof") != F.col("s_arw")).count() == 0
 
 
+def test_dot_arrow_agrees_with_hof_across_dims(spark):
+    """Value-agreement pin for the einsum pair kernel vs the certified
+    sequential fold, at dim 64 AND high dim (512): the round-14 A/B
+    (tools/highdim_ab.py) keeps HOF the default at every dim, but the
+    twin must stay interchangeable to ~1e-12 relative (SIMD vs
+    sequential summation order) for A/B runs to stay meaningful."""
+    import numpy as np
+
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import dot, dot_arrow
+
+    rng = np.random.RandomState(14)
+    for dim in (64, 512):
+        rows = [
+            ([float(x) for x in rng.randn(dim)], [float(x) for x in rng.randn(dim)])
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+        cmp = df.select(
+            dot("a", "b").alias("h"), dot_arrow("a", "b").alias("w")
+        ).collect()
+        for r in cmp:
+            assert abs(r.h - r.w) <= 1e-9 * max(1.0, abs(r.h)), (dim, r.h, r.w)
+
+
+def test_rhp_arrow_kernel_bit_equal_hof_highdim(spark):
+    """The signature kernels' bit-equality must hold at high dim too
+    (512-d random vectors — the production embedding scale), so the
+    GEMM signature path stays safe wherever the HOF twin certifies."""
+    import numpy as np
+
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        rhp_signature,
+        rhp_signature_arrow,
+    )
+
+    rng = np.random.RandomState(21)
+    df = spark.createDataFrame(
+        [([float(x) for x in rng.randn(512)],) for _ in range(300)],
+        "embedding_d array<double>",
+    )
+    cmp = df.withColumn(
+        "s_hof", rhp_signature("embedding_d", n_planes=16, dim=512)
+    ).withColumn(
+        "s_arw", rhp_signature_arrow("embedding_d", n_planes=16, dim=512)
+    )
+    assert cmp.filter(F.col("s_hof") != F.col("s_arw")).count() == 0
+
+
+def test_verify_kernel_policy_is_hof_everywhere():
+    """The dim-keyed default-kernel policy, pinned to the round-14
+    measurement: no dim resolves to the arrow pair kernel."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        verify_kernel_for_dim,
+    )
+
+    for dim in (8, 64, 512, 1024, 4096):
+        assert verify_kernel_for_dim(dim) == "hof"
+
+
 def test_embedding_candidates_subquadratic(spark):
     """On a clustered corpus the blocked candidate set must be far below
     all-pairs: vectors in orthogonal clusters land in different RHP
@@ -472,6 +531,59 @@ def test_embedding_candidates_subquadratic(spark):
     # intra-cluster pairs alone = 4 * C(10,2) = 180; all-pairs = 780
     assert cands < all_pairs / 2, (cands, all_pairs)
     assert cands > 0
+
+
+def test_unpersist_after_releases_all_dataframe_cache(spark):
+    """The cache-ownership hardening (VERDICT r13 item 6): every
+    pair-generator that persists an intermediate must, under
+    ``unpersist_after=True``, return a usable (eagerly materialized)
+    result while leaving the session's DataFrame cache EMPTY — the
+    library-consumer contract; the default still leaves the entry for
+    the driver/bench clearCache() convention."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        embedding_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six seven"),
+            (4, "one two three four five six eight"),
+        ],
+        "doc_id bigint, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(64)]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+
+    def cache_empty():
+        return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+    spark.catalog.clearCache()
+    for call in (
+        lambda: jaccard_pairs(docs, threshold=0.5, unpersist_after=True),
+        lambda: minhash_lsh_pairs(docs, threshold=0.5, unpersist_after=True),
+        lambda: containment_pairs(
+            docs, threshold=0.5, collapse_exact=True, unpersist_after=True
+        ),
+        lambda: embedding_candidate_pairs(vecs, n_planes=8, unpersist_after=True),
+    ):
+        out = call()
+        assert out.count() >= 0  # result usable after the unpersist
+        assert cache_empty(), "cache entry leaked past unpersist_after=True"
+
+    # default preserves the caller-owns-cleanup convention
+    jaccard_pairs(docs, threshold=0.5).count()
+    assert not cache_empty()
+    spark.catalog.clearCache()
+    assert cache_empty()
 
 
 def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
