@@ -583,15 +583,25 @@ def incremental_dedup(
     definition. Intra-increment dups are dd1/dd8's job — compose before
     or after.
 
-    Replay safety: candidates with ``inc_id == cor_id`` are excluded —
-    a doc is never its own duplicate. Without this, a foreachBatch
-    replay after a crash BETWEEN the warehouse merge and the checkpoint
-    commit would re-see the batch's own just-merged signatures (same
-    doc_id, est 1.0) and flag the entire batch is_dup, silently dropping
-    it from any downstream document write. With the filter, a replayed
-    batch reproduces its original verdicts exactly."""
+    Replay safety: the ENTIRE increment's doc_ids are excluded from the
+    corpus side (broadcast anti-join — the increment is small by
+    definition), not merely same-id pairs. Same-id exclusion alone
+    closes the self-match hole (a foreachBatch replay after a crash
+    between the warehouse merge and the checkpoint commit re-sees its
+    own signatures at est 1.0 and would drop the whole batch) but
+    leaves a subtler one found while composing the chain sink (round
+    14): a replayed batch's doc X can match BATCH-MATE Y's just-merged
+    signature (different doc_id) — kept on the first run (Y wasn't in
+    the warehouse yet), dropped on replay. Excluding all increment ids
+    makes the candidate set (increment × corpus-minus-increment) — the
+    same set BOTH runs see — so verdicts are replay-deterministic even
+    for batches containing intra-batch near-dups (intra-increment
+    dedup remains dd1/dd8's job, unchanged)."""
     inc_b = _banded(increment_sigs, "inc_id", num_hashes, bands)
-    cor_b = _banded(corpus_sigs, "cor_id", num_hashes, bands)
+    history = corpus_sigs.join(
+        F.broadcast(increment_sigs.select("doc_id")), "doc_id", "left_anti"
+    )
+    cor_b = _banded(history, "cor_id", num_hashes, bands)
     cand = (
         inc_b.join(cor_b, ["band", "key"])
         .filter(F.col("inc_id") != F.col("cor_id"))

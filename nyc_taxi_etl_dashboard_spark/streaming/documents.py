@@ -10,6 +10,13 @@ arriving within the horizon are dropped, re-crawls older than it are
 accepted again (the honest contract for unbounded streams: exact global
 dedup needs unbounded memory; periodic batch dedup over the stored
 corpus — dd1/dd8 — closes the gap).
+
+Session contract: like every engine entry point, the sinks here assume
+:func:`..session.pin_session` semantics (ANSI off, UTC, AQE) — apply it
+to externally-built sessions before starting a stream. Found the hard
+way (round 14): the MinHash mixing arithmetic (``a·xxhash64 + b``)
+deliberately relies on wrapping int64 multiplication, which an ANSI-on
+session turns into ARITHMETIC_OVERFLOW mid-batch.
 """
 
 from __future__ import annotations
@@ -915,6 +922,244 @@ def streaming_split_sink(
                 batch_id,
                 labeled.count(),
                 {(r.stratum, r.split): r.cnt for r in counts.collect()},
+            )
+        )
+
+    return sink, stats_box
+
+
+def curation_chain_sink(
+    corpus_path: str,
+    quarantine_path: str,
+    sig_path: str,
+    token_state_path: str,
+    quota_state_path: str,
+    split_state_path: str,
+    min_tokens: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    dedup_threshold: float = 0.5,
+    alert_threshold: float = 0.5,
+    quota: dict[str, int] | None = None,
+    quota_default: int = 60,
+    stratum_col: str = "lang",
+    cuts=((8, 10), (9, 10)),
+    labels=("train", "val", "test"),
+):
+    """The END-TO-END streaming curation chain — the continuous twin of
+    the x14 batch pipeline, composed from the individually-certified
+    sink kernels in PRODUCTION admission order, in ONE ``foreachBatch``:
+
+    1. quality gate (stateless token-count filter),
+    2. DRIFT GATE on the gated batch (the batch-atomic admission
+       decision — a flooding source is turned away before it can touch
+       any other state; quarantined batches contribute NOTHING to any
+       warehouse, so the gate's reference, the dedup corpus, the quota
+       ledger and the split proportions are all flood-proof),
+    3. incremental near-dup dedup against the signature warehouse,
+    4. running per-source domain quota (skew-safe kernel),
+    5. prefix-exact train/val/test labeling at the docs' running
+       per-stratum positions,
+    6. one batch_id-partitioned corpus merge + the four state merges.
+
+    State model: every table is a keyed warehouse with batch_id in the
+    key or self-exclusion in the read (token counts, quota counts,
+    split counts exclude their own batch_id; the signature warehouse
+    excludes same-doc_id candidates), so a REPLAYED batch recomputes
+    every verdict against the same effective state and re-writes
+    byte-identical outputs — exactly-once for the chain as a whole,
+    not just per stage (pinned by an explicit whole-chain replay in
+    tests/test_streaming.py).
+
+    Semantics choices worth naming: the drift reference tracks the
+    CORPUS distribution (token counts merged from the docs that
+    actually entered, post-dedup/post-quota — arriving batches are
+    judged against what trained, not against what arrived); signatures
+    merge for KEPT docs only (a quota-dropped doc never entered, so a
+    later copy gets its own admission rather than a phantom dup
+    verdict); the split labels only what survived every stage, so the
+    warehouse proportions are exact over the actual training corpus.
+
+    Per-batch cost: everything scales with the batch (map-side aggs,
+    one window, broadcast state joins) except the signature-warehouse
+    band join, which is increment-bounded (dd11). Returns
+    ``(sink_fn, stats_box)``; stats rows are ``(batch_id, n_in,
+    n_gated, n_dup_dropped, n_quota_dropped, quarantined,
+    {(stratum, split): n})``."""
+    from ..operators.dedup import incremental_dedup, minhash_signature_table
+    from ..operators.skew import capped_keep_first
+    from ..operators.text import kl_report
+    from ..sources.writers import merge_parquet
+
+    quota = quota or {}
+    stats_box: dict = {"batches": []}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", "text", "lang", "source").localCheckpoint()
+        n_in = docs.count()
+        gated = docs.filter(
+            F.array_size(F.split("text", " ")) >= min_tokens
+        ).localCheckpoint()
+        n_gated = gated.count()
+
+        # 2. drift gate (admission) — same rules as drift_gated_ingest_sink
+        batch_counts = (
+            gated.select("lang", F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("lang", "token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        alerts: list = []
+        if _warehouse_exists(spark, token_state_path):
+            reference = (
+                spark.read.parquet(token_state_path)
+                .filter(F.col("batch_id") != batch_id)  # replay safety
+                .groupBy("lang", "token")
+                .agg(F.sum("cnt").alias("ref_cnt"))
+            )
+            joined = (
+                batch_counts.withColumnRenamed("cnt", "cnt_a")
+                .join(reference, ["lang", "token"], "full_outer")
+                .select(
+                    "lang",
+                    "token",
+                    F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                    F.coalesce("ref_cnt", F.lit(0)).alias("cnt_b"),
+                )
+            )
+            rows = kl_report(joined).collect()
+            if any(r.n_tok_b > 0 for r in rows):
+                alerts = [
+                    (r.lang, r.kl_ab)
+                    for r in rows
+                    if r.n_tok_a > 0 and r.kl_ab > alert_threshold
+                ]
+        if alerts:
+            merge_parquet(
+                spark,
+                quarantine_path,
+                docs.withColumn("batch_id", F.lit(batch_id)),
+                ["doc_id"],
+                partition_by=["batch_id"],
+                stable_partition_keys=True,
+            )
+            stats_box["batches"].append(
+                (batch_id, n_in, n_gated, 0, 0, True, {})
+            )
+            return
+
+        # 3. incremental near-dup dedup vs the signature warehouse
+        inc_sigs = minhash_signature_table(
+            gated, num_hashes=num_hashes, portable=False
+        ).localCheckpoint()
+        if _warehouse_exists(spark, sig_path):
+            verdicts = incremental_dedup(
+                inc_sigs,
+                spark.read.parquet(sig_path),
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=dedup_threshold,
+            )
+            survivors = gated.join(
+                verdicts.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+            )
+        else:
+            survivors = gated
+        survivors = survivors.localCheckpoint()
+        n_surv = survivors.count()
+
+        # 4. running per-source quota (allowance = quota − other batches)
+        qmap = F.create_map(*[F.lit(x) for kv in quota.items() for x in kv])
+        with_rem = survivors.select("doc_id", "source").withColumn(
+            "__q", F.coalesce(F.element_at(qmap, F.col("source")), F.lit(quota_default))
+        )
+        if _warehouse_exists(spark, quota_state_path):
+            taken = (
+                spark.read.parquet(quota_state_path)
+                .filter(F.col("batch_id") != batch_id)  # replay safety
+                .groupBy("source")
+                .agg(F.sum("n_kept").alias("taken"))
+            )
+            with_rem = (
+                with_rem.join(F.broadcast(taken), "source", "left")
+                .withColumn(
+                    "__rem",
+                    F.greatest(
+                        F.col("__q") - F.coalesce("taken", F.lit(0)), F.lit(0)
+                    ),
+                )
+                .drop("taken")
+            )
+        else:
+            with_rem = with_rem.withColumn("__rem", F.col("__q"))
+        kept_ids = capped_keep_first(
+            with_rem, "source", "doc_id", F.col("__rem")
+        ).select("doc_id")
+        kept = survivors.join(kept_ids, "doc_id").localCheckpoint()
+        n_kept = kept.count()
+
+        # 5. prefix-exact split at the kept docs' running positions
+        slim = kept.select(
+            "doc_id", F.col(stratum_col).alias("stratum")
+        ).withColumn(
+            "rank_key",
+            (F.col("doc_id") % _SPLIT_RANK_MOD) * F.lit(_SPLIT_RANK_MULT),
+        )
+        prior = None
+        if _warehouse_exists(spark, split_state_path):
+            prior = (
+                spark.read.parquet(split_state_path)
+                .filter(F.col("batch_id") != batch_id)  # replay safety
+                .groupBy("stratum")
+                .agg(F.sum("cnt").alias("prior_n"))
+            )
+        labeled = _streaming_split_label(slim, prior, cuts, labels)
+        out = (
+            kept.join(labeled.select("doc_id", "split"), "doc_id")
+            .withColumn("batch_id", F.lit(batch_id))
+            .localCheckpoint()
+        )
+
+        # 6. corpus write + the four state merges (all keyed, idempotent)
+        merge_parquet(
+            spark, corpus_path, out, ["doc_id"],
+            partition_by=["batch_id"], stable_partition_keys=True,
+        )
+        kept_sigs = inc_sigs.join(kept.select("doc_id"), "doc_id")
+        if n_kept:
+            merge_parquet(spark, sig_path, kept_sigs, ["doc_id"])
+        kept_counts = (
+            kept.select("lang", F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("lang", "token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        merge_parquet(
+            spark, token_state_path, kept_counts, ["lang", "token", "batch_id"]
+        )
+        quota_counts = (
+            kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        merge_parquet(spark, quota_state_path, quota_counts, ["source", "batch_id"])
+        split_counts = (
+            out.groupBy(F.col(stratum_col).alias("stratum"), "split")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        merge_parquet(
+            spark, split_state_path, split_counts, ["stratum", "split", "batch_id"]
+        )
+        stats_box["batches"].append(
+            (
+                batch_id,
+                n_in,
+                n_gated,
+                n_gated - n_surv,
+                n_surv - n_kept,
+                False,
+                {(r.stratum, r.split): r.cnt for r in split_counts.collect()},
             )
         )
 

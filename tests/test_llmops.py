@@ -1594,6 +1594,65 @@ def test_audio_window_energy_matches_python_reference(spark):
     assert got == want
 
 
+def test_audio_codec_seam_real_wav_decoder(spark):
+    """The mm* codec seam, DEMONSTRATED not asserted (VERDICT r13 item
+    8): a REAL decoder — pure-python PCM16 RIFF/WAVE parse, stdlib-
+    built fixtures, no audio library — injected through
+    audio_window_energy's ``decode`` parameter runs the SAME
+    mapInPandas pipeline (batching, window reshape, schema) and
+    produces the per-window features of the true samples, including
+    negative PCM values and a padded ragged tail (where the pad mask,
+    not the zero-fill, must govern silence and peak). Stereo payloads
+    decode channel 0. The byte-standin default stays the oracle twin."""
+    import io
+    import struct
+    import wave
+
+    from nyc_taxi_etl_dashboard_spark.operators.multimodal import (
+        audio_window_energy,
+        decode_wav_pcm16,
+    )
+
+    def wav_bytes(samples, channels=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    # doc 1: negative samples + ragged tail (10 samples, window 8):
+    # the tail window's peak must be the true max (-3), NOT the pad 0,
+    # and silence (0) must not count the 6 pad positions
+    s1 = [-100, 50, 0, -7, 8, 0, -1, 2, -9, -3]
+    # doc 2: stereo — decode must take channel 0 only
+    s2_l, s2_r = [5, -5, 0, 7], [9999, 9999, 9999, 9999]
+    interleaved = [x for pair in zip(s2_l, s2_r) for x in pair]
+    docs = spark.createDataFrame(
+        [(1, bytearray(wav_bytes(s1))), (2, bytearray(wav_bytes(interleaved, channels=2)))],
+        "doc_id long, payload binary",
+    )
+    out = audio_window_energy(docs, window=8, silence_byte=0, decode=decode_wav_pcm16)
+    got = {
+        (r.doc_id, r.win_idx): (r.n_samples, r.sum_sq, r.n_silence, r.peak)
+        for r in out.collect()
+    }
+    def feats(w):
+        return (len(w), sum(x * x for x in w), sum(1 for x in w if x == 0), max(w))
+    assert got == {
+        (1, 0): feats(s1[:8]),
+        (1, 1): feats(s1[8:]),   # (2, 90, 0, -3): pad must not leak in
+        (2, 0): feats(s2_l),
+    }
+    # and the local decoder agrees with python's own wave module
+    import numpy as np
+    ref = np.frombuffer(
+        wave.open(io.BytesIO(wav_bytes(s1))).readframes(len(s1)), dtype="<i2"
+    )
+    assert decode_wav_pcm16(wav_bytes(s1)).tolist() == ref.tolist()
+
+
 def test_temperature_mix_flattens_and_budgets(spark, sf_dir):
     """x20 semantics: temperature shares sum to 1, the head language's
     share SHRINKS vs raw while every tail language's GROWS (α<1

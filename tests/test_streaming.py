@@ -1388,3 +1388,160 @@ def test_streaming_split_label_broadcasts_state_one_batch_exchange(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan
     assert labeled.count() == 200
+
+
+def test_incremental_dedup_replay_safe_with_intra_batch_neardups(spark):
+    """The round-14 exclusion fix, pinned at the kernel: a replayed
+    batch whose signatures ALREADY sit in the warehouse (crash between
+    merge and checkpoint commit) must reproduce its original verdicts
+    even when the batch contains INTRA-batch near-dups — same-id
+    exclusion alone would let doc X match batch-mate Y's just-merged
+    signature and flip X to is_dup on replay."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import (
+        incremental_dedup,
+        minhash_signature_table,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (20, "the quick brown fox jumps over the lazy dog tonight"),
+            (21, "the quick brown fox jumps over the lazy dog tonight"),  # batch-mate dup
+            (22, "completely different content about parquet shuffles here"),
+        ],
+        "doc_id long, text string",
+    )
+    history = spark.createDataFrame(
+        [(1, "some unrelated historical document text goes right here")],
+        "doc_id long, text string",
+    )
+    inc = minhash_signature_table(batch, num_hashes=8, portable=True)
+    hist_sigs = minhash_signature_table(history, num_hashes=8, portable=True)
+    # first run: warehouse = history only
+    v1 = {
+        r.doc_id: r.is_dup
+        for r in incremental_dedup(inc, hist_sigs, num_hashes=8).collect()
+    }
+    assert v1 == {20: False, 21: False, 22: False}
+    # replay: warehouse already contains the batch's own merged sigs
+    post_merge = hist_sigs.unionByName(inc)
+    v2 = {
+        r.doc_id: r.is_dup
+        for r in incremental_dedup(inc, post_merge, num_hashes=8).collect()
+    }
+    assert v2 == v1  # 21 must NOT flip to dup against 20's merged sig
+
+
+def test_curation_chain_end_to_end_and_whole_chain_replay(spark, tmp_path):
+    """The composed streaming curation chain (gate → drift gate →
+    incremental dedup → quota → prefix-exact split → one corpus merge):
+    every stage bites on the fixture, the split proportions stay exact
+    over the ACTUAL kept corpus after every batch, a flood batch is
+    turned away touching no state, and replaying an accepted batch
+    after all four state merges landed rewrites everything
+    byte-identically (whole-CHAIN exactly-once, not just per stage)."""
+    import os
+
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        curation_chain_sink,
+    )
+
+    def doc_rows(rows):
+        return spark.createDataFrame(
+            [(i, text, "en", src, len(text), None) for i, src, text in rows],
+            DOCS_STREAM_SCHEMA,
+        ).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+
+    paths = {
+        k: str(tmp_path / k)
+        for k in ("corpus", "quarantine", "sigs", "tokens", "quota", "splits")
+    }
+    sink, stats = curation_chain_sink(
+        paths["corpus"], paths["quarantine"], paths["sigs"], paths["tokens"],
+        paths["quota"], paths["splits"],
+        min_tokens=5, quota={"wiki": 3}, quota_default=100,
+        alert_threshold=0.5,
+    )
+
+    def exact_counts(n):
+        t1, t2 = (8 * n + 9) // 10, (9 * n + 9) // 10
+        return {"train": t1, "val": t2 - t1, "test": n - t2}
+
+    def split_state_counts():
+        return {
+            (r.stratum, r.split): r.cnt
+            for r in spark.read.parquet(paths["splits"])
+            .groupBy("stratum", "split")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+
+    # texts share the UNIGRAM skeleton (alpha/beta/gamma/delta — the
+    # drift gate sees aligned distributions) but interleave per-doc
+    # tokens so every 3-gram SHINGLE is unique per doc (no accidental
+    # near-dup flags); only literal copies match in the warehouse
+    def mk(i):
+        return f"alpha u{i}a beta u{i}b gamma u{i}c delta u{i}d"
+
+    b0 = [(i, "web", mk(i)) for i in range(1, 5)] + [
+        (5, "wiki", mk(5)),
+        (6, "wiki", mk(6)),
+        (99, "web", "too short"),  # gated out (2 tokens < 5)
+    ]
+    sink(doc_rows(b0), 0)
+    bid, n_in, n_gated, n_dup, n_quota, quarantined, _ = stats["batches"][0]
+    assert (bid, n_in, n_gated, n_dup, n_quota, quarantined) == (0, 7, 6, 0, 0, False)
+    got = split_state_counts()
+    for split, c in exact_counts(6).items():
+        assert got.get(("en", split), 0) == c
+
+    # batch 1: a near-dup of doc 1 (dropped vs warehouse), an intra-batch
+    # dup PAIR (both kept — intra-increment dedup is downstream's job),
+    # and three wiki docs against a remaining allowance of 1
+    b1 = [
+        (10, "web", mk(1)),    # literal copy of doc 1 → dup vs warehouse
+        (20, "web", mk(20)),
+        (21, "web", mk(20)),   # batch-mate dup pair: BOTH survive
+        (30, "wiki", mk(30)),
+        (31, "wiki", mk(31)),
+        (32, "wiki", mk(32)),
+    ]
+    sink(doc_rows(b1), 1)
+    bid, n_in, n_gated, n_dup, n_quota, quarantined, _ = stats["batches"][1]
+    assert (bid, n_in, n_gated, quarantined) == (1, 6, 6, False)
+    assert n_dup == 1      # doc 10 vs warehouse; 20/21 both survive
+    assert n_quota == 2    # wiki allowance 3-2=1 → 30 kept, 31/32 dropped
+    kept_total = 6 + (6 - n_dup - n_quota)
+    got = split_state_counts()
+    for split, c in exact_counts(kept_total).items():
+        assert got.get(("en", split), 0) == c
+    corpus_ids = {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()}
+    assert corpus_ids == {1, 2, 3, 4, 5, 6, 20, 21, 30}
+
+    # batch 2: a flood — quarantined whole, NO state touched
+    states_before = {
+        k: sorted(map(tuple, spark.read.parquet(paths[k]).collect()))
+        for k in ("sigs", "tokens", "quota", "splits")
+    }
+    flood = " ".join(["spam"] * 30 + ["click"] * 5)
+    sink(doc_rows([(50, "web", flood), (51, "web", flood)]), 2)
+    assert stats["batches"][2][5] is True  # quarantined
+    assert {r.doc_id for r in spark.read.parquet(paths["quarantine"]).collect()} == {50, 51}
+    for k, before in states_before.items():
+        assert sorted(map(tuple, spark.read.parquet(paths[k]).collect())) == before
+    assert corpus_ids == {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()}
+
+    # whole-chain replay of batch 1 (crash before checkpoint commit):
+    # same verdicts at every stage, every table byte-identical
+    corpus_before = sorted(
+        map(tuple, spark.read.parquet(paths["corpus"]).collect())
+    )
+    sink(doc_rows(b1), 1)
+    assert stats["batches"][3][:6] == stats["batches"][1][:6]
+    assert sorted(map(tuple, spark.read.parquet(paths["corpus"]).collect())) == corpus_before
+    for k, before in states_before.items():
+        assert sorted(map(tuple, spark.read.parquet(paths[k]).collect())) == before
+    assert not os.path.exists(paths["quarantine"] + "__staging")
