@@ -780,6 +780,7 @@ def embedding_candidate_pairs(
     probe_radius: int = 1,
     kernel: str = "arrow",
     unpersist_after: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Blocked candidate generation for embedding dedup: distinct
     (id_a < id_b) pairs whose RHP signatures are within ``probe_radius``
@@ -815,9 +816,19 @@ def embedding_candidate_pairs(
     ``unpersist_after=True`` materializes the slim candidate pairs
     eagerly and unpersists before returning — for library consumers
     composing many calls in one session.
+
+    ``dim`` defaults to a one-row probe of the vector column (round-14
+    fix): the signature kernels take an explicit dimension, and leaving
+    it at their dim-64 default silently signed only the first 64
+    components of wider embeddings (reduced bucket selectivity for the
+    HOF fold; a hard shape-mismatch for the GEMM kernel). Pass it
+    explicitly to skip the probe job.
     """
     if n_planes == "auto":
         n_planes = auto_n_planes(df.count())
+    if dim is None:
+        probe = df.select(F.array_size(vec_col).alias("d")).first()
+        dim = int(probe["d"]) if probe else 64
     # persist the slim (id, sig) projection: both join sides consume it,
     # so the signature fold computes ONCE per vector instead of once per
     # side — and the cache boundary stops Catalyst from inferring
@@ -831,7 +842,7 @@ def embedding_candidate_pairs(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("embedding_d"),
         )
-        .withColumn("sig", sig_fn(vec_col="embedding_d", n_planes=n_planes))
+        .withColumn("sig", sig_fn(vec_col="embedding_d", n_planes=n_planes, dim=dim))
         .select("id", "sig")
         .persist()
     )
@@ -865,9 +876,12 @@ def embedding_dedup_pairs(
     probe_radius: int | None = None,
     verify_kernel: str = "hof",
     signature_kernel: str = "hof",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic-dedup
-    primitive): (a < b) pairs with cosine >= threshold.
+    primitive): (a < b) pairs with cosine >= threshold. ``dim`` is
+    forwarded to the candidate generator (None → one-row probe; see
+    :func:`embedding_candidate_pairs`).
 
     ``signature_kernel`` is forwarded to
     :func:`embedding_candidate_pairs` and defaults to ``"hof"`` — the
@@ -921,6 +935,7 @@ def embedding_dedup_pairs(
             n_planes=n_planes,
             probe_radius=probe_radius,
             kernel=signature_kernel,
+            dim=dim,
         )
         pairs = cand.join(a, "id_a").join(b, "id_b")
     if verify_kernel == "auto":

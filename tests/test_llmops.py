@@ -507,6 +507,40 @@ def test_verify_kernel_policy_is_hof_everywhere():
         assert verify_kernel_for_dim(dim) == "hof"
 
 
+def test_candidate_pairs_sign_full_dimensionality(spark):
+    """Round-14 dim fix: the candidate generator must sign the WHOLE
+    vector, not the signature kernels' dim-64 default — two 512-d
+    vectors identical in their first 64 components but anti-aligned
+    beyond would truncate to IDENTICAL signatures (guaranteed collision
+    radius 0) and crash the GEMM kernel outright. With the probe, the
+    arrow kernel runs at 512-d and the anti-aligned pair does not
+    collide; explicit dim and probed dim agree."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        embedding_candidate_pairs,
+    )
+
+    head = [1.0] * 64
+    a = head + [1.0] * 448
+    b = head + [-1.0] * 448          # cosine(a, b) = (64 - 448)/512 < 0
+    near = [x + (0.001 if i % 7 == 0 else 0.0) for i, x in enumerate(a)]
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, near)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_candidate_pairs(df, n_planes=16, probe_radius=1).collect()
+    }
+    assert (1, 3) in got        # true near-dup collides
+    assert (1, 2) not in got    # anti-aligned pair must NOT (truncation bug)
+    explicit = {
+        (r.id_a, r.id_b)
+        for r in embedding_candidate_pairs(
+            df, n_planes=16, probe_radius=1, dim=512
+        ).collect()
+    }
+    assert explicit == got
+
+
 def test_embedding_candidates_subquadratic(spark):
     """On a clustered corpus the blocked candidate set must be far below
     all-pairs: vectors in orthogonal clusters land in different RHP
