@@ -1125,9 +1125,22 @@ def curation_chain_sink(
             spark, corpus_path, out, ["doc_id"],
             partition_by=["batch_id"], stable_partition_keys=True,
         )
-        kept_sigs = inc_sigs.join(kept.select("doc_id"), "doc_id")
+        # sig warehouse is batch_id-partitioned like the corpus: per-doc
+        # rows grow with the corpus, and a full-table keyed merge would
+        # make every batch pay an O(corpus) rewrite (measured flat at
+        # toy scale only because job overhead dominates there); with the
+        # partition, a batch writes its own directory and a replay
+        # rewrites the same one (stable: doc_id→batch_id is fixed).
+        # Readers are unaffected (incremental_dedup uses doc_id+sig);
+        # wire compact_every if file sprawl ever matters.
+        kept_sigs = inc_sigs.join(kept.select("doc_id"), "doc_id").withColumn(
+            "batch_id", F.lit(batch_id)
+        )
         if n_kept:
-            merge_parquet(spark, sig_path, kept_sigs, ["doc_id"])
+            merge_parquet(
+                spark, sig_path, kept_sigs, ["doc_id"],
+                partition_by=["batch_id"], stable_partition_keys=True,
+            )
         kept_counts = (
             kept.select("lang", F.explode(F.split("text", " ")).alias("token"))
             .groupBy("lang", "token")
