@@ -659,7 +659,15 @@ def drift_monitor_sink(
                         )
                     )
         rows = batch_counts.withColumn("batch_id", F.lit(batch_id))
-        merge_parquet(spark, state_path, rows, ["lang", "token", "batch_id"])
+        # batch_id is IN the key, so partitioning on it is stable and a
+        # batch's merge writes only its own directory — the token state
+        # is vocabulary-scale and a full-table rewrite per batch was the
+        # one corpus-growing term (round-14 chain-scale audit); readers
+        # aggregate over partitions unchanged, compact_every bounds sprawl
+        merge_parquet(
+            spark, state_path, rows, ["lang", "token", "batch_id"],
+            partition_by=["batch_id"], stable_partition_keys=True,
+        )
         stats_box["batches"].append((batch_id, batch_counts.count()))
 
     return sink, stats_box
@@ -780,11 +788,16 @@ def drift_gated_ingest_sink(
             stable_partition_keys=True,
         )
         if not quarantined:
+            # batch_id-partitioned for the same reason as the doc merge
+            # above: batch_id is in the key, so only this batch's
+            # directory is written instead of a vocabulary-scale rewrite
             merge_parquet(
                 spark,
                 state_path,
                 batch_counts.withColumn("batch_id", F.lit(batch_id)),
                 ["lang", "token", "batch_id"],
+                partition_by=["batch_id"],
+                stable_partition_keys=True,
             )
         stats_box["decisions"].append((batch_id, quarantined, sorted(alerts)))
         stats_box["batches"].append((batch_id, docs.count()))
@@ -1148,7 +1161,8 @@ def curation_chain_sink(
             .withColumn("batch_id", F.lit(batch_id))
         )
         merge_parquet(
-            spark, token_state_path, kept_counts, ["lang", "token", "batch_id"]
+            spark, token_state_path, kept_counts, ["lang", "token", "batch_id"],
+            partition_by=["batch_id"], stable_partition_keys=True,
         )
         quota_counts = (
             kept.groupBy("source")
