@@ -313,6 +313,15 @@ def compact_parquet(
     fixed coalesce(1), which would serialize a large table through one
     task. Returns {files_before, files_after}. Same non-transactional
     caveat as :func:`merge_parquet` full-table mode.
+
+    Layout-preserving (round 14): a Hive-partitioned table (the
+    batch_id-partitioned state warehouses) is rewritten WITH its
+    partition columns — a flat rewrite would leave plain part-files
+    where the next partition-scoped merge expects ``col=value``
+    directories, and Spark's partition discovery rejects the mixed
+    layout outright. Partition columns are inferred from the first
+    directory level's ``name=value`` pattern (how Spark itself
+    discovers them).
     """
     import glob
     import os
@@ -324,9 +333,24 @@ def compact_parquet(
     files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    part_cols: list[str] = []
+    probe = path
+    while True:  # walk nested col=value levels
+        subdirs = [
+            d for d in os.listdir(probe)
+            if os.path.isdir(os.path.join(probe, d)) and "=" in d
+        ]
+        if not subdirs:
+            break
+        part_cols.append(subdirs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subdirs[0])
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + "__compact"
-    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    writer = df.repartition(n_out, *part_cols) if part_cols else df.repartition(n_out)
+    if part_cols:
+        writer.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+    else:
+        writer.write.mode("overwrite").parquet(staging)
     shutil.rmtree(path)
     os.rename(staging, path)
     after = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)

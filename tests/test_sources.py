@@ -421,3 +421,46 @@ def test_postgres_dialect_ddl_and_type_mapping(spark):
         "short": "SMALLINT",
         "decimal": "DECIMAL(8,2)",
     }
+
+
+def test_compact_parquet_preserves_hive_partitioning(spark, tmp_path):
+    """Compacting a batch_id-partitioned state warehouse must keep the
+    col=value directory layout — a flat rewrite would strand plain
+    part-files next to partition dirs and Spark's partition discovery
+    rejects the mix, breaking every later partition-scoped merge."""
+    import os
+
+    from nyc_taxi_etl_dashboard_spark.sources.writers import (
+        compact_parquet,
+        merge_parquet,
+    )
+
+    path = str(tmp_path / "state")
+    for b in range(4):  # four batches of sprawl, several files each
+        rows = spark.createDataFrame(
+            [(f"tok{b}_{i}", b, i) for i in range(50)],
+            "token string, batch_id int, cnt long",
+        )
+        rows.repartition(5).write.mode("append").partitionBy("batch_id").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_after"] < stats["files_before"]
+    # layout preserved: batch_id= dirs, no stray flat part-files
+    entries = os.listdir(path)
+    assert sorted(d for d in entries if d.startswith("batch_id=")) == [
+        f"batch_id={b}" for b in range(4)
+    ]
+    assert not any(e.endswith(".parquet") for e in entries)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    # and a partition-scoped merge still lands cleanly afterward
+    inc = spark.createDataFrame(
+        [(f"tok9_{i}", 9, i) for i in range(10)],
+        "token string, batch_id int, cnt long",
+    )
+    merge_parquet(
+        spark, path, inc, ["token", "batch_id"],
+        partition_by=["batch_id"], stable_partition_keys=True,
+    )
+    got = spark.read.parquet(path)
+    assert got.count() == 4 * 50 + 10
+    assert got.filter(F.col("batch_id") == 9).count() == 10
