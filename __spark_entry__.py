@@ -113,6 +113,13 @@ PRIORITY_IN_WINDOW = [
         # stays evidenced in-window by dd8 (the same CC kernel) and
         # dd11 — rotates to the tail to make room.
         "dd13_line_dedup",
+        # NEW in round 14: dd14 maximal duplicated-span detection (the
+        # Lee-et-al exact-substring dedup shape at any offset — a
+        # granularity dd13's fixed segments straddle). a14 rotated to
+        # the tail to make room: its period-decode + groupBy machinery
+        # runs in-window inside a17's calendar rollup and the pipe_*
+        # decode path.
+        "dd14_dup_spans",
         # NEW in round 12: the split/chunk trio — x17 exact per-stratum
         # train/val/test assignment (histogram-cut kernel), x19 the
         # leakage-safe cluster-atomic variant, t18 overlapping RAG
@@ -251,6 +258,10 @@ PRIORITY_TAIL = [
         # whole kernel — collapse-first LSH, CC, cluster-atomic cut,
         # member inherit — executes in-window inside x21b.
         "x19_leakage_safe_split",
+        # round-14 rotation for dd14 (see PRIORITY_IN_WINDOW): a14's
+        # period decode + groupBy are evidenced in-window by a17's
+        # calendar rollup and the pipe_* time-bucket path; green r1-r10.
+        "a14_passengers_by_period",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

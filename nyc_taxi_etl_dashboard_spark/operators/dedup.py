@@ -817,3 +817,93 @@ def containment_pairs(
         if collapsed is not None:
             collapsed.unpersist()
     return out
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_span_tokens: int = 8,
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """dd14: MAXIMAL duplicated-span detection — the exact-substring
+    dedup shape of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (suffix-array substring dedup), re-expressed
+    sub-quadratically in relational form. Where dd13 (:func:`line_dedup`)
+    dedups FIXED seg_tokens-aligned segments, this finds every maximal
+    run of tokens, at ANY offset, whose every k-token window also occurs
+    elsewhere in the corpus — the memorization-prone boilerplate
+    (licenses, headers, templated paragraphs) that fixed segmentation
+    straddles and misses.
+
+    Relational shape (no suffix array, no UDF):
+    1. slide a k-token shingle over every position (narrow posexplode —
+       corpus-token-scale rows, same cost class as dd13's segmentation),
+    2. mark shingles occurring in >1 document (``cross_doc_only``) or
+       >1 position corpus-wide — ONE map-side-combinable count agg; the
+       document-frequency count rides a window partitioned on the very
+       column the agg shuffles on (the dd2 df-cap pattern: no second
+       Exchange),
+    3. gaps-and-islands per document: consecutive duplicated positions
+       collapse via the ``pos − row_number()`` trick into maximal
+       spans; a span of consecutive duplicated k-windows
+       [p_start..p_end] covers tokens [p_start, p_end + k − 1].
+
+    A span qualifies when its token length ``(p_end − p_start + k) ≥
+    min_span_tokens``. Output: (doc_id, span_start, span_len, span_text)
+    — span_start 0-based in tokens. Callers redact/drop spans with a
+    slice-rebuild (the dd13 rebuild shape) or count duplicated-token
+    mass per doc as a quality signal.
+
+    Scale: the only wide ops are the shingle-keyed count (map-side
+    partials bound hot shingles — a boilerplate shingle contributes ONE
+    partial row per task) and the per-document window (keyed on doc_id;
+    bounded by document length, never corpus size). Nothing is
+    all-pairs: unlike the suffix-array formulation this never
+    materializes doc×doc matches, only per-position verdicts.
+    Oracle: identical CTE chain in ANSI SQL (window count + islands).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tok")
+    )
+    # slice-of-ascending-sequence rather than sequence(0, n-k): Spark's
+    # sequence() auto-descends when the bound is negative, so a doc
+    # shorter than k tokens would yield positions [0, -1] instead of none
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"slice(transform(sequence(0, size(tok)), "
+                f"p -> array_join(slice(tok, p + 1, {k}), ' ')), "
+                f"1, greatest(size(tok) - {k} + 1, 0))"
+            )
+        ).alias("pos", "sh"),
+    )
+    w_sh = Window.partitionBy("sh")
+    if cross_doc_only:
+        dup_cond = F.size(F.collect_set("doc_id").over(w_sh)) > 1
+    else:
+        dup_cond = F.count(F.lit(1)).over(w_sh) > 1
+    marked = sh.withColumn("is_dup", dup_cond).filter("is_dup")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_doc)
+    )
+    spans = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("p_end"))
+        .withColumn("span_len", F.col("p_end") - F.col("span_start") + F.lit(k))
+        .filter(F.col("span_len") >= min_span_tokens)
+    )
+    return (
+        spans.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "span_start",
+            "span_len",
+            F.array_join(
+                F.expr("slice(tok, span_start + 1, span_len)"), " "
+            ).alias("span_text"),
+        )
+    )

@@ -3574,6 +3574,60 @@ SELECT d.doc_id, coalesce(agg.n_segs, 0) AS n_segs,
 FROM documents d LEFT JOIN agg USING (doc_id)"""
 
 
+#: dd14 config: 4-token windows, spans of >= 6 tokens reported — small
+#: enough that the fixture's planted duplicate passages surface, large
+#: enough that incidental 4-gram matches alone never qualify
+DD14_K = 4
+DD14_MIN_SPAN = 6
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd14: MAXIMAL duplicated-span detection — the exact-substring
+    dedup stage of Lee et al. (suffix-array dedup), relationally: every
+    maximal token run whose every 4-token window occurs in MORE THAN
+    ONE document, reported per document with its offset, length and
+    text. Complements dd13 (fixed-segment dedup): dd13 removes aligned
+    boilerplate segments; dd14 FINDS boilerplate at any offset — the
+    memorization-prone licenses/headers/templates that segmentation
+    straddles — for redaction, dup-mass quality scoring, or span-level
+    cleaning.
+
+    Scale shape (operators/dedup.py:duplicated_spans): one
+    map-side-combinable shingle-keyed window count (the dd2 df-cap
+    pattern: the count rides the agg's own shuffle key), one
+    per-document gaps-and-islands window (bounded by doc length), no
+    pairs and no suffix array. Oracle: the identical window-count +
+    islands CTE chain."""
+    from ..operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        _docs(spark, sf_dir), k=DD14_K, min_span_tokens=DD14_MIN_SPAN
+    )
+
+
+QUERIES["dd14_dup_spans"] = q_dup_spans
+ORACLES["dd14_dup_spans"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+ix AS (SELECT doc_id, tok,
+              unnest(range(GREATEST(len(tok) - {DD14_K} + 1, 0))) AS p
+       FROM t),
+s AS (SELECT doc_id, CAST(p AS INTEGER) AS pos,
+             array_to_string(tok[p+1 : p+{DD14_K}], ' ') AS sh
+      FROM ix),
+dup AS (SELECT sh FROM s GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
+m AS (SELECT doc_id, pos FROM s JOIN dup USING (sh)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM m),
+sp AS (SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+              CAST(max(pos) - min(pos) + {DD14_K} AS INTEGER) AS span_len
+       FROM isl GROUP BY doc_id, island
+       HAVING max(pos) - min(pos) + {DD14_K} >= {DD14_MIN_SPAN})
+SELECT sp.doc_id, sp.span_start, sp.span_len,
+       array_to_string(t.tok[sp.span_start + 1 : sp.span_start + sp.span_len], ' ') AS span_text
+FROM sp JOIN t USING (doc_id)"""
+
+
 # --------------------------------------------------------------------------
 # Round-13 wave: temperature mixing, contamination audit, filtered ANN,
 # modality-aware packing

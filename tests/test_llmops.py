@@ -1628,6 +1628,44 @@ def test_audio_window_energy_matches_python_reference(spark):
     assert got == want
 
 
+def test_duplicated_spans_offsets_and_filters(spark):
+    """dd14 semantics on a hand-computable corpus: a 7-token run shared
+    across two docs at DIFFERENT offsets is reported maximally with the
+    right (start, len) in each doc; a 4-token shared window alone stays
+    under min_span; a run repeated only WITHIN one doc does not count
+    under cross_doc_only (and does with it off)."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import duplicated_spans
+
+    boiler = "all rights reserved see license file for"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} details unique1 unique2 unique3"),
+            (2, f"intro2a intro2b {boiler} tail2"),
+            # doc 3: internal repeat of a 5-token run, nothing cross-doc
+            (3, "rep1 rep2 rep3 rep4 rep5 mid3 rep1 rep2 rep3 rep4 rep5"),
+            # docs 4/5 share only a 4-token window (one k-gram, len 4 < 6)
+            (4, "four share toks here x4a x4b x4c"),
+            (5, "y5a y5b four share toks here y5c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len): r.span_text
+        for r in duplicated_spans(docs, k=4, min_span_tokens=6).collect()
+    }
+    assert got == {
+        (1, 0, 7): boiler,
+        (2, 2, 7): boiler,
+    }
+    within = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicated_spans(
+            docs, k=4, min_span_tokens=5, cross_doc_only=False
+        ).collect()
+    }
+    assert (3, 0, 5) in within and (3, 6, 5) in within
+
+
 def test_audio_codec_seam_real_wav_decoder(spark):
     """The mm* codec seam, DEMONSTRATED not asserted (VERDICT r13 item
     8): a REAL decoder — pure-python PCM16 RIFF/WAVE parse, stdlib-
