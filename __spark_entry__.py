@@ -120,6 +120,11 @@ PRIORITY_IN_WINDOW = [
         # runs in-window inside a17's calendar rollup and the pipe_*
         # decode path.
         "dd14_dup_spans",
+        # NEW in round 14 (second wave): dd15 span-level dedup — dd14's
+        # detection made a cleaning stage (canonical-occurrence keep +
+        # rebuild). a13 rotated to the tail: its payment groupBy-agg is
+        # evidenced in-window by a12's KPI ratios and a17's rollup.
+        "dd15_span_redact",
         # NEW in round 12: the split/chunk trio — x17 exact per-stratum
         # train/val/test assignment (histogram-cut kernel), x19 the
         # leakage-safe cluster-atomic variant, t18 overlapping RAG
@@ -262,6 +267,10 @@ PRIORITY_TAIL = [
         # period decode + groupBy are evidenced in-window by a17's
         # calendar rollup and the pipe_* time-bucket path; green r1-r10.
         "a14_passengers_by_period",
+        # round-14 rotation for dd15 (see PRIORITY_IN_WINDOW): a13's
+        # payment groupBy-agg is evidenced in-window by a12 and a17;
+        # green r1-r10.
+        "a13_revenue_by_payment",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

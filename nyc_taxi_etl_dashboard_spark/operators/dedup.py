@@ -907,3 +907,87 @@ def duplicated_spans(
             ).alias("span_text"),
         )
     )
+
+
+def span_redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_span_tokens: int = 8,
+) -> DataFrame:
+    """dd15: span-level DEDUP — :func:`duplicated_spans` made an actual
+    cleaning stage (the full Lee-et-al semantic): every duplicated span
+    keeps exactly ONE canonical occurrence corpus-wide (lowest
+    (doc_id, span_start) per span text — dd13's first-occurrence rule
+    at span granularity) and every other occurrence is REMOVED from its
+    document, which is rebuilt from its surviving tokens.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) — every input doc
+    appears once; ``n_removed`` is the duplicated-token mass dropped
+    (0 for clean docs; doubles as the quality signal).
+
+    Scale shape: dd14's detection cost plus one slim canonical MIN agg
+    over spans (map-side combinable — the dd13 argument: a boilerplate
+    span in millions of docs is one partial row per task), one
+    doc-keyed range join (tokens × removed ranges of the SAME doc —
+    bounded by doc length × spans-per-doc, never corpus), and the
+    per-doc rebuild agg. Oracle: identical CTE chain (spans → canonical
+    MIN → covered-position anti-join → ordered string_agg)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("tok")
+    )
+    spans = duplicated_spans(
+        df, id_col=id_col, text_col=text_col, k=k,
+        min_span_tokens=min_span_tokens,
+    )
+    canon = spans.groupBy("span_text").agg(
+        F.min(F.struct("doc_id", "span_start")).alias("c")
+    )
+    removed = (
+        spans.join(canon, "span_text")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("c.doc_id"))
+                & (F.col("span_start") == F.col("c.span_start"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").alias("rm_start"),
+            (F.col("span_start") + F.col("span_len")).alias("rm_end"),
+        )
+    )
+    pos_toks = toks.select(
+        "doc_id",
+        F.array_size("tok").alias("n_tokens"),
+        F.posexplode("tok").alias("pos", "t"),
+    )
+    kept = pos_toks.join(
+        removed,
+        (pos_toks.doc_id == removed.doc_id)
+        & (F.col("pos") >= F.col("rm_start"))
+        & (F.col("pos") < F.col("rm_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, t))), x -> x.t)"
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select("doc_id", F.array_size("tok").alias("n_tokens"))
+        .join(rebuilt.select("doc_id", "n_kept", "clean_text"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -3628,6 +3628,69 @@ SELECT sp.doc_id, sp.span_start, sp.span_len,
 FROM sp JOIN t USING (doc_id)"""
 
 
+def q_span_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd15: span-level DEDUP — dd14's detection made a cleaning stage
+    (the full Lee-et-al semantic): each duplicated span keeps ONE
+    canonical occurrence corpus-wide (lowest (doc_id, span_start) —
+    dd13's first-occurrence rule at span granularity), every other
+    occurrence is removed and the document rebuilt from surviving
+    tokens. Output keeps every doc with its duplicated-token mass
+    (``n_removed`` — the quality signal span cleaning yields for free).
+
+    Scale shape (operators/dedup.py:span_redact): dd14's cost + one
+    slim canonical MIN agg over spans + a doc-keyed range anti-join
+    (tokens × removed ranges of the same doc) + the per-doc rebuild
+    agg. Oracle: identical CTE chain."""
+    from ..operators.dedup import span_redact
+
+    return span_redact(
+        _docs(spark, sf_dir), k=DD14_K, min_span_tokens=DD14_MIN_SPAN
+    )
+
+
+QUERIES["dd15_span_redact"] = q_span_redact
+ORACLES["dd15_span_redact"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+ix AS (SELECT doc_id, tok,
+              unnest(range(GREATEST(len(tok) - {DD14_K} + 1, 0))) AS p
+       FROM t),
+s AS (SELECT doc_id, CAST(p AS INTEGER) AS pos,
+             array_to_string(tok[p+1 : p+{DD14_K}], ' ') AS sh
+      FROM ix),
+dup AS (SELECT sh FROM s GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
+m AS (SELECT doc_id, pos FROM s JOIN dup USING (sh)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM m),
+sp AS (SELECT doc_id, min(pos) AS span_start,
+              max(pos) - min(pos) + {DD14_K} AS span_len
+       FROM isl GROUP BY doc_id, island
+       HAVING max(pos) - min(pos) + {DD14_K} >= {DD14_MIN_SPAN}),
+spt AS (SELECT sp.doc_id, sp.span_start, sp.span_len,
+               array_to_string(t.tok[sp.span_start + 1 : sp.span_start + sp.span_len], ' ') AS span_text
+        FROM sp JOIN t USING (doc_id)),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY span_text
+                   ORDER BY doc_id, span_start) AS rk
+           FROM spt),
+removed AS (SELECT doc_id, span_start AS rm_start,
+                   span_start + span_len AS rm_end
+            FROM ranked WHERE rk > 1),
+ptok AS (SELECT doc_id, tok, CAST(unnest(range(len(tok))) AS INTEGER) AS pos
+         FROM t),
+kept AS (SELECT p.doc_id, p.pos, p.tok[p.pos + 1] AS tkn
+         FROM ptok p
+         WHERE NOT EXISTS (SELECT 1 FROM removed r
+                           WHERE r.doc_id = p.doc_id
+                             AND p.pos >= r.rm_start AND p.pos < r.rm_end)),
+agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+               string_agg(tkn, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.tok) AS INTEGER) AS n_tokens,
+       CAST(len(t.tok) - coalesce(agg.n_kept, 0) AS INTEGER) AS n_removed,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM t LEFT JOIN agg USING (doc_id)"""
+
+
 # --------------------------------------------------------------------------
 # Round-13 wave: temperature mixing, contamination audit, filtered ANN,
 # modality-aware packing

@@ -1666,6 +1666,33 @@ def test_duplicated_spans_offsets_and_filters(spark):
     assert (3, 0, 5) in within and (3, 6, 5) in within
 
 
+def test_span_redact_keeps_one_canonical_occurrence(spark):
+    """dd15 semantics: the lowest-(doc_id, span_start) occurrence of a
+    duplicated span survives, every other occurrence is cut and the doc
+    rebuilt from its remaining tokens in order; clean docs pass through
+    with n_removed 0."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import span_redact
+
+    boiler = "all rights reserved see license file for"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} details d1x d1y d1z"),
+            (2, f"intro2a intro2b {boiler} tail2"),
+            (3, "totally unique document three content words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in span_redact(docs, k=4, min_span_tokens=6).collect()
+    }
+    # doc 1 holds the canonical occurrence (lowest doc_id) — untouched;
+    # doc 2 loses the 7-token boilerplate, keeps its frame in order
+    assert got[1] == (11, 0, f"{boiler} details d1x d1y d1z")
+    assert got[2] == (10, 7, "intro2a intro2b tail2")
+    assert got[3] == (6, 0, "totally unique document three content words")
+
+
 def test_audio_codec_seam_real_wav_decoder(spark):
     """The mm* codec seam, DEMONSTRATED not asserted (VERDICT r13 item
     8): a REAL decoder — pure-python PCM16 RIFF/WAVE parse, stdlib-
