@@ -155,6 +155,12 @@ CURATION = [
     # round-13 third wave: the training-store export manifest (x17
     # split → x15 shard-within-split → mm5 packing, one query)
     "x21_export_manifest",
+    # round-14: the leakage-safe manifest variant (cluster-atomic split
+    # composed into the same layout window) and span-level
+    # exact-substring dedup (detection + canonical-keep redaction)
+    "x21b_export_manifest_ls",
+    "dd14_dup_spans",
+    "dd15_span_redact",
 ]
 
 

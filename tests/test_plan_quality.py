@@ -414,3 +414,26 @@ def test_export_manifest_leakage_safe_one_layout_window(spark, sf_dir):
     layout = [l for l in win_ops if "__bkt" not in l]
     assert len(layout) == 1, win_ops
     assert "split" in layout[0] and "shard" in layout[0], layout[0]
+
+
+def test_dup_spans_no_pairs_no_global_sort(spark, sf_dir):
+    """dd14's scale claim, structurally: no pair join (CartesianProduct/
+    non-equi self-join would mean the suffix-array formulation leaked
+    back in), no rangepartitioning (the islands window sorts WITHIN
+    doc_id hash partitions, never globally), and the per-document
+    window partitions on doc_id."""
+    plan = _plan(spark, sf_dir, "dd14_dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    win_ops = [l for l in plan.splitlines() if "Window [" in l]
+    assert any("doc_id" in l for l in win_ops), win_ops
+
+
+def test_span_redact_range_join_is_doc_keyed(spark, sf_dir):
+    """dd15's removal anti-join must be keyed on doc_id (the range
+    predicate rides a per-document equi-join, bounded by doc length ×
+    spans-per-doc) — a pure range join over the whole corpus would be
+    the quadratic form."""
+    plan = _plan(spark, sf_dir, "dd15_span_redact")
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
