@@ -435,3 +435,95 @@ def test_dlt_priority_sample_matches_python(spark, rows):
         )[:n]
     }
     assert got == want
+
+
+def _ref_dup_spans(docs, k, min_span):
+    """Pure-python reference for dd14: mark every position whose k-gram
+    occurs in >1 distinct doc, merge consecutive marks, filter length."""
+    from collections import defaultdict
+
+    sh_docs = defaultdict(set)
+    toks_of = {}
+    for did, toks in docs:
+        toks_of[did] = toks
+        for p in range(max(len(toks) - k + 1, 0)):
+            sh_docs[" ".join(toks[p : p + k])].add(did)
+    out = set()
+    for did, toks in docs:
+        dup_pos = [
+            p
+            for p in range(max(len(toks) - k + 1, 0))
+            if len(sh_docs[" ".join(toks[p : p + k])]) > 1
+        ]
+        runs = []
+        for p in dup_pos:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for s, e in runs:
+            ln = e - s + k
+            if ln >= min_span:
+                out.add((did, s, ln, " ".join(toks[s : s + ln])))
+    return out
+
+
+_span_doc = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=10
+)
+
+
+@settings(**SETTINGS)
+@given(texts=st.lists(_span_doc, min_size=2, max_size=5))
+def test_duplicated_spans_matches_python_reference(spark, texts):
+    """dd14 ≡ brute-force python on adversarial tiny-vocab corpora —
+    the 4-token vocabulary forces shared k-grams, island merges, edge
+    spans at position 0 and at doc end, and docs shorter than k."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import duplicated_spans
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.span_text)
+        for r in duplicated_spans(df, k=2, min_span_tokens=3).collect()
+    }
+    assert got == _ref_dup_spans(docs, k=2, min_span=3)
+
+
+@settings(**SETTINGS)
+@given(texts=st.lists(_span_doc, min_size=2, max_size=5))
+def test_span_redact_matches_python_reference(spark, texts):
+    """dd15 ≡ brute-force python: canonical (lowest doc_id, span_start)
+    occurrence per span text survives, every other occurrence's token
+    range is cut, rebuild preserves order — including docs reduced to
+    empty text."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import span_redact
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    spans = _ref_dup_spans(docs, k=2, min_span=3)
+    canon = {}
+    for did, s, ln, txt in sorted(spans):
+        canon.setdefault(txt, (did, s))
+    removed = [
+        (did, s, s + ln)
+        for did, s, ln, txt in spans
+        if canon[txt] != (did, s)
+    ]
+    want = {}
+    for did, toks in docs:
+        cut = set()
+        for rd, s, e in removed:
+            if rd == did:
+                cut.update(range(s, e))
+        kept = [t for p, t in enumerate(toks) if p not in cut]
+        want[did] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in span_redact(df, k=2, min_span_tokens=3).collect()
+    }
+    assert got == want
