@@ -271,6 +271,13 @@ PRIORITY_TAIL = [
         # payment groupBy-agg is evidenced in-window by a12 and a17;
         # green r1-r10.
         "a13_revenue_by_payment",
+        # round-14 rotation for x22 (exact epoch expansion — lands
+        # in-window by registration order; the guard caught t11
+        # spilling to index 50, exactly the x9 failure mode it was
+        # built for): a27's two-stage salted aggregation is evidenced
+        # in-window by j6_salted_join (the same salting kernel on the
+        # join side) and x10's skew-safe quota; green r1-r10.
+        "a27_salted_revenue",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

@@ -161,6 +161,9 @@ CURATION = [
     "x21b_export_manifest_ls",
     "dd14_dup_spans",
     "dd15_span_redact",
+    # round-14: exact epoch expansion (x20's plan executed to integer-
+    # exact per-language training-store rows)
+    "x22_epoch_expand",
 ]
 
 

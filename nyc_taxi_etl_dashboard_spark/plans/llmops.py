@@ -3789,6 +3789,74 @@ SELECT lang, n_docs,
 FROM t CROSS JOIN d"""
 
 
+def q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x22: EXACT epoch expansion — x20's mixing plan EXECUTED: per
+    language, every doc repeats ``planned // n`` full epochs and the
+    first ``planned % n`` docs (by the x15 portable rank, doc_id
+    tie-break) take one extra, so the realized per-language row count
+    equals the plan EXACTLY — integers, not expectations (a Bernoulli
+    gate on the fractional epoch would realize the plan only on
+    average; small languages — the whole point of temperature mixing —
+    get the largest relative binomial error). Output: one
+    (doc_id, lang, epoch) row per training-store occurrence — the
+    frame a repeat-aware loader (or x21's manifest) consumes.
+
+    Scale shape: the plan is 5 rows (broadcast); the per-language rank
+    window bounds by stratum size (the v15-cert posture — swap in
+    x17's histogram-cut kernel when a stratum outgrows one reducer);
+    the epoch fan-out is a narrow explode bounded by ceil(rate).
+    Oracle: x20's plan CTE + row_number + generate_series."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") % PRIO_MOD) * F.lit(PRIO_MULT)).alias("rank_key"),
+    )
+    plan = q_temperature_mix(spark, sf_dir).select(
+        "lang",
+        (F.col("planned_docs").cast("bigint") / F.col("n_docs")).cast("bigint").alias("full_ep"),
+        (F.col("planned_docs").cast("bigint") % F.col("n_docs")).alias("rem"),
+    )
+    w = Window.partitionBy("lang").orderBy("rank_key", "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(plan), "lang")
+        .withColumn(
+            "n_ep",
+            F.col("full_ep") + F.when(F.col("rn") <= F.col("rem"), 1).otherwise(0),
+        )
+        .filter(F.col("n_ep") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr("sequence(1, n_ep)")).alias("epoch"),
+        )
+        .withColumn("epoch", F.col("epoch").cast("int"))
+    )
+
+
+QUERIES["x22_epoch_expand"] = q_epoch_expand
+ORACLES["x22_epoch_expand"] = f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM c),
+dn AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY lang)),
+              (a, x) -> a + x) AS denom FROM t),
+plan AS (SELECT lang, n_docs,
+                CAST(floor(w / denom * {float(TEMP_MIX_BUDGET)}) AS BIGINT) AS planned
+         FROM t CROSS JOIN dn),
+p AS (SELECT lang, planned // n_docs AS full_ep, planned % n_docs AS rem FROM plan),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY (doc_id % {PRIO_MOD}) * {PRIO_MULT}, doc_id) AS rn
+      FROM documents),
+e AS (SELECT r.doc_id, r.lang,
+             p.full_ep + CASE WHEN r.rn <= p.rem THEN 1 ELSE 0 END AS n_ep
+      FROM r JOIN p USING (lang))
+SELECT doc_id, lang, CAST(unnest(range(n_ep)) + 1 AS INTEGER) AS epoch
+FROM e WHERE n_ep > 0"""
+
+
 def q_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t19: EVAL-side contamination attribution — t8 answers "which
     TRAINING docs are contaminated and should be dropped"; t19 answers

@@ -1693,6 +1693,32 @@ def test_span_redact_keeps_one_canonical_occurrence(spark):
     assert got[3] == (6, 0, "totally unique document three content words")
 
 
+def test_epoch_expand_realizes_plan_exactly(spark, sf_dir):
+    """x22's whole point: realized per-language training-store rows
+    equal x20's planned_docs EXACTLY (integers, not expectations), each
+    doc appears with dense epochs 1..k, and a doc's epoch count differs
+    by at most 1 within a language (full epochs + the ranked remainder
+    — never a doc repeated twice more than its neighbor)."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        q_epoch_expand,
+        q_temperature_mix,
+    )
+
+    plan = {r.lang: r.planned_docs for r in q_temperature_mix(spark, sf_dir).collect()}
+    rows = q_epoch_expand(spark, sf_dir).collect()
+    realized: dict = {}
+    per_doc: dict = {}
+    for r in rows:
+        realized[r.lang] = realized.get(r.lang, 0) + 1
+        per_doc.setdefault((r.lang, r.doc_id), []).append(r.epoch)
+    assert realized == {k: v for k, v in plan.items() if v > 0}
+    for (lang, _), eps in per_doc.items():
+        assert sorted(eps) == list(range(1, len(eps) + 1))  # dense 1..k
+    for lang in realized:
+        ks = [len(eps) for (lg, _), eps in per_doc.items() if lg == lang]
+        assert max(ks) - min(ks) <= 1, (lang, min(ks), max(ks))
+
+
 def test_audio_codec_seam_real_wav_decoder(spark):
     """The mm* codec seam, DEMONSTRATED not asserted (VERDICT r13 item
     8): a REAL decoder — pure-python PCM16 RIFF/WAVE parse, stdlib-
