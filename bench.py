@@ -235,14 +235,19 @@ def main() -> None:
     # CPU calibration (no IO by construction) cannot see. Dividing the
     # raw-path timing by this probe normalizes that axis the same way
     # value_norm normalizes CPU drift.
-    def _calibrate_io() -> float:
-        med, _, _ = _timed(
-            lambda: spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    def _io_probe_once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
             .agg(F.sum("l_quantity").alias("s"))
             .write.format("noop")
             .mode("overwrite")
             .save()
         )
+        return time.perf_counter() - t0
+
+    def _calibrate_io() -> float:
+        med, _, _ = _timed(_io_probe_once)
         return round(med, 3)
 
     io_calibration_sec = _calibrate_io()
@@ -335,8 +340,27 @@ def main() -> None:
         def full_pipeline() -> None:
             obs_box.update(dual_sink_write(spark, sf_dir, out_dir))
 
-        pipeline_sec, p_lo, p_hi = _timed(full_pipeline)
+        # PAIRED measurement for the promoted headline (round 14): the
+        # standalone io_calibration runs ~20 min before this point in a
+        # full bench, so a transient IO stall can hit one side only and
+        # corrupt the ratio (observed: probe 0.215 s at a quiet moment,
+        # transform 2.1→4.6 s across its own three runs minutes later).
+        # Interleaving probe→transform per run makes each ratio a
+        # SAME-MOMENT comparison; the median/min of the ratios is the
+        # headline, and the standalone probe stays as a reference point.
+        import statistics as _stats
+
+        _pair_probe, _pair_xform = [], []
+        for _ in range(N_RUNS):
+            _pair_probe.append(_io_probe_once())
+            _pair_xform.append(_timed_once(full_pipeline))
+        _ratios = sorted(x / p for x, p in zip(_pair_xform, _pair_probe))
+        io_norm_paired = round(_stats.median(_ratios), 2)
+        io_norm_paired_min = round(_ratios[0], 2)
+        _xs = sorted(_pair_xform)
+        pipeline_sec, p_lo, p_hi = _stats.median(_xs), _xs[0], _xs[-1]
         spread["pipe_transform_full"] = [round(p_lo, 3), round(pipeline_sec, 3), round(p_hi, 3)]
+        spread["io_probe_paired"] = [round(x, 3) for x in sorted(_pair_probe)]
         n_rows = obs_box["total"]
 
         # Staleness guard (ADVICE r7): the persistent fixture is only
@@ -400,15 +424,23 @@ def main() -> None:
         # PROMOTED COMPARABLE (VERDICT r13 item 4): the raw single-file
         # transform scan drifts with box IO (three rounds of judge/
         # builder cycles re-litigated it), so the FIRST numbers here are
-        # the IO-normalized transform figure and its min-twin — raw
-        # seconds as a multiple of a fixed-work single-file scan probe
-        # run on the same box at the same moment. Box IO drift inflates
-        # numerator and denominator together; these are the
-        # round-over-round comparable. Raw rows/s stays below as the
-        # secondary (absolute) series.
-        "pipe_transform_io_norm": round(pipeline_sec / io_calibration_sec, 2),
-        "pipe_transform_io_norm_min": round(
-            spread["pipe_transform_full"][0] / io_calibration_sec, 2
+        # the IO-normalized transform figure and its min-twin — each a
+        # per-run ratio of transform seconds over a fixed-work
+        # single-file scan probe run IMMEDIATELY BEFORE it (interleaved
+        # pairs, round 14), so a stall inflates numerator and
+        # denominator of the same pair together. Raw rows/s stays below
+        # as the secondary (absolute) series.
+        "pipe_transform_io_norm": io_norm_paired,
+        "pipe_transform_io_norm_min": io_norm_paired_min,
+        # continuity across the round-14 definition change (the r2
+        # value_with_ingest precedent): the pre-pairing definition
+        # (median transform / standalone probe) for comparison against
+        # BENCH_r≤14 artifacts. The scales differ because the paired
+        # probe runs page-cache-warm immediately before its transform;
+        # the PAIRED series is the stable one (intra-run ratio spread
+        # ~4% vs 2.5× across same-code runs under the old definition).
+        "pipe_transform_io_norm_legacy": round(
+            pipeline_sec / io_calibration_sec, 2
         ),
         "value": total,
         "value_min": _suite_min([*HEADLINE, "pipe_transform_full", "pipe_transform_bronze"]),

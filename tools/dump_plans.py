@@ -48,6 +48,8 @@ SHOWCASE = [
     ("t19_contamination_audit", "Contamination attribution (round 13): eval shingles broadcast into the hit join; the per-eval argmax is a map-side-combinable MAX over a (count, -id) struct — no row_number window, so a widely-leaked eval item never becomes a hot sort group."),
     ("t20_distribution_drift", "Snapshot KL drift (round 13): ONE corpus scan into a map-side (lang, token) count agg; the per-language roll-up payload is the vocabulary, and both KL folds run in fixed token order (cross-engine bit-equality up to the documented ln rounding)."),
     ("x21_export_manifest", "Training-store export manifest (round 13): split kernel boundary windows + ONE layout Window on (split, shard) computing pos/start_offset/bin_id together — the Exchange feeding it IS the final write partitioning, so the manifest costs exactly the store write's repartition+sort."),
+    ("dd14_dup_spans", "Maximal duplicated-span detection (round 14): shingle-keyed count + per-document gaps-and-islands window — no pair join, no suffix array, no global sort."),
+    ("x22_epoch_expand", "Exact epoch expansion (round 14): 5-row broadcast plan + per-language rank window + narrow epoch explode; realized counts equal the mixing plan exactly."),
     ("x21b_export_manifest_ls", "LEAKAGE-SAFE export manifest (round 14): x19's collapse-first LSH + connected-components cluster stage feeds the same single layout Window on (split, shard); no corpus-keyed window and no global sort anywhere in the composition."),
 ]
 
