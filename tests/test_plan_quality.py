@@ -437,3 +437,15 @@ def test_span_redact_range_join_is_doc_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dd15_span_redact")
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_epoch_expand_broadcast_plan_no_global_sort(spark, sf_dir):
+    """x22's scale claim: the 5-row mixing plan joins as a BROADCAST,
+    the per-language rank window exchanges on the lang hash (never a
+    rangepartitioning global sort), and the epoch fan-out is a narrow
+    Generate — no SortMergeJoin anywhere."""
+    plan = _plan(spark, sf_dir, "x22_epoch_expand")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Generate explode" in plan
