@@ -659,16 +659,21 @@ def drift_monitor_sink(
                         )
                     )
         rows = batch_counts.withColumn("batch_id", F.lit(batch_id))
+        n_rows = batch_counts.count()
         # batch_id is IN the key, so partitioning on it is stable and a
         # batch's merge writes only its own directory — the token state
         # is vocabulary-scale and a full-table rewrite per batch was the
         # one corpus-growing term (round-14 chain-scale audit); readers
-        # aggregate over partitions unchanged, compact_every bounds sprawl
-        merge_parquet(
-            spark, state_path, rows, ["lang", "token", "batch_id"],
-            partition_by=["batch_id"], stable_partition_keys=True,
-        )
-        stats_box["batches"].append((batch_id, batch_counts.count()))
+        # aggregate over partitions unchanged, compact_every bounds
+        # sprawl. Empty micro-batches merge nothing: an empty PARTITIONED
+        # first write leaves a data-less dir no later read can infer a
+        # schema from.
+        if n_rows:
+            merge_parquet(
+                spark, state_path, rows, ["lang", "token", "batch_id"],
+                partition_by=["batch_id"], stable_partition_keys=True,
+            )
+        stats_box["batches"].append((batch_id, n_rows))
 
     return sink, stats_box
 
@@ -775,22 +780,24 @@ def drift_gated_ingest_sink(
                 ]
         quarantined = bool(alerts)
         target = quarantine_path if quarantined else corpus_path
-        # batch_id-partitioned keyed merge: stable_partition_keys holds
+        n_docs = docs.count()
+        # batch_id-partitioned keyed merges: stable_partition_keys holds
         # because a replayed batch carries the same batch_id, so only THIS
         # batch's directory is ever rewritten — per-batch cost is O(batch),
         # not O(corpus) (ADVICE r13; the line_dedup_sink epoch pattern).
-        merge_parquet(
-            spark,
-            target,
-            docs.withColumn("batch_id", F.lit(batch_id)),
-            ["doc_id"],
-            partition_by=["batch_id"],
-            stable_partition_keys=True,
-        )
-        if not quarantined:
-            # batch_id-partitioned for the same reason as the doc merge
-            # above: batch_id is in the key, so only this batch's
-            # directory is written instead of a vocabulary-scale rewrite
+        # Empty micro-batches merge nothing (an empty PARTITIONED first
+        # write leaves a data-less dir no later read can infer a schema
+        # from).
+        if n_docs:
+            merge_parquet(
+                spark,
+                target,
+                docs.withColumn("batch_id", F.lit(batch_id)),
+                ["doc_id"],
+                partition_by=["batch_id"],
+                stable_partition_keys=True,
+            )
+        if not quarantined and n_docs:
             merge_parquet(
                 spark,
                 state_path,
@@ -800,7 +807,7 @@ def drift_gated_ingest_sink(
                 stable_partition_keys=True,
             )
         stats_box["decisions"].append((batch_id, quarantined, sorted(alerts)))
-        stats_box["batches"].append((batch_id, docs.count()))
+        stats_box["batches"].append((batch_id, n_docs))
 
     return sink, stats_box
 
@@ -1133,11 +1140,16 @@ def curation_chain_sink(
             .localCheckpoint()
         )
 
-        # 6. corpus write + the four state merges (all keyed, idempotent)
-        merge_parquet(
-            spark, corpus_path, out, ["doc_id"],
-            partition_by=["batch_id"], stable_partition_keys=True,
-        )
+        # 6. corpus write + the four state merges (all keyed, idempotent).
+        # Everything below derives from `kept`, so an accepted batch that
+        # kept NOTHING (all gated/dup/over-quota) merges nothing: creating
+        # a table from an empty frame would leave a data-less directory
+        # the NEXT batch's state read cannot infer a schema from.
+        if n_kept:
+            merge_parquet(
+                spark, corpus_path, out, ["doc_id"],
+                partition_by=["batch_id"], stable_partition_keys=True,
+            )
         # sig warehouse is batch_id-partitioned like the corpus: per-doc
         # rows grow with the corpus, and a full-table keyed merge would
         # make every batch pay an O(corpus) rewrite (measured flat at
@@ -1160,24 +1172,29 @@ def curation_chain_sink(
             .agg(F.count(F.lit(1)).alias("cnt"))
             .withColumn("batch_id", F.lit(batch_id))
         )
-        merge_parquet(
-            spark, token_state_path, kept_counts, ["lang", "token", "batch_id"],
-            partition_by=["batch_id"], stable_partition_keys=True,
-        )
         quota_counts = (
             kept.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_kept"))
             .withColumn("batch_id", F.lit(batch_id))
         )
-        merge_parquet(spark, quota_state_path, quota_counts, ["source", "batch_id"])
         split_counts = (
             out.groupBy(F.col(stratum_col).alias("stratum"), "split")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .withColumn("batch_id", F.lit(batch_id))
         )
-        merge_parquet(
-            spark, split_state_path, split_counts, ["stratum", "split", "batch_id"]
-        )
+        if n_kept:
+            merge_parquet(
+                spark, token_state_path, kept_counts,
+                ["lang", "token", "batch_id"],
+                partition_by=["batch_id"], stable_partition_keys=True,
+            )
+            merge_parquet(
+                spark, quota_state_path, quota_counts, ["source", "batch_id"]
+            )
+            merge_parquet(
+                spark, split_state_path, split_counts,
+                ["stratum", "split", "batch_id"],
+            )
         stats_box["batches"].append(
             (
                 batch_id,

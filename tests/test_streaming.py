@@ -1545,3 +1545,57 @@ def test_curation_chain_end_to_end_and_whole_chain_replay(spark, tmp_path):
     for k, before in states_before.items():
         assert sorted(map(tuple, spark.read.parquet(paths[k]).collect())) == before
     assert not os.path.exists(paths["quarantine"] + "__staging")
+
+
+def test_curation_chain_zero_kept_batches_leave_state_readable(spark, tmp_path):
+    """Degenerate-batch hardening: a batch that keeps NOTHING (all
+    gated out, or everything over quota) must not create data-less
+    state tables — an empty partitioned directory breaks the next
+    batch's schema inference. Covers both orders: zero-kept FIRST
+    (no warehouses yet) and zero-kept against existing warehouses."""
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        curation_chain_sink,
+    )
+
+    def doc_rows(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", s, len(t), None) for i, s, t in rows],
+            DOCS_STREAM_SCHEMA,
+        ).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+
+    def mk(i):
+        return f"alpha u{i}a beta u{i}b gamma u{i}c delta u{i}d"
+
+    paths = {
+        k: str(tmp_path / k)
+        for k in ("corpus", "quar", "sigs", "tok", "quo", "spl")
+    }
+    sink, stats = curation_chain_sink(
+        paths["corpus"], paths["quar"], paths["sigs"], paths["tok"],
+        paths["quo"], paths["spl"], min_tokens=5, quota={"capped": 1},
+        quota_default=100,
+    )
+    # batch 0: everything too short → kept 0, NO tables created
+    sink(doc_rows([(1, "web", "too short"), (2, "web", "way too short")]), 0)
+    assert stats["batches"][0][1:] == (2, 0, 0, 0, False, {})
+    import os
+
+    assert not os.path.exists(paths["corpus"])
+    # batch 1: normal docs bootstrap every warehouse
+    sink(doc_rows([(10 + i, "web", mk(10 + i)) for i in range(4)]), 1)
+    assert stats["batches"][1][5] is False
+    # batch 2: survives the gate but the capped source's allowance is
+    # exhausted after one doc ever → one kept; then batch 3 with ZERO
+    # kept (same capped source, allowance 0) against existing state
+    sink(doc_rows([(20, "capped", mk(20)), (21, "capped", mk(21))]), 2)
+    assert stats["batches"][2][4] == 1  # one quota-dropped
+    sink(doc_rows([(30, "capped", mk(30))]), 3)
+    assert stats["batches"][3][4] == 1 and stats["batches"][3][5] is False
+    # and the chain still works after the zero-kept batch
+    sink(doc_rows([(40, "web", mk(40))]), 4)
+    corpus = {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()}
+    assert corpus == {10, 11, 12, 13, 20, 40}
