@@ -3815,7 +3815,10 @@ def q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plan = q_temperature_mix(spark, sf_dir).select(
         "lang",
-        (F.col("planned_docs").cast("bigint") / F.col("n_docs")).cast("bigint").alias("full_ep"),
+        # integer `div`, not float-divide-then-cast: double division
+        # can misfloor once planned counts outgrow 2^53 exactness —
+        # the oracle's `//` is integer arithmetic, so must this be
+        F.expr("cast(planned_docs as bigint) div n_docs").alias("full_ep"),
         (F.col("planned_docs").cast("bigint") % F.col("n_docs")).alias("rem"),
     )
     w = Window.partitionBy("lang").orderBy("rank_key", "doc_id")
