@@ -882,7 +882,12 @@ def duplicated_spans(
     )
     w_sh = Window.partitionBy("sh")
     if cross_doc_only:
-        dup_cond = F.size(F.collect_set("doc_id").over(w_sh)) > 1
+        # ">= 2 distinct docs" as min != max — NOT collect_set, whose
+        # per-window set materializes every distinct doc_id of the
+        # hottest shingle in one task (a universal boilerplate trigram
+        # in 1e9 docs would be an 8 GB set); min/max are constant-space
+        # streaming aggregates with the identical boolean
+        dup_cond = F.min("doc_id").over(w_sh) != F.max("doc_id").over(w_sh)
     else:
         dup_cond = F.count(F.lit(1)).over(w_sh) > 1
     marked = sh.withColumn("is_dup", dup_cond).filter("is_dup")
