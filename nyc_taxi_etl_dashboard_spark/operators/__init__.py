@@ -8,6 +8,9 @@ expressions so Catalyst can optimize across operator boundaries.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 
 #: semanticHash -> partition count. The getNumPartitions probe forces an
@@ -59,3 +62,62 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if nparts < target:
         return df.repartition(target)
     return df
+
+
+#: Stack of active cache scopes. Each entry collects the DataFrames
+#: persisted (via :func:`scoped_persist`) while the scope was the
+#: innermost one; :func:`cache_scope` unpersists them on exit.
+_CACHE_SCOPES: list[list[DataFrame]] = []
+
+
+def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """``df.persist()`` that registers with the innermost active
+    :func:`cache_scope`, if any.
+
+    Every persist in the operator library and the composed plans goes
+    through here. With no scope active the behavior is exactly
+    ``persist()`` — the session owner releases cache (the driver/bench
+    loops call ``spark.catalog.clearCache()`` per query). An API
+    consumer embedding these operators in a long-lived session wraps
+    calls in ``with cache_scope():`` instead and never needs to know
+    which internals persisted what (VERDICT r10 watch item).
+    """
+    out = df.persist(storage_level) if storage_level is not None else df.persist()
+    if _CACHE_SCOPES:
+        _CACHE_SCOPES[-1].append(out)
+    return out
+
+
+@contextmanager
+def cache_scope() -> Iterator[list[DataFrame]]:
+    """Deterministic cache release for library calls made inside it.
+
+    ``with cache_scope(): rows = jaccard_pairs(docs).collect()`` —
+    every DataFrame the library persisted while building/running the
+    query is unpersisted on exit (success or error), with no reliance
+    on ``clearCache`` (which would also evict the CALLER's unrelated
+    cache — the reason the library can't just call it itself).
+
+    Materialize results INSIDE the scope: a lazy DataFrame returned out
+    of the scope stays correct (unpersist never changes values) but
+    recomputes the formerly-cached subtrees on use.
+
+    Scopes nest; each persist registers with the innermost one only.
+    Chosen over the eager-localCheckpoint alternative (truncate lineage
+    then unpersist immediately) deliberately: the checkpoint hides the
+    operator subtree behind a LogicalRDD scan, which would blind the
+    executed-plan pins (tests/test_plan_quality.py HOF-marker and
+    Exchange-count assertions) and move real work from action time to
+    construction time. This form changes neither plans nor timing.
+    """
+    frames: list[DataFrame] = []
+    _CACHE_SCOPES.append(frames)
+    try:
+        yield frames
+    finally:
+        _CACHE_SCOPES.pop()
+        for df in frames:
+            try:
+                df.unpersist()
+            except Exception:  # pragma: no cover - session already gone
+                pass

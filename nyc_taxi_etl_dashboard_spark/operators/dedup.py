@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import POLY_MOD
-from . import scale_out
+from . import scale_out, scoped_persist
 from .text import with_shingles
 
 #: deterministic MinHash permutation parameters h_i(x) = (a_i*x + b_i) % P
@@ -412,7 +412,7 @@ def jaccard_pairs(
     # persist: the self-join consumes the index twice; without this each
     # side re-parses and re-shingles the corpus. Callers own cleanup: the
     # driver/bench loops clearCache() between queries (query-scoped blocks)
-    inv = inv.persist()
+    inv = scoped_persist(inv)
     a = inv.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
     )
@@ -464,7 +464,7 @@ def minhash_lsh_pairs(
     near-dup shape (cf. Spark MLlib MinHashLSH, same strategy).
     """
     rows_per_band = num_hashes // bands
-    sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k).persist()
+    sh = scoped_persist(with_shingles(scale_out(df.select(id_col, text_col)), text_col, k))
     sig = sh.withColumn("sig", minhash_signature(num_hashes, portable=False))
     # slim band table: (id, band, key) only — never shuffle the shingle
     # arrays with the bucketing join (they'd be duplicated x bands)
@@ -775,11 +775,10 @@ def containment_pairs(
         # persist: the auto-cap count and the shingling pass both
         # consume the collapsed corpus — without this the groupBy runs
         # twice. Callers own cleanup (driver/bench clearCache per query).
-        df = collapsed = (
+        df = collapsed = scoped_persist(
             df.select(id_col, text_col)
             .groupBy(text_col)
             .agg(F.min(id_col).alias(id_col))
-            .persist()
         )
     max_shingle_freq = _resolve_df_cap(df, max_shingle_freq, id_col)
     sh = with_shingles(scale_out(df.select(id_col, text_col)), text_col, k)
@@ -792,7 +791,7 @@ def containment_pairs(
             .filter(F.col("df_") <= max_shingle_freq)
             .drop("df_")
         )
-    inv = inv.persist()
+    inv = scoped_persist(inv)
     a = inv.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), F.col("sh")
     )

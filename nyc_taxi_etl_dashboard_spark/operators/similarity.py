@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import scoped_persist
+
 
 def _qident(name: str) -> str:
     """Backtick-quote a column name for interpolation into a SQL expr
@@ -837,14 +839,13 @@ def embedding_candidate_pairs(
     # constraint-pushdown trap, caught by the round-3 plan audit).
     # Callers own cleanup: driver/bench wrappers clearCache() per query.
     sig_fn = rhp_signature_arrow if kernel == "arrow" else rhp_signature
-    sigs = (
+    sigs = scoped_persist(
         df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("embedding_d"),
         )
         .withColumn("sig", sig_fn(vec_col="embedding_d", n_planes=n_planes, dim=dim))
         .select("id", "sig")
-        .persist()
     )
     masks = _probe_masks(n_planes, probe_radius)
     a = sigs.select(

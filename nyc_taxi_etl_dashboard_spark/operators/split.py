@@ -108,7 +108,9 @@ def exact_proportional_split(
     if persist_input:
         from pyspark import StorageLevel
 
-        with_bucket = with_bucket.persist(StorageLevel.MEMORY_AND_DISK)
+        from . import scoped_persist
+
+        with_bucket = scoped_persist(with_bucket, StorageLevel.MEMORY_AND_DISK)
 
     # 1. bounded histogram (map-side partial agg; |strata| × n_buckets rows)
     hist = (

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import POLY_BASE, POLY_MOD, poly_fingerprint, token_value
-from ..operators import multimodal, scale_out
+from ..operators import multimodal, scale_out, scoped_persist
 from ..operators.dedup import (
     MINHASH_PRIME,
     dedup_keep_first,
@@ -583,8 +583,8 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = quality.withColumn("fp", poly_fingerprint(tokens("text")))
     # persist: feeds both the LSH pair generation and the final anti-join
     # (released by the per-query clearCache in the driver/bench loops)
-    exact_kept = (
-        dedup_keep_first(fp, ["fp"], ["doc_id"]).select("doc_id", "text").persist()
+    exact_kept = scoped_persist(
+        dedup_keep_first(fp, ["fp"], ["doc_id"]).select("doc_id", "text")
     )
     pairs = minhash_lsh_pairs(exact_kept, threshold=0.8)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -1029,7 +1029,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingled once, persisted: ev's build, the dual-leg probe, and the
     # spine join all read the cached table instead of re-tokenizing the
     # corpus per branch
-    sh = with_shingles(d.select("doc_id", "source", "text")).persist()
+    sh = scoped_persist(with_shingles(d.select("doc_id", "source", "text")))
     # the cert leg's exact semi-join REQUIRES the distinct (duplicate
     # eval shingles would multiply n_hit); the bitmap build is
     # duplicate-insensitive either way. The prod/x14 builds skip the
@@ -1093,7 +1093,7 @@ def q_bloom_decontaminate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingled once, persisted: the eval slice, the probe, and the spine
     # all read the cached table (unpersisted, Spark re-tokenizes the
     # corpus per branch — the same boundary x14 materializes)
-    sh = with_shingles(d.select("doc_id", "source", "text")).persist()
+    sh = scoped_persist(with_shingles(d.select("doc_id", "source", "text")))
     ev = (
         sh.filter(F.col("source") == "src0")
         .select(F.explode("shingle").alias("sh"))
@@ -2017,11 +2017,10 @@ def _near_dup_cluster_members(d: DataFrame) -> DataFrame:
     before LSH/CC, and members inherit through equi-joins."""
     from ..operators.dedup import connected_components, minhash_lsh_pairs
 
-    reps = (
+    reps = scoped_persist(
         d.select("doc_id", "text")
         .groupBy("text")
         .agg(F.min("doc_id").alias("rep_id"))
-        .persist()
     )
     rep_docs = reps.select(F.col("rep_id").alias("doc_id"), "text")
     pairs = minhash_lsh_pairs(rep_docs, threshold=0.8)
@@ -2216,11 +2215,13 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     # survivors shingled once, persisted: consumed by the probe spine,
     # the probe itself, and the stage-3 payload join
-    d1 = with_shingles(
-        d.filter(F.col("source") != "src0")
-        .join(quota_keep, "doc_id")
-        .select("doc_id", "lang", "source", "text")
-    ).persist()
+    d1 = scoped_persist(
+        with_shingles(
+            d.filter(F.col("source") != "src0")
+            .join(quota_keep, "doc_id")
+            .select("doc_id", "lang", "source", "text")
+        )
+    )
     # stage 2: bloom probe on the survivors (the shared probe kernel)
     sh1 = d1.select("doc_id", "shingle")
     spine = sh1.select("doc_id", F.array_size("shingle").alias("n_sh"))
@@ -2257,7 +2258,7 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projections only, per capped_keep_first's own contract ("the
     # windows should never carry document bodies"), and no stage
     # re-runs the probe or the scan
-    d2 = (
+    d2 = scoped_persist(
         d1.join(clean, "doc_id")
         .select(
             "doc_id",
@@ -2267,7 +2268,6 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_size(F.split("text", " ")).cast("bigint").alias("w"),
             (_prio(F.col("doc_id")) + F.lit(1)).alias("h"),
         )
-        .persist()
     )
     # stage 3: weighted per-language priority sample over SLIM rows;
     # text joins back only for the <= 5·X14_PER_LANG winners
@@ -2277,8 +2277,8 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority", F.col("w").cast("double") * F.lit(1000004.0) / F.col("h")
         )
         .withColumn("__ord", F.struct((-F.col("priority")).alias("np"), "doc_id"))
-        .persist()  # the kernel reads its input 3x (count/under/over)
     )
+    ranked = scoped_persist(ranked)  # the kernel reads its input 3x
     ids3 = capped_keep_first(ranked, "lang", "__ord", F.lit(X14_PER_LANG)).select(
         "doc_id"
     )
@@ -2297,8 +2297,8 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             _prio(F.col("doc_id")).alias("prio"),
         )
         .withColumn("__ord2", F.struct("prio", "doc_id"))
-        .persist()  # ditto — ≤ 5·X14_PER_LANG slim rows
     )
+    cells = scoped_persist(cells)  # ditto — ≤ 5·X14_PER_LANG slim rows
     return capped_keep_first(
         cells, "cell", "__ord2", F.lit(X14_CELL_CAP)
     ).select("doc_id", "lang", "source", "cell")
@@ -3378,8 +3378,8 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "resid", l2_norm(F.zip_with("c_vec", "recon", lambda a, b: a - b))
         )
-        .persist()
     )
+    c = scoped_persist(c)
     q = (
         e.filter(F.col("vec_id") < 3)
         .select(
@@ -3900,10 +3900,9 @@ def contamination_audit(d: DataFrame) -> DataFrame:
     flagged = d.select(
         "doc_id", (F.col("source") == "src0").alias("is_ev"), "text"
     )
-    groups = (
+    groups = scoped_persist(
         flagged.groupBy("is_ev", "text")
         .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n"))
-        .persist()
     )
     sh = with_shingles(
         groups.select("is_ev", F.col("rep_id").alias("doc_id"), "grp_n", "text")

@@ -1974,3 +1974,61 @@ def test_distribution_drift_planted(spark):
     assert out["aa"].kl_ab == 0.0 and out["aa"].kl_ba == 0.0
     assert out["bb"].kl_ab > 0.0 and out["bb"].kl_ba > 0.0
     assert out["bb"].kl_ab > out["aa"].kl_ab
+
+
+def test_cache_scope_releases_composed_plan_persists(spark, sf_dir):
+    """The context-managed variant (VERDICT r10 watch item, round-15
+    agenda item 1): composed plans persist intermediates internally
+    (x7's exact-dup survivors, x14's four stage boundaries, the
+    x19/x21b cluster kernel's collapse table, the pair generators'
+    shingle caches). ``cache_scope()`` must release ALL of them on
+    exit without touching cache the caller made outside the scope —
+    the library-consumer form that needs no clearCache and no
+    knowledge of which internals persisted what.
+
+    Chosen over eager-localCheckpoint adoption inside the certified
+    queries deliberately: a checkpoint hides the operator subtree
+    behind a LogicalRDD scan, which would blind the executed-plan pins
+    (the HOF-marker and Exchange-count tests) and shift work to
+    construction time. cache_scope changes neither plans nor values —
+    the queries here are the certified ones, unmodified."""
+    from nyc_taxi_etl_dashboard_spark.operators import cache_scope
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import QUERIES as qs
+
+    # NOTE: the __spark_entry__ registry wraps every query in a per-call
+    # clearCache (the driver convention this scope REPLACES for API
+    # consumers) — test against the raw plan functions.
+
+    def cache_empty():
+        return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+    spark.catalog.clearCache()
+    # caller-owned cache OUTSIDE the scope must survive scope exit
+    outside = spark.read.parquet(f"{sf_dir}/region.parquet").persist()
+    outside.count()
+
+    for name in ("x7_corpus_pipeline", "x14_curation_pipeline_v3",
+                 "x19_leakage_safe_split", "dd2_jaccard_pairs",
+                 "dd4_lsh_pairs"):
+        with cache_scope():
+            n = qs[name](spark, sf_dir).count()
+            assert n >= 0
+        # everything the library persisted inside the scope is gone,
+        # leaving exactly the caller's one cached relation
+        assert not cache_empty()  # the outside persist survives
+    outside.unpersist()
+    assert cache_empty(), "scope exit must not leave library cache behind"
+
+    # nesting: inner scope releases only its own registrations
+    from nyc_taxi_etl_dashboard_spark.operators import scoped_persist
+
+    with cache_scope() as outer_frames:
+        a = scoped_persist(spark.range(10))
+        a.count()
+        with cache_scope() as inner_frames:
+            b = scoped_persist(spark.range(20))
+            b.count()
+            assert inner_frames == [b]
+        assert outer_frames == [a]
+        assert not cache_empty()  # a still cached after inner exit
+    assert cache_empty()
