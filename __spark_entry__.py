@@ -185,6 +185,22 @@ PRIORITY_IN_WINDOW = [
         # VERDICT r13 item 1). x19 rotated to the tail to make room —
         # x21b runs its kernel as a strict superset.
         "x21b_export_manifest_ls",
+        # NEW in round 15: x23 DSIR importance resampling (hashed-ngram
+        # importance weights vs a target corpus — the Xie et al. data-
+        # selection method), dd16 cross-source MinHash overlap matrix,
+        # t21 per-language n-gram diversity report, x24 curriculum
+        # schedule. Rotations to make room (see PRIORITY_TAIL): x13
+        # (its weighted DLT sample runs verbatim as the in-window x14's
+        # stage 3), x15 (its shard+pos layout runs inside the in-window
+        # x16 stage 3 and x21's manifest), mm3 (its Arrow mapInPandas
+        # batch contract is exercised in-window by mm4/mm5 — the mm2
+        # precedent), v9 (its exact cosine decontamination scoring runs
+        # in-window inside v14's filtered ANN, and the eval-exclusion
+        # contract stays in-window via t15/t19).
+        "x23_dsir_resample",
+        "dd16_source_overlap",
+        "t21_ngram_diversity",
+        "x24_curriculum_schedule",
         "a26_mom_growth",
         # v8_sq_cosine rotated to the tail in round 11 for the two new
         # queries (x15 shuffle-shard, a28 cube): scalar-quantization
@@ -278,6 +294,15 @@ PRIORITY_TAIL = [
         # in-window by j6_salted_join (the same salting kernel on the
         # join side) and x10's skew-safe quota; green r1-r10.
         "a27_salted_revenue",
+        # round-15 rotations for x23/dd16/t21/x24 (see the
+        # PRIORITY_IN_WINDOW note): x13's weighted sample is x14's
+        # stage 3 verbatim; x15's layout runs inside x16 and x21; mm3
+        # shares the Arrow batch contract with the in-window mm4/mm5;
+        # v9's exact cosine scoring runs inside the in-window v14.
+        "x13_weighted_sample",
+        "x15_shuffle_shard",
+        "mm3_resized_media",
+        "v9_embedding_decontam",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

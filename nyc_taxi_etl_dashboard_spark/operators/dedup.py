@@ -995,3 +995,93 @@ def span_redact(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Corpus-overlap matrix BETWEEN GROUPS (sources, crawls, snapshot
+    dates): for every group pair, the MinHash-estimated AND exact
+    Jaccard similarity of their shingle SETS. The corpus-level question
+    a new-crawl triage asks first — "how much of snapshot B is already
+    in corpus A?" — answered from per-group sketches, with the exact
+    value riding along so the estimator's error is itself visible
+    (dd9's estimate-with-ground-truth pattern at group granularity).
+
+    Scale shape: per-group MinHash components are map-side-combinable
+    MIN aggregations over the exploded shingle stream (the agg's own
+    shuffle key is the group — no pair space until AFTER reduction to
+    one signature row per group), so the sketch path touches the corpus
+    once and shuffles |groups| × num_hashes integers. The exact values
+    need one shingle-keyed equi-join between group shingle sets —
+    quadratic only in |groups|, never in documents; at 100 TB drop the
+    exact legs and ship the sketch estimate alone (the same
+    sketch-vs-exact split as dd9/t13).
+
+    Returns ``(grp_a, grp_b, est_jaccard, jaccard)`` for grp_a < grp_b.
+    NEW vs reference (no counterpart)."""
+    sets = scoped_persist(
+        with_shingles(
+            scale_out(df.select(group_col, text_col)), text_col, k
+        )
+        .select(group_col, F.explode("shingle").alias("sh"))
+        .distinct()
+    )
+    min_cols = [
+        F.min(
+            F.expr(f"({a} * {_tv_sql('sh')} + {b}) % {MINHASH_PRIME}")
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    sigs = sets.groupBy(group_col).agg(
+        *min_cols, F.count(F.lit(1)).alias("n_sh")
+    )
+    a = sigs.select(
+        F.col(group_col).alias("grp_a"),
+        F.col("n_sh").alias("n_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col(group_col).alias("grp_b"),
+        F.col("n_sh").alias("n_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    est = (
+        a.crossJoin(b)
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_a",
+            "n_b",
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+    )
+    inter = (
+        sets.select(F.col(group_col).alias("grp_a"), "sh")
+        .join(sets.select(F.col(group_col).alias("grp_b"), "sh"), "sh")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        est.join(inter, ["grp_a", "grp_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .select(
+            "grp_a",
+            "grp_b",
+            "est_jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -197,3 +197,107 @@ def kl_report(counts) -> "DataFrame":  # noqa: F821 - DataFrame at runtime
         F.round(kl("cnt_a", "n_a", "cnt_b", "n_b"), 6).alias("kl_ab"),
         F.round(kl("cnt_b", "n_b", "cnt_a", "n_a"), 6).alias("kl_ba"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., NeurIPS 2023): select training
+# documents whose hashed-n-gram distribution matches a TARGET corpus.
+# NEW vs the reference (no counterpart); the data-selection method most
+# large-scale pipelines pair with quality gates.
+
+#: Knuth multiplicative constant — the same mixer simhash32 uses; spreads
+#: token_value's narrow codomain across the word before the bucket mod.
+DSIR_MIX = 2654435761
+
+_TV_SQL = "(ascii({v}) * 10007 + ascii(reverse({v})) * 101 + length({v}))"
+
+
+def hashed_gram_buckets(
+    df, id_col: str = "doc_id", text_col: str = "text", n_buckets: int = 512
+):
+    """``(id, bucket)`` — one row per word unigram AND bigram occurrence,
+    hashed into ``n_buckets`` (the DSIR feature space). Pure projection +
+    explode: no shuffle, whole-stage codegen, and the gram values use the
+    portable token_value arithmetic so DuckDB reproduces every bucket
+    bit-for-bit (products stay under 2^63: tv < 2^22, bigram value
+    < 2^30, × DSIR_MIX < 2^62).
+    """
+    tv_s = _TV_SQL.format(v="s")
+    tv_i = _TV_SQL.format(v="element_at(t, CAST(i AS INT))")
+    tv_i1 = _TV_SQL.format(v="element_at(t, CAST(i AS INT) + 1)")
+    grams = (
+        f"concat(transform(t, s -> {tv_s}), "
+        f"CASE WHEN size(t) >= 2 THEN "
+        f"transform(sequence(1, size(t) - 1), i -> {tv_i} * 131 + {tv_i1}) "
+        f"ELSE array() END)"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.split(text_col, " ").alias("t"))
+        .select("id", F.explode(F.expr(grams)).alias("g"))
+        .select("id", ((F.col("g") * F.lit(DSIR_MIX)) % n_buckets).alias("bucket"))
+    )
+
+
+def dsir_log_weights(
+    cand,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+):
+    """Per-candidate DSIR log importance weight:
+    ``log_w(doc) = Σ_grams ln p_target(bucket) − ln p_raw(bucket)``
+    under add-one-smoothed hashed-n-gram bucket distributions (raw = the
+    candidate corpus itself). High log_w = looks like the target.
+
+    Scale shape: two map-side bucket-count aggregations (≤ n_buckets
+    rows each — a BOUNDED table no matter the corpus size), the
+    log-ratio table broadcast into the candidates' exploded gram stream,
+    one per-doc agg. Nothing scales with the corpus except the gram
+    explode, which is the tokenizer pass every scorer already pays.
+    Per-doc sums fold in FIXED bucket order and round to 6 (ln is not
+    correctly rounded across engines — the t20 lesson).
+
+    Returns ``(id, log_w)``.
+    """
+    cb = hashed_gram_buckets(cand, id_col, text_col, n_buckets)
+    tb = hashed_gram_buckets(target, id_col, text_col, n_buckets)
+    raw = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt_r"))
+    tgt = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt_t"))
+    tot_r = cb.agg(F.count(F.lit(1)).alias("tot_r"))
+    tot_t = tb.agg(F.count(F.lit(1)).alias("tot_t"))
+    # every candidate gram's bucket appears in `raw` by construction, so
+    # a left join covers smoothing: absent target buckets get cnt_t=0
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("cnt_t", F.lit(0)) + 1)
+                    / (F.col("tot_t") + n_buckets)
+                )
+                - F.log((F.col("cnt_r") + 1) / (F.col("tot_r") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    per_doc_bucket = cb.groupBy("id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rows = (
+        per_doc_bucket.join(F.broadcast(lr), "bucket")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "cnt", "lr"))
+            ).alias("rows")
+        )
+    )
+    fold = F.aggregate(
+        F.transform("rows", lambda s: s["cnt"] * s["lr"]),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return rows.select("id", F.round(fold, 6).alias("log_w"))

@@ -4459,3 +4459,333 @@ o AS (SELECT doc_id, lang, cluster_id, split, shard, n_tokens,
 SELECT doc_id, lang, cluster_id, split, shard, n_tokens, pos, start_offset,
        start_offset // {MM5_CTX} AS bin_id
 FROM o"""
+
+
+# --- x23: DSIR importance resampling (round 15) ------------------------------
+
+#: DSIR feature-space size. 512 keeps the fixture's bucket tables dense
+#: enough to exercise smoothing; production uses 10k-100k buckets — the
+#: tables stay broadcast-bounded either way.
+X23_BUCKETS = 512
+#: per-language selection width for the deterministic top-k variant
+X23_PER_LANG = 25
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x23: DSIR data selection (Xie et al., NeurIPS 2023) — pick the
+    candidate documents whose hashed-n-gram distribution best matches a
+    TARGET corpus (here the src0 slice, the same target convention as
+    t15/t19's eval set). Per doc: ``log_w = Σ_grams ln p_target(bucket)
+    − ln p_raw(bucket)`` over add-one-smoothed unigram+bigram bucket
+    distributions, then the deterministic top-k-per-language variant
+    (rank on the 6dp-rounded weight, doc_id tie-break — DSIR's
+    Gumbel-sampled form randomizes exactly this rank).
+
+    Scale shape (operators/text.py:dsir_log_weights): bucket tables are
+    ≤ X23_BUCKETS rows REGARDLESS of corpus size, the log-ratio table
+    broadcasts into the candidates' gram stream, and the only windows
+    run per-language over slim (doc_id, lang, log_w) rows. NEW vs
+    reference (no counterpart)."""
+    from ..operators.text import dsir_log_weights
+
+    d = _docs(spark, sf_dir)
+    cand = d.filter(F.col("source") != "src0")
+    target = d.filter(F.col("source") == "src0")
+    w = dsir_log_weights(cand, target, n_buckets=X23_BUCKETS).select(
+        F.col("id").alias("doc_id"), "log_w"
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("lang").orderBy(F.desc("log_w"), F.asc("doc_id"))
+    return (
+        w.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("rnk", F.row_number().over(win))
+        .select(
+            "doc_id",
+            "lang",
+            "log_w",
+            "rnk",
+            (F.col("rnk") <= X23_PER_LANG).alias("keep"),
+        )
+    )
+
+
+QUERIES["x23_dsir_resample"] = q_dsir_resample
+
+_DSIR_GRAMS = """
+      SELECT doc_id, unnest(list_concat(
+        list_transform(t, s -> {tv_s}),
+        CASE WHEN len(t) >= 2 THEN
+          list_transform(range(len(t) - 1), i -> {tv_i} * 131 + {tv_i1})
+        ELSE [] END)) AS g
+      FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents
+            WHERE {src})""".format
+ORACLES["x23_dsir_resample"] = f"""
+WITH cg AS ({_DSIR_GRAMS(tv_s=_TV.format(v='s'), tv_i=_TV.format(v='t[i+1]'),
+                         tv_i1=_TV.format(v='t[i+2]'), src="source <> 'src0'")}),
+tg AS ({_DSIR_GRAMS(tv_s=_TV.format(v='s'), tv_i=_TV.format(v='t[i+1]'),
+                    tv_i1=_TV.format(v='t[i+2]'), src="source = 'src0'")}),
+cb AS (SELECT doc_id, (g * 2654435761) % {X23_BUCKETS} AS bucket FROM cg),
+tb AS (SELECT (g * 2654435761) % {X23_BUCKETS} AS bucket FROM tg),
+raw AS (SELECT bucket, count(*) AS cnt_r FROM cb GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS cnt_t FROM tb GROUP BY bucket),
+lr AS (SELECT raw.bucket,
+        ln((coalesce(tgt.cnt_t,0)+1) * 1.0 / ((SELECT count(*) FROM tb) + {X23_BUCKETS}))
+      - ln((raw.cnt_r+1) * 1.0 / ((SELECT count(*) FROM cb) + {X23_BUCKETS})) AS lr
+       FROM raw LEFT JOIN tgt USING (bucket)),
+pdb AS (SELECT doc_id, bucket, count(*) AS cnt FROM cb GROUP BY doc_id, bucket),
+r AS (SELECT doc_id, list(struct_pack(bucket := pdb.bucket, cnt := cnt, lr := lr)
+                          ORDER BY pdb.bucket) AS rows_
+      FROM pdb JOIN lr ON pdb.bucket = lr.bucket GROUP BY doc_id),
+s AS (SELECT doc_id, round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(rows_, x -> x.cnt * x.lr)), (a,x) -> a + x), 6) AS log_w
+      FROM r)
+SELECT s.doc_id, d.lang, s.log_w,
+       CAST(row_number() OVER (PARTITION BY d.lang
+            ORDER BY s.log_w DESC, s.doc_id) AS INTEGER) AS rnk,
+       CAST(row_number() OVER (PARTITION BY d.lang
+            ORDER BY s.log_w DESC, s.doc_id) AS INTEGER) <= {X23_PER_LANG} AS keep
+FROM s JOIN documents d USING (doc_id)"""
+
+
+# --- dd16: cross-source overlap matrix (round 15) -----------------------------
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd16: the corpus-overlap triage matrix — MinHash-estimated AND
+    exact shingle-set Jaccard between every pair of sources (see
+    operators/dedup.py:source_overlap_matrix). The estimate column is
+    the 100 TB path (per-source sketches, no document pair space); the
+    exact column certifies it on the fixture, dd9's pattern at group
+    granularity."""
+    from ..operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir))
+
+
+QUERIES["dd16_source_overlap"] = q_source_overlap
+ORACLES["dd16_source_overlap"] = f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT source, unnest(
+         CASE WHEN len(t) >= 3 THEN
+           list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ELSE [] END) AS sh
+       FROM t),
+sig AS (SELECT source, count(*) AS n_sh,
+        {", ".join(
+            f"min(({a} * {_TV.format(v='sh')} + {b}) % {MINHASH_PRIME}) AS h{i}"
+            for i, (a, b) in enumerate(minhash_params(8))
+        )}
+        FROM sh GROUP BY source),
+est AS (SELECT a.source AS grp_a, b.source AS grp_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        round(({" + ".join(
+            f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(8)
+        )}) / 8.0, 6) AS est_jaccard
+        FROM sig a JOIN sig b ON a.source < b.source),
+inter AS (SELECT a.source AS grp_a, b.source AS grp_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY a.source, b.source)
+SELECT e.grp_a, e.grp_b, e.est_jaccard,
+       round(coalesce(i.n_inter, 0) * 1.0
+             / (e.n_a + e.n_b - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM est e LEFT JOIN inter i ON e.grp_a = i.grp_a AND e.grp_b = i.grp_b"""
+
+
+# --- t21: n-gram diversity report (round 15) ----------------------------------
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t21: per-language lexical-diversity report — type/token ratios at
+    n = 1/2/3 plus unigram entropy, the corpus-health panel that
+    detects template farms (low bigram/trigram TTR at normal unigram
+    TTR) and mode collapse in synthetic data (low entropy) before any
+    pairwise dedup runs.
+
+    Scale shape: ONE gram explode feeds a single per-language agg
+    (count + conditional count_distinct per n — map-side combinable);
+    the entropy leg reuses t20's fixed-token-order fold over the
+    (lang, token) count table (vocabulary-sized, Heaps-sublinear).
+    No windows, no joins wider than |langs| rows. NEW vs reference."""
+    d = _docs(spark, sf_dir)
+    base = d.select("lang", F.split("text", " ").alias("t"))
+    grams = base.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(t, s -> named_struct('n', 1, 'g', s)),"
+                " CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1),"
+                "   i -> named_struct('n', 2, 'g',"
+                "        concat(element_at(t, CAST(i AS INT)), ' ',"
+                "               element_at(t, CAST(i AS INT) + 1)))) "
+                " ELSE array() END,"
+                " CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2),"
+                "   i -> named_struct('n', 3, 'g',"
+                "        concat(element_at(t, CAST(i AS INT)), ' ',"
+                "               element_at(t, CAST(i AS INT) + 1), ' ',"
+                "               element_at(t, CAST(i AS INT) + 2)))) "
+                " ELSE array() END)"
+            )
+        ).alias("x"),
+    ).select("lang", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    ttr = grams.groupBy("lang").agg(
+        F.count(F.when(F.col("n") == 1, 1)).alias("n_tokens"),
+        F.count_distinct(F.when(F.col("n") == 1, F.col("g"))).alias(
+            "distinct_tokens"
+        ),
+        F.count(F.when(F.col("n") == 2, 1)).alias("n_bigrams"),
+        F.count_distinct(F.when(F.col("n") == 2, F.col("g"))).alias(
+            "distinct_bigrams"
+        ),
+        F.count(F.when(F.col("n") == 3, 1)).alias("n_trigrams"),
+        F.count_distinct(F.when(F.col("n") == 3, F.col("g"))).alias(
+            "distinct_trigrams"
+        ),
+    )
+    counts = (
+        grams.filter(F.col("n") == 1)
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ent_rows = counts.groupBy("lang").agg(
+        F.array_sort(F.collect_list(F.struct("g", "cnt"))).alias("rows"),
+        F.sum("cnt").alias("tot"),
+    )
+    ent_fold = F.aggregate(
+        F.transform(
+            "rows",
+            lambda s: -(s["cnt"] / F.col("tot")) * F.log(s["cnt"] / F.col("tot")),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    entropy = ent_rows.select("lang", F.round(ent_fold, 6).alias("entropy"))
+    docs_per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        docs_per_lang.join(ttr, "lang")
+        .join(entropy, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "distinct_tokens",
+            F.round(F.col("distinct_tokens") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("distinct_bigrams") / F.col("n_bigrams"), 6).alias(
+                "bigram_ttr"
+            ),
+            F.round(F.col("distinct_trigrams") / F.col("n_trigrams"), 6).alias(
+                "trigram_ttr"
+            ),
+            "entropy",
+        )
+    )
+
+
+QUERIES["t21_ngram_diversity"] = q_ngram_diversity
+ORACLES["t21_ngram_diversity"] = """
+WITH base AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT lang, unnest(list_concat(
+        list_transform(t, s -> struct_pack(n := 1, g := s)),
+        list_concat(
+          CASE WHEN len(t) >= 2 THEN
+            list_transform(range(len(t) - 1),
+              i -> struct_pack(n := 2, g := t[i+1] || ' ' || t[i+2]))
+          ELSE [] END,
+          CASE WHEN len(t) >= 3 THEN
+            list_transform(range(len(t) - 2),
+              i -> struct_pack(n := 3, g := t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+          ELSE [] END))) AS x
+      FROM base),
+gg AS (SELECT lang, x.n AS n, x.g AS g FROM g),
+ttr AS (SELECT lang,
+        CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_tokens,
+        CAST(count(DISTINCT CASE WHEN n = 1 THEN g END) AS BIGINT) AS distinct_tokens,
+        CAST(count(CASE WHEN n = 2 THEN 1 END) AS BIGINT) AS n_bigrams,
+        CAST(count(DISTINCT CASE WHEN n = 2 THEN g END) AS BIGINT) AS distinct_bigrams,
+        CAST(count(CASE WHEN n = 3 THEN 1 END) AS BIGINT) AS n_trigrams,
+        CAST(count(DISTINCT CASE WHEN n = 3 THEN g END) AS BIGINT) AS distinct_trigrams
+        FROM gg GROUP BY lang),
+c AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS cnt
+      FROM gg WHERE n = 1 GROUP BY lang, g),
+e AS (SELECT lang,
+        list(struct_pack(g := g, cnt := cnt) ORDER BY g) AS rows_,
+        CAST(sum(cnt) AS BIGINT) AS tot
+      FROM c GROUP BY lang),
+ent AS (SELECT lang, round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(rows_, s -> -(s.cnt * 1.0 / tot) * ln(s.cnt * 1.0 / tot))),
+          (a, x) -> a + x), 6) AS entropy
+        FROM e),
+nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
+SELECT nd.lang, nd.n_docs, ttr.n_tokens, ttr.distinct_tokens,
+       round(ttr.distinct_tokens * 1.0 / ttr.n_tokens, 6) AS ttr,
+       round(ttr.distinct_bigrams * 1.0 / ttr.n_bigrams, 6) AS bigram_ttr,
+       round(ttr.distinct_trigrams * 1.0 / ttr.n_trigrams, 6) AS trigram_ttr,
+       ent.entropy
+FROM nd JOIN ttr USING (lang) JOIN ent USING (lang)"""
+
+
+# --- x24: curriculum schedule (round 15) --------------------------------------
+
+#: number of curriculum stages (quality quartiles)
+X24_STAGES = 4
+
+
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x24: CURRICULUM ordering for the training loader — documents
+    bucketed into quality quartiles (stage 1 = cleanest first, the
+    easy-to-hard pacing curriculum learning uses), deterministically
+    interleaved WITHIN each stage (x15's multiplicative-hash key, so
+    consecutive loader reads never correlate with ingest order).
+    Score = t14's logistic quality probability, rounded to 6 BEFORE the
+    rank so stage boundaries tie-break identically across engines.
+
+    Scale shape: both windows run over slim (doc_id, qscore) rows —
+    the ntile is ONE range exchange of ids+scores (never documents); at
+    100 TB swap it for approx-quantile stage cuts broadcast into a
+    filter (the t12 note), keeping the same output contract."""
+    from pyspark.sql import Window
+
+    f = quality_features("text")
+    z = (
+        F.lit(QC_WEIGHTS["bias"])
+        + QC_WEIGHTS["n_tokens"] * f["n_tokens"]
+        + QC_WEIGHTS["distinct_ratio"] * f["distinct_ratio"]
+        + QC_WEIGHTS["stopword_ratio"] * f["stopword_ratio"]
+        + QC_WEIGHTS["mean_token_len"] * f["mean_token_len"]
+    )
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("qscore"),
+        ((F.col("doc_id") % PRIO_MOD) * F.lit(PRIO_MULT)).alias("rank_key"),
+    )
+    w_stage = Window.orderBy(F.desc("qscore"), F.asc("doc_id"))
+    w_pos = Window.partitionBy("stage").orderBy("rank_key", "doc_id")
+    return (
+        scored.withColumn("stage", F.ntile(X24_STAGES).over(w_stage))
+        .withColumn("pos", F.row_number().over(w_pos))
+        .select("doc_id", "qscore", "stage", "pos")
+    )
+
+
+QUERIES["x24_curriculum_schedule"] = q_curriculum_schedule
+ORACLES["x24_curriculum_schedule"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+        len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) AS stopword_ratio,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) * 1.0 / len(toks) AS mean_token_len
+      FROM t),
+s AS (SELECT doc_id,
+        round(1.0 / (1.0 + exp(-({QC_WEIGHTS['bias']} + {QC_WEIGHTS['n_tokens']} * n_tokens
+          + {QC_WEIGHTS['distinct_ratio']} * distinct_ratio
+          + {QC_WEIGHTS['stopword_ratio']} * stopword_ratio
+          + {QC_WEIGHTS['mean_token_len']} * mean_token_len))), 6) AS qscore,
+        (doc_id % {PRIO_MOD}) * {PRIO_MULT} AS rank_key
+      FROM f),
+st AS (SELECT doc_id, qscore, rank_key,
+        CAST(ntile({X24_STAGES}) OVER (ORDER BY qscore DESC, doc_id) AS INTEGER) AS stage
+       FROM s)
+SELECT doc_id, qscore, stage,
+       CAST(row_number() OVER (PARTITION BY stage ORDER BY rank_key, doc_id) AS INTEGER) AS pos
+FROM st"""

@@ -2032,3 +2032,82 @@ def test_cache_scope_releases_composed_plan_persists(spark, sf_dir):
         assert outer_frames == [a]
         assert not cache_empty()  # a still cached after inner exit
     assert cache_empty()
+
+
+def test_dsir_log_weights_prefers_target_like_docs(spark):
+    """x23 kernel semantics: a candidate written in the target's
+    vocabulary must out-score a candidate of off-target noise, docs
+    with a single token still score (no bigram leg), and weights are
+    finite under add-one smoothing even for grams the target never
+    saw."""
+    from nyc_taxi_etl_dashboard_spark.operators.text import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),      # exactly on-target
+            (2, "zq9 xv7 kkj qpw mzl aab"),      # off-target noise
+            (3, "cat"),                          # single token: unigram leg only
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.id: r.log_w for r in dsir_log_weights(cand, target).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] > rows[2], rows
+    assert all(w == w and abs(w) < 1e6 for w in rows.values())  # finite
+
+
+def test_source_overlap_matrix_exact_and_estimate(spark):
+    """dd16 kernel: exact Jaccard between source shingle SETS matches a
+    hand computation, the pair list is the strict upper triangle, and
+    the MinHash estimate is deterministic and bounded in [0, 1]."""
+    from nyc_taxi_etl_dashboard_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    # srcA: shingles {a b c, b c d} ; srcB: {a b c, b c e} -> jaccard 1/3
+    # srcC: disjoint vocabulary -> jaccard 0 with both
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "a b c d"),
+            (2, "B", "a b c e"),
+            (3, "C", "x y z w"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = {
+        (r.grp_a, r.grp_b): (r.est_jaccard, r.jaccard)
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert out[("A", "B")][1] == round(1 / 3, 6)
+    assert out[("A", "C")][1] == 0.0
+    assert out[("B", "C")][1] == 0.0
+    for est, _ in out.values():
+        assert 0.0 <= est <= 1.0
+
+
+def test_curriculum_schedule_stage_and_pos_contract(spark, sf_dir, duck):
+    """x24: ntile stages partition the corpus into near-equal quality
+    quartiles (sizes differ by at most 1), stage 1 holds the highest
+    scores, and within-stage positions are a 1..n_s permutation."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        X24_STAGES,
+        q_curriculum_schedule,
+    )
+
+    rows = q_curriculum_schedule(spark, sf_dir).collect()
+    by_stage: dict = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert set(by_stage) == set(range(1, X24_STAGES + 1))
+    sizes = [len(v) for _, v in sorted(by_stage.items())]
+    assert max(sizes) - min(sizes) <= 1
+    assert min(r.qscore for r in by_stage[1]) >= max(
+        r.qscore for r in by_stage[X24_STAGES]
+    )
+    for s, grp in by_stage.items():
+        assert sorted(r.pos for r in grp) == list(range(1, len(grp) + 1))

@@ -258,6 +258,9 @@ def test_no_hof_recompute_in_scan_filters(spark, sf_dir):
         # round-7: minhash-signature banding (dd11) and RHP-blocked
         # semantic keep-list (v10) are HOF-heavy on the same traps
         "dd11_incremental_dedup", "v10_semantic_dedup",
+        # round-15: DSIR's gram explode and dd16's per-source shingle
+        # sets are HOF transforms feeding join keys — the same trap
+        "x23_dsir_resample", "dd16_source_overlap",
     ]
     markers = (
         "isnotnull(transform(", "isnotnull(aggregate(",
@@ -449,3 +452,56 @@ def test_epoch_expand_broadcast_plan_no_global_sort(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
     assert "Generate explode" in plan
+
+
+def test_round15_wave_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-15 wave.
+
+    - x23 (DSIR): every join is broadcast — the log-ratio table and the
+      gram-count totals are bounded (≤ n_buckets / 1 row) BY DESIGN, so
+      a SortMergeJoin anywhere means a bounded table stopped being
+      recognized as such and the corpus would shuffle on bucket.
+    - t21 (diversity report): aggregation-only — no sort-merge join and
+      no range exchange may appear; every wide op is a lang/vocab-keyed
+      hash agg.
+    - x24 (curriculum): exactly ONE SinglePartition exchange — the
+      global ntile rank, the documented approx-quantile swap point at
+      100 TB; a second one means the per-stage position window stopped
+      riding the same layout.
+    - all three: zero Python (pure codegen).
+    """
+    import re
+
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import QUERIES
+
+    def plan(name):
+        return (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p23 = plan("x23_dsir_resample")
+    assert "SortMergeJoin" not in p23
+    assert p23.count("BroadcastHashJoin") >= 3
+    assert "PythonUDF" not in p23
+
+    p21 = plan("t21_ngram_diversity")
+    assert "SortMergeJoin" not in p21
+    assert "rangepartitioning" not in p21
+    assert "PythonUDF" not in p21
+
+    p24 = plan("x24_curriculum_schedule")
+    assert len(re.findall(r"Exchange SinglePartition", p24)) == 1
+    assert "SortMergeJoin" not in p24
+    assert "PythonUDF" not in p24
+
+    # dd16: the sketch leg reduces to one signature row per source
+    # before any pair logic (cross join over |groups| rows only); the
+    # exact leg is the ONE permitted sort-merge join (shingle-keyed,
+    # group granularity). A second SMJ means the sketch leg regressed
+    # into a pair-space shuffle.
+    p16 = plan("dd16_source_overlap")
+    assert p16.count("SortMergeJoin") <= 1
+    assert "PythonUDF" not in p16
