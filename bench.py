@@ -164,6 +164,13 @@ CURATION = [
     # round-14: exact epoch expansion (x20's plan executed to integer-
     # exact per-language training-store rows)
     "x22_epoch_expand",
+    # round-15: DSIR importance resampling (hashed-ngram weights vs the
+    # src0 target), cross-source MinHash overlap matrix, per-language
+    # n-gram diversity report, curriculum staging
+    "x23_dsir_resample",
+    "dd16_source_overlap",
+    "t21_ngram_diversity",
+    "x24_curriculum_schedule",
 ]
 
 

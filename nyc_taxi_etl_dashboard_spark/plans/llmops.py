@@ -4789,3 +4789,32 @@ st AS (SELECT doc_id, qscore, rank_key,
 SELECT doc_id, qscore, stage,
        CAST(row_number() OVER (PARTITION BY stage ORDER BY rank_key, doc_id) AS INTEGER) AS pos
 FROM st"""
+
+
+def q_dsir_resample_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x23's production twin: the same DSIR weights, but the per-language
+    top-k runs through the skew-safe ``capped_keep_first`` kernel (x10's
+    three-stage shape) instead of a plain rank window — at 100 TB one
+    language can be 40% of the corpus, and the plain window funnels it
+    through a single reducer. Output: the kept doc_ids with their
+    weights (the keep-list the sampler ships), exact-equal to the cert
+    query's ``keep = true`` slice by the kernel's pinned equivalence."""
+    from ..operators.skew import capped_keep_first
+    from ..operators.text import dsir_log_weights
+
+    d = _docs(spark, sf_dir)
+    cand = d.filter(F.col("source") != "src0")
+    target = d.filter(F.col("source") == "src0")
+    w = dsir_log_weights(cand, target, n_buckets=X23_BUCKETS).select(
+        F.col("id").alias("doc_id"), "log_w"
+    )
+    slim = (
+        w.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("__ord", F.struct((-F.col("log_w")).alias("nw"), "doc_id"))
+    )
+    return capped_keep_first(slim, "lang", "__ord", F.lit(X23_PER_LANG)).select(
+        "doc_id", "lang", "log_w"
+    )
+
+
+BENCH_ONLY["x23_prod"] = q_dsir_resample_prod

@@ -2111,3 +2111,24 @@ def test_curriculum_schedule_stage_and_pos_contract(spark, sf_dir, duck):
     )
     for s, grp in by_stage.items():
         assert sorted(r.pos for r in grp) == list(range(1, len(grp) + 1))
+
+
+def test_dsir_prod_twin_equals_cert_keep_slice(spark, sf_dir):
+    """x23_prod (skew-safe capped_keep_first top-k) must select exactly
+    the cert query's ``keep = true`` docs with identical weights — the
+    kernel-equivalence contract every prod twin rides."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        BENCH_ONLY,
+        q_dsir_resample,
+    )
+
+    cert = {
+        (r.doc_id, r.lang, r.log_w)
+        for r in q_dsir_resample(spark, sf_dir).collect()
+        if r.keep
+    }
+    prod = {
+        (r.doc_id, r.lang, r.log_w)
+        for r in BENCH_ONLY["x23_prod"](spark, sf_dir).collect()
+    }
+    assert prod == cert
