@@ -4818,3 +4818,52 @@ def q_dsir_resample_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENCH_ONLY["x23_prod"] = q_dsir_resample_prod
+
+
+def q_curriculum_schedule_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x24's production twin — the documented 100 TB swap executed: the
+    global ntile (ONE SinglePartition sort, measured going serial in the
+    last decade of the 100× run: 0.75 → 6.8 s for 10× rows) is replaced
+    by approx-quantile stage cuts broadcast into a comparison, so stage
+    assignment is map-side and the only windows are the per-stage
+    interleave ranks (parallel across stages). Stage populations land
+    within percentile_approx's error bound of exact quartiles —
+    certified by the pytest bound check, t13's sketch-vs-exact pattern.
+    """
+    from pyspark.sql import Window
+
+    f = quality_features("text")
+    z = (
+        F.lit(QC_WEIGHTS["bias"])
+        + QC_WEIGHTS["n_tokens"] * f["n_tokens"]
+        + QC_WEIGHTS["distinct_ratio"] * f["distinct_ratio"]
+        + QC_WEIGHTS["stopword_ratio"] * f["stopword_ratio"]
+        + QC_WEIGHTS["mean_token_len"] * f["mean_token_len"]
+    )
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("qscore"),
+        ((F.col("doc_id") % PRIO_MOD) * F.lit(PRIO_MULT)).alias("rank_key"),
+    )
+    cuts = scored.agg(
+        F.percentile_approx(
+            "qscore", [0.25, 0.5, 0.75], 10_000
+        ).alias("c")
+    )
+    w_pos = Window.partitionBy("stage").orderBy("rank_key", "doc_id")
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        # stage 1 = highest quality (ntile orientation: score DESC)
+        .withColumn(
+            "stage",
+            F.when(F.col("qscore") >= F.col("c")[2], 1)
+            .when(F.col("qscore") >= F.col("c")[1], 2)
+            .when(F.col("qscore") >= F.col("c")[0], 3)
+            .otherwise(4),
+        )
+        .withColumn("pos", F.row_number().over(w_pos))
+        .select("doc_id", "qscore", "stage", "pos")
+    )
+
+
+BENCH_ONLY["x24_prod"] = q_curriculum_schedule_prod

@@ -2132,3 +2132,28 @@ def test_dsir_prod_twin_equals_cert_keep_slice(spark, sf_dir):
         for r in BENCH_ONLY["x23_prod"](spark, sf_dir).collect()
     }
     assert prod == cert
+
+
+def test_curriculum_prod_twin_stage_bounds(spark, sf_dir):
+    """x24_prod (approx-quantile cuts, no global sort) must produce
+    stage populations within the sketch's error of exact quartiles,
+    keep the quality ordering BETWEEN stages strict (every stage-1 doc
+    scores >= every stage-4 doc), and emit valid per-stage position
+    permutations — the t13 sketch-vs-exact certification pattern."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import BENCH_ONLY
+
+    rows = BENCH_ONLY["x24_prod"](spark, sf_dir).collect()
+    n = len(rows)
+    by_stage: dict = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert set(by_stage) <= {1, 2, 3, 4}
+    for s, grp in by_stage.items():
+        # within 5% of an exact quartile (10k-accuracy sketch at
+        # fixture scale is far tighter; the bound is the contract)
+        assert abs(len(grp) - n / 4) <= max(2, 0.05 * n), (s, len(grp), n)
+        assert sorted(r.pos for r in grp) == list(range(1, len(grp) + 1))
+    if 1 in by_stage and 4 in by_stage:
+        assert min(r.qscore for r in by_stage[1]) >= max(
+            r.qscore for r in by_stage[4]
+        )

@@ -51,6 +51,9 @@ SHOWCASE = [
     ("dd14_dup_spans", "Maximal duplicated-span detection (round 14): shingle-keyed count + per-document gaps-and-islands window — no pair join, no suffix array, no global sort."),
     ("x22_epoch_expand", "Exact epoch expansion (round 14): 5-row broadcast plan + per-language rank window + narrow epoch explode; realized counts equal the mixing plan exactly."),
     ("x21b_export_manifest_ls", "LEAKAGE-SAFE export manifest (round 14): x19's collapse-first LSH + connected-components cluster stage feeds the same single layout Window on (split, shard); no corpus-keyed window and no global sort anywhere in the composition."),
+    ("x23_dsir_resample", "DSIR importance resampling (round 15): bucket-count tables are bounded (≤ n_buckets rows) regardless of corpus size, so every join in the plan is broadcast — the gram explode is the only corpus-scale op, and the per-language rank window sorts slim (doc_id, lang, log_w) rows."),
+    ("dd16_source_overlap", "Cross-source overlap matrix (round 15): per-source MinHash components reduce map-side on the agg's own group key — one signature ROW per source before any pair logic; the exact legs' shingle-keyed join is the single (group-granularity) SortMergeJoin, droppable at 100 TB."),
+    ("t21_ngram_diversity", "N-gram diversity report (round 15): one gram explode feeds a single per-language agg with conditional count_distincts; the entropy fold rides the vocabulary-sized (lang, token) table — no windows, no range exchange, joins only on |langs| rows."),
 ]
 
 
