@@ -201,6 +201,17 @@ PRIORITY_IN_WINDOW = [
         "dd16_source_overlap",
         "t21_ngram_diversity",
         "x24_curriculum_schedule",
+        # NEW in round 15 (second wave): t22 BPE-style pre-tokenizer
+        # census (the subword budget t5's whitespace census
+        # undercounts) and t23 rank-order char-trigram language ID
+        # (Cavnar-Trenkle — integer-exact, next to t4's stopword
+        # heuristic). Rotations (see PRIORITY_TAIL): x10 (its quota
+        # window runs verbatim inside the in-window x11, and its
+        # skew-safe kernel inside x14's three stage caps), v13 (its
+        # exhaustive exact scoring is in-window via v14, its
+        # percentile outlier gate via t12/t13).
+        "t22_bpe_pretokenize",
+        "t23_langid_ngram",
         "a26_mom_growth",
         # v8_sq_cosine rotated to the tail in round 11 for the two new
         # queries (x15 shuffle-shard, a28 cube): scalar-quantization
@@ -303,6 +314,12 @@ PRIORITY_TAIL = [
         "x15_shuffle_shard",
         "mm3_resized_media",
         "v9_embedding_decontam",
+        # round-15 second-wave rotations for t22/t23 (see the
+        # PRIORITY_IN_WINDOW note): x10's window runs inside x11 and
+        # its skew kernel inside x14; v13's exact scoring is v14's,
+        # its percentile gate t12/t13's.
+        "x10_domain_quota",
+        "v13_knn_outliers",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

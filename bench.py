@@ -171,6 +171,10 @@ CURATION = [
     "dd16_source_overlap",
     "t21_ngram_diversity",
     "x24_curriculum_schedule",
+    # round-15 second wave: BPE-ish pre-tokenizer census (map-only
+    # regex) and rank-order char-trigram language ID (integer-exact)
+    "t22_bpe_pretokenize",
+    "t23_langid_ngram",
 ]
 
 

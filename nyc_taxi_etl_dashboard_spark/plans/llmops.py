@@ -4867,3 +4867,189 @@ def q_curriculum_schedule_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENCH_ONLY["x24_prod"] = q_curriculum_schedule_prod
+
+
+# --- t22: BPE-style pre-tokenizer census (round 15) ---------------------------
+
+#: GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and
+#: RE2 (DuckDB) agree: a word run with optional leading space, a digit
+#: run, a punctuation run, or a space run. Both engines use ordered
+#: (leftmost-first) alternation.
+BPE_PRETOKEN_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t22: subword-budget census — per document, the GPT-2-style
+    pre-token count (the unit BPE merges start from, and the practical
+    upper bound on BPE token count), category splits (word/number/
+    punctuation runs), and chars-per-pretoken (the compression proxy
+    token-budget planning uses when the real tokenizer isn't in the
+    cluster). Whitespace-token counts (t5) undercount code and
+    punctuation-dense text by 2-4×; this is the census an LLM data
+    pipeline actually budgets with.
+
+    Scale shape: one regexp_extract_all projection — map-only, no
+    shuffle, no UDF; the regex is anchored alternation over character
+    classes (no backtracking blowup)."""
+    d = _docs(spark, sf_dir)
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_PRETOKEN_RE}', 0)")
+    wrapped = lambda body: F.expr(  # noqa: E731 - bind toks once
+        f"transform(array(regexp_extract_all(text, '{BPE_PRETOKEN_RE}', 0)),"
+        f" t -> {body})[0]"
+    )
+    return d.select(
+        "doc_id",
+        F.array_size(toks).alias("n_pretokens"),
+        wrapped("size(filter(t, x -> x rlike '^ ?[a-zA-Z]+$'))").alias("n_word"),
+        wrapped("size(filter(t, x -> x rlike '^ ?[0-9]+$'))").alias("n_num"),
+        wrapped(
+            "size(filter(t, x -> NOT (x rlike '^ ?[a-zA-Z]+$') "
+            "AND NOT (x rlike '^ ?[0-9]+$') AND NOT (x rlike '^ +$')))"
+        ).alias("n_punct"),
+        F.round(F.length("text") / F.array_size(toks), 6).alias(
+            "chars_per_pretoken"
+        ),
+    )
+
+
+QUERIES["t22_bpe_pretokenize"] = q_bpe_pretokenize
+ORACLES["t22_bpe_pretokenize"] = f"""
+WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                  regexp_extract_all(text, '{BPE_PRETOKEN_RE}') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_pretokens,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^ ?[a-zA-Z]+$'))) AS INTEGER) AS n_word,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^ ?[0-9]+$'))) AS INTEGER) AS n_num,
+       CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '^ ?[a-zA-Z]+$')
+            AND NOT regexp_matches(x, '^ ?[0-9]+$')
+            AND NOT regexp_matches(x, '^ +$'))) AS INTEGER) AS n_punct,
+       round(n_chars * 1.0 / len(toks), 6) AS chars_per_pretoken
+FROM t"""
+
+
+# --- t23: char-trigram language ID (round 15) ---------------------------------
+
+#: Cavnar-Trenkle profile sizes: top-K trigrams per language model,
+#: top-K_DOC per document, out-of-place penalty = T23_K
+T23_K = 100
+T23_K_DOC = 50
+
+
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t23: n-gram language-ID proper (Cavnar-Trenkle 1994) — the
+    rank-order character-trigram classifier, next to t4's stopword
+    heuristic: per language, the top-{T23_K} char trigrams by frequency
+    form a ranked profile; each document's top-{T23_K_DOC} trigrams are
+    compared by out-of-place distance (|doc_rank − lang_rank|, penalty
+    {T23_K} for trigrams outside the profile); prediction = argmin.
+    Everything is INTEGER arithmetic — no float folds, so cross-engine
+    equality is exact, not rounded.
+
+    Scale shape: language profiles are ≤ {T23_K}·|langs| rows (broadcast
+    everywhere); document profiles come from a per-document window
+    (parallel across docs, bounded by per-doc distinct trigrams); the
+    scoring join is doc-profile × |langs| with the profile broadcast.
+    One corpus-scale explode (the trigram pass), everything downstream
+    keyed or bounded. Docs shorter than 3 chars have no trigrams and are
+    excluded (documented; the fixture has none).
+
+    Fixture honesty note: the synthetic languages share one English-word
+    vocabulary, so trigram profiles barely separate — measured accuracy
+    0.31 vs 0.20 chance at sf0.01. The certification here is HASH
+    EXACTNESS of the rank-order algorithm (pure integer arithmetic);
+    on real multilingual text this classifier is the standard ~99%
+    heuristic."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    tg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN "
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, CAST(i AS INT), 3)) "
+                "ELSE array() END"
+            )
+        ).alias("tg"),
+    )
+    w_lang = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tg"))
+    lang_prof = (
+        tg.groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("lang_rank", F.row_number().over(w_lang))
+        .filter(F.col("lang_rank") <= T23_K)
+        .select(F.col("lang").alias("cand"), "tg", "lang_rank")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tg"))
+    doc_prof = (
+        tg.groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("doc_rank", F.row_number().over(w_doc))
+        .filter(F.col("doc_rank") <= T23_K_DOC)
+        .select("doc_id", "tg", "doc_rank")
+    )
+    langs = d.select(F.col("lang").alias("cand")).distinct()
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(lang_prof), ["cand", "tg"], "left")
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("doc_rank") - F.col("lang_rank")),
+                    F.lit(T23_K),
+                )
+            ).alias("dist")
+        )
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("cand"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("lang_pred"), "dist")
+    )
+    return best.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "lang_pred",
+        "dist",
+        (F.col("lang") == F.col("lang_pred")).alias("correct"),
+    )
+
+
+QUERIES["t23_langid_ngram"] = q_langid_ngram
+ORACLES["t23_langid_ngram"] = f"""
+WITH d AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+tg AS (SELECT doc_id, lang, unnest(
+         list_transform(range(length(text) - 2), i -> text[i+1:i+3])) AS tg
+       FROM d),
+lp AS (SELECT lang AS cand, tg, lang_rank FROM (
+         SELECT lang, tg, CAST(count(*) AS BIGINT) AS cnt,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY count(*) DESC, tg) AS lang_rank
+         FROM tg GROUP BY lang, tg)
+       WHERE lang_rank <= {T23_K}),
+dp AS (SELECT doc_id, tg, doc_rank FROM (
+         SELECT doc_id, tg, CAST(count(*) AS BIGINT) AS cnt,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY count(*) DESC, tg) AS doc_rank
+         FROM tg GROUP BY doc_id, tg)
+       WHERE doc_rank <= {T23_K_DOC}),
+langs AS (SELECT DISTINCT lang AS cand FROM d),
+sc AS (SELECT dp.doc_id, langs.cand,
+              CAST(sum(coalesce(abs(dp.doc_rank - lp.lang_rank), {T23_K})) AS BIGINT) AS dist
+       FROM dp CROSS JOIN langs
+       LEFT JOIN lp ON lp.cand = langs.cand AND lp.tg = dp.tg
+       GROUP BY dp.doc_id, langs.cand),
+best AS (SELECT doc_id, cand AS lang_pred, dist FROM (
+           SELECT doc_id, cand, dist,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY dist, cand) AS rn
+           FROM sc)
+         WHERE rn = 1)
+SELECT b.doc_id, d.lang, b.lang_pred, b.dist,
+       d.lang = b.lang_pred AS correct
+FROM best b JOIN d USING (doc_id)"""

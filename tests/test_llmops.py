@@ -2157,3 +2157,46 @@ def test_curriculum_prod_twin_stage_bounds(spark, sf_dir):
         assert min(r.qscore for r in by_stage[1]) >= max(
             r.qscore for r in by_stage[4]
         )
+
+
+def test_bpe_pretokenize_categories_hand_computed(spark):
+    """t22: the pre-tokenizer's segmentation on a hand-checkable string.
+    'Call 911, now!!' → [Call][ 911][,][ now][!!] = 5 pretokens,
+    1 word + 1 number + 2 punct runs... wait: ',' and '!!' are two punct
+    runs and ' now' is a word run → 2 word, 1 num, 2 punct."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import q_bpe_pretokenize
+    import tempfile, os
+
+    d = spark.createDataFrame(
+        [(1, "Call 911, now!!", "en", "src1", 15)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    tmp = tempfile.mkdtemp()
+    d.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    r = q_bpe_pretokenize(spark, tmp).collect()[0]
+    assert (r.n_pretokens, r.n_word, r.n_num, r.n_punct) == (5, 2, 1, 2), r
+    assert r.chars_per_pretoken == 3.0  # 15 chars / 5 pretokens
+
+
+def test_langid_ngram_separates_distinct_alphabets(spark):
+    """t23: on a fixture whose languages genuinely use disjoint
+    character sets, the rank-order classifier must be exact — the
+    accuracy ceiling measured on the shared-vocabulary corpus fixture
+    (0.31) is a property of that fixture, not the operator."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import q_langid_ngram
+    import tempfile, os
+
+    rows = []
+    for i in range(8):
+        rows.append((i, f"aaa bbb ccc ddd eee ff{i} aab abb", "aa", "s", 30))
+        rows.append((100 + i, f"xxx yyy zzz www vvv uu{i} xxy xyy", "xx", "s", 30))
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    tmp = tempfile.mkdtemp()
+    d.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = q_langid_ngram(spark, tmp).collect()
+    assert len(out) == 16
+    assert all(r.correct for r in out), [
+        (r.doc_id, r.lang, r.lang_pred) for r in out if not r.correct
+    ]
