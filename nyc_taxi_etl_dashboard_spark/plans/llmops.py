@@ -4992,6 +4992,18 @@ def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tg", "doc_rank")
     )
     langs = d.select(F.col("lang").alias("cand")).distinct()
+    # Measured negative (round 15, interleaved A/B min-of-2 at 1× and
+    # 100×): rewriting this to join ONLY profile hits — dist decomposes
+    # as n_rows·K + Σ_matched(|Δ|−K) with every matched term strictly
+    # negative, so unmatched candidates can never win — is value-
+    # identical (oracle hash unchanged) but SLOWER here: naive
+    # 2.65/41.5 s vs matched-only 3.22/44.3 s at 1×/100×. On this
+    # fixture languages share one vocabulary, so ~every doc trigram
+    # matches ~every profile and the penalty stream the rewrite avoids
+    # barely exists, while its extra aggs (n_rows, anti-join fallback,
+    # union) cost real time. On a real multilingual corpus (sparse
+    # matches) the decomposition is the right form — revisit only with
+    # a disjoint-alphabet fixture measurement.
     scored = (
         doc_prof.crossJoin(F.broadcast(langs))
         .join(F.broadcast(lang_prof), ["cand", "tg"], "left")
