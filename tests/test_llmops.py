@@ -2200,3 +2200,55 @@ def test_langid_ngram_separates_distinct_alphabets(spark):
     assert all(r.correct for r in out), [
         (r.doc_id, r.lang, r.lang_pred) for r in out if not r.correct
     ]
+
+
+def test_dsir_target_steers_weights_by_language(spark):
+    """x23's kernel is target-parametric (SURVEY §24 item 1): steering
+    the target to one vocabulary must rank candidates of that
+    vocabulary above the other — for BOTH steering directions, and
+    after per-gram normalization (log_w is a sum over grams, so raw
+    weights confound with length). Uses a two-vocabulary synthetic
+    fixture: the corpus fixture's languages share one vocabulary
+    (measured: t23 accuracy 0.31, and language steering does NOT
+    separate there — that is a fixture property, verified while
+    writing this test, not an operator defect)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_dashboard_spark.operators.text import dsir_log_weights
+
+    def mk(vocab, i, n=12):
+        return " ".join(vocab[(i * 7 + j) % len(vocab)] for j in range(n))
+
+    va = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    vb = ["xray", "yankee", "zulu", "whisky", "victor", "uniform"]
+    rows = []
+    for i in range(20):
+        rows.append((i, "A", mk(va, i)))
+        rows.append((100 + i, "B", mk(vb, i)))
+    d = spark.createDataFrame(rows, "doc_id bigint, grp string, text string")
+
+    for steer in ("A", "B"):
+        target = d.filter(
+            (F.col("grp") == steer) & (F.col("doc_id") % 2 == 0)
+        )
+        cand = d.filter(F.col("doc_id") % 2 == 1)
+        w = dsir_log_weights(cand, target).select(
+            F.col("id").alias("doc_id"), "log_w"
+        )
+        ng = d.select(
+            "doc_id",
+            "grp",
+            (F.array_size(F.split("text", " ")) * 2 - 1).alias("n_grams"),
+        )
+        means = {
+            r.grp: r.m
+            for r in w.join(ng, "doc_id")
+            .withColumn("pg", F.col("log_w") / F.col("n_grams"))
+            .groupBy("grp")
+            .agg(F.avg("pg").alias("m"))
+            .collect()
+        }
+        assert means[steer] > means["A" if steer == "B" else "B"], (
+            steer,
+            means,
+        )
