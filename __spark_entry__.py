@@ -212,6 +212,15 @@ PRIORITY_IN_WINDOW = [
         # percentile outlier gate via t12/t13).
         "t22_bpe_pretokenize",
         "t23_langid_ngram",
+        # NEW in round 16: x25 DSIR against a CALLER-CHOSEN lang-
+        # balanced target (VERDICT r12 item 2 — proves the x23 kernel
+        # is target-parametric end-to-end, oracle included). Rotation
+        # (see PRIORITY_TAIL): t11 — green r6-r12, map-only regex
+        # scrub frozen since r6; its cross-engine regexp_extract_all
+        # contract is exercised in-window by t22's pre-tokenizer
+        # census, and its redaction composition inside the in-window
+        # x11/x14/x16 pipelines.
+        "x25_dsir_balanced",
         "a26_mom_growth",
         # v8_sq_cosine rotated to the tail in round 11 for the two new
         # queries (x15 shuffle-shard, a28 cube): scalar-quantization
@@ -227,10 +236,8 @@ PRIORITY_IN_WINDOW = [
         # (probe-all IVF ≡ brute force, quantizer-independent);
         # a22/a23 — green r3/r4/r5, frozen — absorb the overflow.
         "v7_ivf_trained",
-        # NEW in round 6: PII scrub + audit counts (cross-engine regex
-        # certification); w5 — green r3/r4/r5, frozen, lag machinery
-        # still evidenced in-window by w6/a26 — absorbs the overflow.
-        "t11_pii_redaction",
+        # t11 (PII scrub, NEW in round 6) left this list in round 16
+        # for x25 — see the round-16 note below and PRIORITY_TAIL.
         # NEW in round 6: composed quality-gate → mixture-plan →
         # deterministic-sample pipeline; w3/w4 — green r3/r4/r5, frozen,
         # window machinery still evidenced in-window by w1 (rank) and
@@ -255,6 +262,10 @@ PRIORITY_TAIL = [
         # test documents this as deliberate — it was previously only a
         # comment, which is how the original x9 spill went unnoticed.
         "x8_mixture_plan",
+        # t11 rotated out in round 16 for x25 (see PRIORITY_IN_WINDOW):
+        # map-only regex scrub frozen since r6, green r6-r12; regex
+        # contract in-window via t22, composition via x11/x14/x16.
+        "t11_pii_redaction",
         # dd10 rotated out in round 10 for dd13 (see PRIORITY_IN_WINDOW)
         "dd10_cluster_curation",
         # e7 rotated out in round 13 for x21 (see PRIORITY_IN_WINDOW)

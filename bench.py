@@ -175,6 +175,9 @@ CURATION = [
     # regex) and rank-order char-trigram language ID (integer-exact)
     "t22_bpe_pretokenize",
     "t23_langid_ngram",
+    # round-16: DSIR against a caller-chosen lang-balanced target
+    # (VERDICT r12 item 2 — the target-parametric proof query)
+    "x25_dsir_balanced",
 ]
 
 

@@ -4518,13 +4518,21 @@ _DSIR_GRAMS = """
         CASE WHEN len(t) >= 2 THEN
           list_transform(range(len(t) - 1), i -> {tv_i} * 131 + {tv_i1})
         ELSE [] END)) AS g
-      FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents
+      FROM (SELECT doc_id, string_split(text,' ') AS t FROM {frm}
             WHERE {src})""".format
-ORACLES["x23_dsir_resample"] = f"""
-WITH cg AS ({_DSIR_GRAMS(tv_s=_TV.format(v='s'), tv_i=_TV.format(v='t[i+1]'),
-                         tv_i1=_TV.format(v='t[i+2]'), src="source <> 'src0'")}),
-tg AS ({_DSIR_GRAMS(tv_s=_TV.format(v='s'), tv_i=_TV.format(v='t[i+1]'),
-                    tv_i1=_TV.format(v='t[i+2]'), src="source = 'src0'")}),
+
+
+def _dsir_oracle(prelude: str, frm: str, cand_src: str, tgt_src: str) -> str:
+    """x23/x25 share the whole DSIR scoring tail; only the candidate /
+    target slices differ. ``prelude`` injects extra CTEs (x25's
+    balanced-target row_number table) ahead of the gram CTEs."""
+    grams = lambda src: _DSIR_GRAMS(  # noqa: E731
+        tv_s=_TV.format(v="s"), tv_i=_TV.format(v="t[i+1]"),
+        tv_i1=_TV.format(v="t[i+2]"), frm=frm, src=src,
+    )
+    return f"""
+WITH {prelude}cg AS ({grams(cand_src)}),
+tg AS ({grams(tgt_src)}),
 cb AS (SELECT doc_id, (g * 2654435761) % {X23_BUCKETS} AS bucket FROM cg),
 tb AS (SELECT (g * 2654435761) % {X23_BUCKETS} AS bucket FROM tg),
 raw AS (SELECT bucket, count(*) AS cnt_r FROM cb GROUP BY bucket),
@@ -4546,6 +4554,76 @@ SELECT s.doc_id, d.lang, s.log_w,
        CAST(row_number() OVER (PARTITION BY d.lang
             ORDER BY s.log_w DESC, s.doc_id) AS INTEGER) <= {X23_PER_LANG} AS keep
 FROM s JOIN documents d USING (doc_id)"""
+
+
+ORACLES["x23_dsir_resample"] = _dsir_oracle(
+    "", "documents", "source <> 'src0'", "source = 'src0'"
+)
+
+
+# --- x25: DSIR with a parameterized (lang-balanced) target --------------------
+
+#: x25's target width: the first X25_TARGET_PER_LANG doc_ids of every
+#: language form the target corpus (every fixture language has >= 64
+#: docs at sf0.01, so the target is exactly balanced by construction)
+X25_TARGET_PER_LANG = 40
+
+
+def q_dsir_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x25: DSIR against a CALLER-CHOSEN target (VERDICT r12 item 2 —
+    the operator always took any target DataFrame; this registers the
+    proof). The target here is LANG-BALANCED: the first
+    X25_TARGET_PER_LANG doc_ids of every language, the "rebalance my
+    pretraining mix toward low-resource languages" use of DSIR (Xie et
+    al. §5 run it against Wikipedia; any slice works). Same scoring and
+    deterministic top-k-per-language output shape as x23, so the two
+    queries A/B the target's steering effect directly:
+    ``tests/test_llmops.py::test_dsir_balanced_target_lifts_minority_langs``
+    pins that non-English candidates rank strictly higher here than
+    under x23's src0 target.
+
+    Scale shape: one extra lang-partitioned row_number over slim
+    ``(doc_id, lang)`` rows to split target from candidates (one
+    shuffle of the id column, not the text); the scoring core is
+    operators/text.py:dsir_log_weights unchanged — bucket tables stay
+    ≤ X23_BUCKETS rows regardless of corpus size. NEW vs reference."""
+    from pyspark.sql import Window
+
+    from ..operators import scoped_persist
+    from ..operators.text import dsir_log_weights
+
+    d = _docs(spark, sf_dir)
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+    # persist: target and candidates both read the ranked table; without
+    # this the lang window (and the scan under it) runs twice
+    m = scoped_persist(d.select("doc_id", "lang", "text").withColumn("rn", rn))
+    target = m.filter(F.col("rn") <= X25_TARGET_PER_LANG)
+    cand = m.filter(F.col("rn") > X25_TARGET_PER_LANG)
+    w = dsir_log_weights(cand, target, n_buckets=X23_BUCKETS).select(
+        F.col("id").alias("doc_id"), "log_w"
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("log_w"), F.asc("doc_id"))
+    return (
+        w.join(d.select("doc_id", "lang"), "doc_id")
+        .withColumn("rnk", F.row_number().over(win))
+        .select(
+            "doc_id",
+            "lang",
+            "log_w",
+            "rnk",
+            (F.col("rnk") <= X23_PER_LANG).alias("keep"),
+        )
+    )
+
+
+QUERIES["x25_dsir_balanced"] = q_dsir_balanced
+ORACLES["x25_dsir_balanced"] = _dsir_oracle(
+    "m AS (SELECT doc_id, lang, text, row_number() OVER "
+    "(PARTITION BY lang ORDER BY doc_id) AS rn FROM documents), ",
+    "m",
+    f"rn > {X25_TARGET_PER_LANG}",
+    f"rn <= {X25_TARGET_PER_LANG}",
+)
 
 
 # --- dd16: cross-source overlap matrix (round 15) -----------------------------
