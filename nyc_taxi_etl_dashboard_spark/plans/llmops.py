@@ -3270,25 +3270,17 @@ packed AS (
 SELECT doc_id, source, n_tokens, start_offset, start_offset // 256 AS bin_id FROM packed"""
 
 
-def q_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar quantization (int8-style) for embedding compression: one
-    global [min,max] stats pass, per-value linear quantization to 0..255
-    (floor, not round — Spark and DuckDB round() disagree at ties),
-    cosine computed on DEQUANTIZED vectors — the 4x-memory compression
-    every large vector store applies before ANN. Estimate, exact cosine,
-    and abs error are all oracle-checked, so the compression loss itself
-    is pinned, not assumed. Stats ride a broadcast 1-row cross join (no
-    driver collect in the plan)."""
-    from ..operators.similarity import cosine
-
-    e = _embs(spark, sf_dir).filter(F.col("vec_id") < 20).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+def _sq_dequantized(e: DataFrame) -> DataFrame:
+    """``(vec_id, v, dv)`` — the scalar-quantization kernel both v8
+    forms share: one global [min,max] stats pass, per-value linear
+    quantization to 0..255 (floor, not round — Spark and DuckDB round()
+    disagree at ties), dequantized twin alongside the original. Stats
+    ride a broadcast 1-row cross join (no driver collect in the plan)."""
     stats = e.agg(
         F.min(F.expr("array_min(v)")).alias("mn"),
         F.max(F.expr("array_max(v)")).alias("mx"),
     )
-    deq = e.crossJoin(F.broadcast(stats)).select(
+    return e.crossJoin(F.broadcast(stats)).select(
         "vec_id",
         "v",
         F.expr(
@@ -3296,23 +3288,72 @@ def q_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q -> mn + q * (mx - mn) / 255)"
         ).alias("dv"),
     )
+
+
+def _sq_scored_pairs(deq: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Score ``(id_a, id_b)`` pairs on the dequantized vs exact vectors
+    — the cert query and the prod twin run THIS same select, so the
+    loss columns are kernel-identical by construction."""
+    from ..operators.similarity import cosine
+
     a = deq.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("dv").alias("da")
     )
     b = deq.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("dv").alias("db")
     )
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     est, exact = cosine("da", "db"), cosine("va", "vb")
-    return pairs.select(
-        "id_a", "id_b",
-        est.alias("cos_sq"),
-        exact.alias("cosine"),
-        F.abs(est - exact).alias("abs_err"),
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("cos_sq"),
+            exact.alias("cosine"),
+            F.abs(est - exact).alias("abs_err"),
+        )
     )
 
 
+def q_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (int8-style) for embedding compression:
+    cosine computed on DEQUANTIZED vectors — the 4x-memory compression
+    every large vector store applies before ANN. Estimate, exact cosine,
+    and abs error are all oracle-checked, so the compression loss itself
+    is pinned, not assumed. CERTIFICATION SHAPE: all pairs of a 20-vector
+    slice, so the oracle covers every pair the fixture can produce; the
+    blocked production shape is v8_prod (BENCH_ONLY), which scores only
+    RHP candidate pairs — VERDICT r12 item 3."""
+    e = _embs(spark, sf_dir).filter(F.col("vec_id") < 20).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a_ids = e.select(F.col("vec_id").alias("id_a"))
+    b_ids = e.select(F.col("vec_id").alias("id_b"))
+    pairs = a_ids.crossJoin(b_ids).filter(F.col("id_a") < F.col("id_b"))
+    return _sq_scored_pairs(_sq_dequantized(e), pairs)
+
+
+def q_sq_cosine_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v8's production twin (VERDICT r12 item 3): the same SQ
+    compression-loss audit, but scored ONLY over the RHP-bucketed
+    candidate pairs of the FULL embeddings table — the shape a 100 TB
+    store actually runs, where the loss audit rides the same candidate
+    stream the semantic-dedup/ANN path already generates
+    (operators/similarity.py:embedding_candidate_pairs: signature
+    equi-join + multi-probe, id-pairs shuffle, never vectors, no
+    all-pairs anywhere — ``test_sq_prod_twin`` pins plan + equality
+    with the cert kernel on the candidate subset)."""
+    from ..operators.similarity import embedding_candidate_pairs
+
+    raw = _embs(spark, sf_dir)
+    e = raw.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    pairs = embedding_candidate_pairs(raw, n_planes=16, probe_radius=1, dim=64)
+    return _sq_scored_pairs(_sq_dequantized(e), pairs)
+
+
 QUERIES["v8_sq_cosine"] = q_sq_cosine
+BENCH_ONLY["v8_prod"] = q_sq_cosine_prod
 _DEQ = (
     "list_transform(list_transform({v}, x -> floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255)), "
     "q -> mn + q * (mx - mn) / 255)"

@@ -17,6 +17,7 @@ from .writers import (
     write_csv,
     write_jdbc_append,
     write_jdbc_upsert,
+    write_jdbc_upsert_pushdown,
     write_json_report,
     write_parquet,
     write_parquet_timestamped,
@@ -34,4 +35,5 @@ __all__ = [
     "write_json_report",
     "write_jdbc_append",
     "write_jdbc_upsert",
+    "write_jdbc_upsert_pushdown",
 ]

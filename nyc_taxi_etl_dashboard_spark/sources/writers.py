@@ -185,6 +185,105 @@ def write_jdbc_upsert(
     write_jdbc_append(fresh, url, table, properties)
 
 
+def upsert_pushdown_sql(
+    table: str,
+    staging: str,
+    columns: list[str],
+    key_cols: list[str],
+    dialect: str = "postgres",
+) -> list[str]:
+    """The single-round-trip upsert statements (S9 pushdown form,
+    reference ``load.py:121-123``): executed AS ONE TRANSACTION after
+    the frame is staged. Emitted, not inlined, so tests can pin the
+    exact SQL without a Postgres server (DuckDB runs the same dialect —
+    ``tests/test_sources.py::test_upsert_pushdown_sql_semantics``
+    certifies the statements against the anti-join path's results).
+
+    ``ON CONFLICT (keys) DO NOTHING`` requires a PRIMARY KEY or UNIQUE
+    constraint on ``key_cols`` at the target (the reference's tables
+    declare one, ``load.py:19-59`` / ``create_star_schema_sql``)."""
+    if dialect != "postgres":
+        raise ValueError(
+            f"no ON CONFLICT pushdown for dialect {dialect!r}; "
+            "use write_jdbc_upsert (anti-join form)"
+        )
+    cols = ", ".join(columns)
+    keys = ", ".join(key_cols)
+    return [
+        f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+        f"ON CONFLICT ({keys}) DO NOTHING",
+        f"DROP TABLE {staging}",
+    ]
+
+
+def execute_jdbc_transaction(
+    spark: SparkSession, url: str, statements: list[str],
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Run ``statements`` on the JDBC target in ONE driver-side
+    transaction (autocommit off, commit at the end, rollback on any
+    failure). Driver-side by design: these are DDL/set-based DML strings
+    the DATABASE executes — no rows move through Spark."""
+    jvm = spark.sparkContext._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        try:
+            for sql in statements:
+                stmt.execute(sql)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def write_jdbc_upsert_pushdown(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Insert-if-absent with the dedup INSIDE the database (S9 pushdown
+    form; VERDICT r12 item 4): stage the frame to ``<table>_staging``
+    over JDBC, then one ``INSERT ... SELECT ... ON CONFLICT (keys) DO
+    NOTHING`` + staging drop as a single transaction.
+
+    vs :func:`write_jdbc_upsert` (anti-join form): no read-back of
+    existing keys, and ATOMIC against concurrent writers — the conflict
+    check happens inside the database's own insert, under its row locks
+    (the anti-join form can double-insert a key that lands between its
+    read and its append). The anti-join form remains for backends
+    without ON CONFLICT (Derby) and for when the target table has no
+    unique constraint on the keys.
+
+    No Postgres server exists in this environment, so the pushdown leg
+    is certified two ways (tests/test_sources.py): the emitted SQL is
+    pinned verbatim, and DuckDB — which implements the same ON CONFLICT
+    dialect — executes it against staged rows and must reproduce the
+    anti-join path's result exactly. The staging write + transaction
+    machinery runs against embedded Derby with a dialect-legal
+    statement list."""
+    props = dict(properties or {})
+    staging = f"{table}_staging"
+    df.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)
+    execute_jdbc_transaction(
+        spark,
+        url,
+        upsert_pushdown_sql(table, staging, df.columns, key_cols),
+        props,
+    )
+
+
 def merge_parquet(
     spark: SparkSession,
     target_path: str,

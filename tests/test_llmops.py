@@ -2113,6 +2113,54 @@ def test_curriculum_schedule_stage_and_pos_contract(spark, sf_dir, duck):
         assert sorted(r.pos for r in grp) == list(range(1, len(grp) + 1))
 
 
+def test_sq_prod_twin_blocked_and_value_identical(spark, sf_dir):
+    """v8_prod (VERDICT r12 item 3): the SQ compression-loss audit over
+    RHP candidate pairs must (a) contain NO all-pairs join — the one
+    BroadcastNestedLoopJoin allowed is the 1-row quantization-stats
+    frame — and (b) produce, on every candidate pair, EXACTLY the values
+    the cert kernel's all-pairs form produces for that pair (same
+    full-table stats scope, so only the pair-generation path differs)."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        BENCH_ONLY,
+        _sq_dequantized,
+        _sq_scored_pairs,
+    )
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    prod_df = BENCH_ONLY["v8_prod"](spark, sf_dir)
+    plan = prod_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # exactly two nested-loop joins, BOTH the broadcast 1-row stats
+    # frame (the dequantized projection is consumed by the id_a and
+    # id_b scoring sides, so its stats crossJoin prints twice); an
+    # all-pairs join sneaking in would push this to 3
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    prod_rows = prod_df.collect()
+    prod = {
+        (r.id_a, r.id_b): (r.cos_sq, r.cosine, r.abs_err) for r in prod_rows
+    }
+    assert prod and len(prod) == len(prod_rows)  # non-empty, no dup pairs
+    # behavioral no-all-pairs: the candidate stream must be a small
+    # fraction of the quadratic pair space
+    n = read_table(spark, sf_dir, "embeddings").count()
+    assert len(prod) < 0.5 * n * (n - 1) / 2, (len(prod), n)
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    allp = (
+        e.select(F.col("vec_id").alias("id_a"))
+        .crossJoin(e.select(F.col("vec_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    ref = {
+        (r.id_a, r.id_b): (r.cos_sq, r.cosine, r.abs_err)
+        for r in _sq_scored_pairs(_sq_dequantized(e), allp).collect()
+    }
+    for k, v in prod.items():
+        assert ref[k] == v, (k, v, ref[k])
+
+
 def test_dsir_prod_twin_equals_cert_keep_slice(spark, sf_dir):
     """x23_prod (skew-safe capped_keep_first top-k) must select exactly
     the cert query's ``keep = true`` docs with identical weights — the
