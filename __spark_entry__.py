@@ -233,9 +233,13 @@ PRIORITY_IN_WINDOW = [
         # room. (a25 rotated to the tail in round 12 for mm4; x3/v4 in
         # round 13 for the new wave — see the round-13 note above.)
         # v5/v7 gained the same exhaustive-probe oracles in round 6
-        # (probe-all IVF ≡ brute force, quantizer-independent);
-        # a22/a23 — green r3/r4/r5, frozen — absorb the overflow.
-        "v7_ivf_trained",
+        # v7 (trained-IVF cert, probe-all ≡ brute force) left this list
+        # in round 16 for a7b (the exact tip_amount Total Revenue /
+        # Tipping-Rate — VERDICT r12 item 6, lands by registration
+        # order): green r2-r12, frozen since the r6 reshape; its
+        # centroid-distance scoring runs in-window via v15's prototype
+        # distances, its exact-verdict legs via v14's filtered exact
+        # ANN, and the production path stays benched as v12_prod.
         # t11 (PII scrub, NEW in round 6) left this list in round 16
         # for x25 — see the round-16 note below and PRIORITY_TAIL.
         # NEW in round 6: composed quality-gate → mixture-plan →
@@ -262,6 +266,8 @@ PRIORITY_TAIL = [
         # test documents this as deliberate — it was previously only a
         # comment, which is how the original x9 spill went unnoticed.
         "x8_mixture_plan",
+        # v7 rotated out in round 16 for a7b (see PRIORITY_IN_WINDOW)
+        "v7_ivf_trained",
         # t11 rotated out in round 16 for x25 (see PRIORITY_IN_WINDOW):
         # map-only regex scrub frozen since r6, green r6-r12; regex
         # contract in-window via t22, composition via x11/x14/x16.

@@ -64,10 +64,24 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
-#: Stack of active cache scopes. Each entry collects the DataFrames
-#: persisted (via :func:`scoped_persist`) while the scope was the
-#: innermost one; :func:`cache_scope` unpersists them on exit.
-_CACHE_SCOPES: list[list[DataFrame]] = []
+#: Stack of active cache scopes, PER DRIVER THREAD (ADVICE r12: a
+#: module-global stack would let two threads submitting parallel jobs —
+#: a common Spark driver pattern — register persists into each other's
+#: innermost scope, so one thread's scope exit could unpersist frames
+#: the other still uses: silent recomputation, not wrong values). Each
+#: entry collects the DataFrames persisted (via :func:`scoped_persist`)
+#: while the scope was the innermost one on ITS thread;
+#: :func:`cache_scope` unpersists them on exit.
+import threading as _threading
+
+_SCOPE_TLS = _threading.local()
+
+
+def _scope_stack() -> list[list[DataFrame]]:
+    stack = getattr(_SCOPE_TLS, "stack", None)
+    if stack is None:
+        stack = _SCOPE_TLS.stack = []
+    return stack
 
 
 def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
@@ -83,8 +97,9 @@ def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
     which internals persisted what (VERDICT r10 watch item).
     """
     out = df.persist(storage_level) if storage_level is not None else df.persist()
-    if _CACHE_SCOPES:
-        _CACHE_SCOPES[-1].append(out)
+    stack = _scope_stack()
+    if stack:
+        stack[-1].append(out)
     return out
 
 
@@ -102,7 +117,9 @@ def cache_scope() -> Iterator[list[DataFrame]]:
     of the scope stays correct (unpersist never changes values) but
     recomputes the formerly-cached subtrees on use.
 
-    Scopes nest; each persist registers with the innermost one only.
+    Scopes nest; each persist registers with the innermost one only,
+    and the stack is per driver thread (``threading.local``), so
+    threads submitting parallel jobs each own their scopes.
     Chosen over the eager-localCheckpoint alternative (truncate lineage
     then unpersist immediately) deliberately: the checkpoint hides the
     operator subtree behind a LogicalRDD scan, which would blind the
@@ -111,11 +128,12 @@ def cache_scope() -> Iterator[list[DataFrame]]:
     construction time. This form changes neither plans nor timing.
     """
     frames: list[DataFrame] = []
-    _CACHE_SCOPES.append(frames)
+    stack = _scope_stack()
+    stack.append(frames)
     try:
         yield frames
     finally:
-        _CACHE_SCOPES.pop()
+        stack.pop()
         for df in frames:
             try:
                 df.unpersist()

@@ -41,6 +41,22 @@ def q_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_total_revenue_tip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7b (VERDICT r12 item 6): the reference's Total Revenue formula
+    EXACTLY as documented — ``SUM(fare_amount) + SUM(tip_amount)``
+    (README.md:48-51) — plus the exact Tipping-Rate KPI
+    (``AVG(tip/fare)``), over the schema variant that carries an
+    explicit ``tip_amount`` column (the reference's own extract never
+    loads one, extract.py:7-19 — the doc inconsistency a7/a12 work
+    around with available-column analogs)."""
+    return _valid(spark, sf_dir).agg(
+        F.round(F.sum("fare_amount") + F.sum("tip_amount"), 2).alias("total_revenue"),
+        F.round(F.avg(F.col("tip_amount") / F.col("fare_amount")), 4).alias(
+            "tipping_rate"
+        ),
+    )
+
+
 def q_avg_fare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: ``Average Fare = AVERAGE(fare_amount)`` (README.md:52-55)."""
     return _valid(spark, sf_dir).agg(F.round(F.avg("fare_amount"), 4).alias("avg_fare"))
@@ -185,6 +201,7 @@ def q_trips_per_day_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "a6_total_trips": q_total_trips,
     "a7_total_revenue": q_total_revenue,
+    "a7b_total_revenue_tip": q_total_revenue_tip,
     "a8_avg_fare": q_avg_fare,
     "a9_trips_per_day": q_trips_per_day,
     "a10_daily_avg_revenue": q_daily_avg_revenue,
@@ -204,6 +221,10 @@ _V = f"WITH {VALID_CTE}"
 ORACLES = {
     "a6_total_trips": f"{_V} SELECT count(*) AS total_trips FROM valid",
     "a7_total_revenue": f"{_V} SELECT round(sum(fare_amount) + sum(total_amount), 2) AS total_revenue FROM valid",
+    "a7b_total_revenue_tip": f"""{_V}
+SELECT round(sum(fare_amount) + sum(tip_amount), 2) AS total_revenue,
+       round(avg(tip_amount / fare_amount), 4) AS tipping_rate
+FROM valid""",
     "a8_avg_fare": f"{_V} SELECT round(avg(fare_amount), 4) AS avg_fare FROM valid",
     "a9_trips_per_day": f"""{_V}
 SELECT CAST(CAST(pickup_ts AS DATE) AS VARCHAR) AS pickup_date, count(*) AS n_trips

@@ -5025,9 +5025,14 @@ def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size(filter(t, x -> NOT (x rlike '^ ?[a-zA-Z]+$') "
             "AND NOT (x rlike '^ ?[0-9]+$') AND NOT (x rlike '^ +$')))"
         ).alias("n_punct"),
-        F.round(F.length("text") / F.array_size(toks), 6).alias(
-            "chars_per_pretoken"
-        ),
+        # empty/NULL text → 0 pretokens: guard the ratio on BOTH engines
+        # (ADVICE r12 — Spark non-ANSI div-0 yields NULL while DuckDB
+        # differs, so the contract must not lean on the fixture never
+        # containing empty text)
+        F.when(
+            F.array_size(toks) > 0,
+            F.round(F.length("text") / F.array_size(toks), 6),
+        ).alias("chars_per_pretoken"),
     )
 
 
@@ -5043,7 +5048,8 @@ SELECT doc_id,
        CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '^ ?[a-zA-Z]+$')
             AND NOT regexp_matches(x, '^ ?[0-9]+$')
             AND NOT regexp_matches(x, '^ +$'))) AS INTEGER) AS n_punct,
-       round(n_chars * 1.0 / len(toks), 6) AS chars_per_pretoken
+       CASE WHEN len(toks) > 0
+            THEN round(n_chars * 1.0 / len(toks), 6) END AS chars_per_pretoken
 FROM t"""
 
 
@@ -5081,7 +5087,14 @@ def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    # trigram-bearing slice ONLY (ADVICE r12): candidate languages, the
+    # truth-lang join, and the profiles must all derive from the same
+    # length(text) >= 3 universe the oracle's WHERE clause uses — a
+    # language present only via sub-3-char docs must not become a
+    # candidate (its all-penalty score could win an argmin tie-break)
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text").filter(
+        F.length("text") >= 3
+    )
     tg = d.select(
         "doc_id",
         "lang",

@@ -15,6 +15,7 @@ trips_base AS (
          CAST(l_linenumber AS INTEGER) AS passenger_count,
          l_quantity AS trip_distance,
          l_extendedprice * (1.0 - l_discount) AS fare_amount,
+         l_extendedprice * (1.0 - l_discount) * l_tax AS tip_amount,
          l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS total_amount,
          l_returnflag AS payment_code,
          l_linestatus AS ratecode,

@@ -95,6 +95,12 @@ def trips(spark: SparkSession, sf_dir: str, rebalance: bool = False) -> DataFram
             F.col("l_linenumber").cast("int").alias("passenger_count"),
             F.col("l_quantity").alias("trip_distance"),
             fare.alias("fare_amount"),
+            # the reference's README defines Total Revenue over a
+            # tip_amount column its own extract never loads (doc
+            # inconsistency, SURVEY §2.4); this schema variant carries
+            # an explicit tip so A7/Tipping-Rate have an EXACT form
+            # (a7b) alongside the analogous one (a7/a12)
+            (fare * F.col("l_tax")).alias("tip_amount"),
             (fare * (F.lit(1.0) + F.col("l_tax"))).alias("total_amount"),
             F.col("l_returnflag").alias("payment_code"),
             F.col("l_linestatus").alias("ratecode"),

@@ -2034,6 +2034,41 @@ def test_cache_scope_releases_composed_plan_persists(spark, sf_dir):
     assert cache_empty()
 
 
+def test_cache_scope_is_per_thread(spark):
+    """ADVICE r12: two driver threads running cache_scope() concurrently
+    (the standard parallel-job-submission pattern) must each register
+    persists into THEIR OWN innermost scope. Barriers force both scopes
+    open before either persist runs — under a process-global stack both
+    persists would land in whichever scope was pushed last (one frames
+    list gets 2 entries, the other 0) regardless of interleaving."""
+    import threading
+
+    from nyc_taxi_etl_dashboard_spark.operators import cache_scope, scoped_persist
+
+    barrier = threading.Barrier(2)
+    errs: list = []
+
+    def worker(tag: str) -> None:
+        try:
+            df = spark.range(10).withColumnRenamed("id", tag)
+            with cache_scope() as frames:
+                barrier.wait(timeout=30)  # both scopes open
+                scoped_persist(df)
+                barrier.wait(timeout=30)  # both persists registered
+                assert len(frames) == 1, (tag, len(frames))
+                assert frames[0].columns == [tag]
+        except Exception as exc:  # noqa: BLE001 - surfaced to main thread
+            errs.append((tag, exc))
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in ("ta", "tb")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errs, errs
+    spark.catalog.clearCache()
+
+
 def test_dsir_log_weights_prefers_target_like_docs(spark):
     """x23 kernel semantics: a candidate written in the target's
     vocabulary must out-score a candidate of off-target noise, docs
@@ -2248,6 +2283,25 @@ def test_langid_ngram_separates_distinct_alphabets(spark):
     assert all(r.correct for r in out), [
         (r.doc_id, r.lang, r.lang_pred) for r in out if not r.correct
     ]
+
+
+def test_bpe_pretokenize_empty_text_guarded(spark):
+    """ADVICE r12: an empty text has 0 pretokens; the ratio must be
+    NULL (guarded) on the engine side — not an engine-specific div-0
+    artifact the fixture happens never to exercise."""
+    import os
+    import tempfile
+
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import q_bpe_pretokenize
+
+    d = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id bigint, text string"
+    )
+    tmp = tempfile.mkdtemp()
+    d.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    rows = {r.doc_id: r for r in q_bpe_pretokenize(spark, tmp).collect()}
+    assert rows[1].n_pretokens == 2 and rows[1].chars_per_pretoken == 5.5
+    assert rows[2].n_pretokens == 0 and rows[2].chars_per_pretoken is None
 
 
 def test_dsir_target_steers_weights_by_language(spark):
