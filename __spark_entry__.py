@@ -266,6 +266,10 @@ PRIORITY_TAIL = [
         # test documents this as deliberate — it was previously only a
         # comment, which is how the original x9 spill went unnoticed.
         "x8_mixture_plan",
+        # dd16b registered straight to the tail in round 16 (VERDICT
+        # r12 item 7): same group-parametric kernel as the in-window
+        # dd16, snapshot granularity; sweep-covered.
+        "dd16b_snapshot_overlap",
         # v7 rotated out in round 16 for a7b (see PRIORITY_IN_WINDOW)
         "v7_ivf_trained",
         # t11 rotated out in round 16 for x25 (see PRIORITY_IN_WINDOW):

@@ -4683,8 +4683,11 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dd16_source_overlap"] = q_source_overlap
-ORACLES["dd16_source_overlap"] = f"""
-WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+def _overlap_oracle(grp_expr: str) -> str:
+    """dd16/dd16b share the whole overlap-matrix SQL; only the grouping
+    expression differs (source column vs snapshot split)."""
+    return f"""
+WITH t AS (SELECT {grp_expr} AS source, string_split(text, ' ') AS t FROM documents),
 sh AS (SELECT DISTINCT source, unnest(
          CASE WHEN len(t) >= 3 THEN
            list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
@@ -4708,6 +4711,32 @@ SELECT e.grp_a, e.grp_b, e.est_jaccard,
        round(coalesce(i.n_inter, 0) * 1.0
              / (e.n_a + e.n_b - coalesce(i.n_inter, 0)), 6) AS jaccard
 FROM est e LEFT JOIN inter i ON e.grp_a = i.grp_a AND e.grp_b = i.grp_b"""
+
+
+ORACLES["dd16_source_overlap"] = _overlap_oracle("source")
+
+
+def q_source_overlap_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd16b (VERDICT r12 item 7): the overlap matrix at SNAPSHOT
+    granularity — the "how much of crawl B is already in crawl A"
+    triage a recurring ingestion runs per date. Same kernel as dd16
+    (operators/dedup.py:source_overlap_matrix is group-column
+    parametric); the grouping is t20's snapshot convention (doc_id
+    parity stands in for two crawl dates). Registered straight to the
+    sweep tail: the kernel's driver-window evidence is dd16 itself."""
+    from ..operators.dedup import source_overlap_matrix
+
+    d = _docs(spark, sf_dir).withColumn(
+        "snapshot",
+        F.when(F.col("doc_id") % 2 == 0, "snap0").otherwise("snap1"),
+    )
+    return source_overlap_matrix(d, group_col="snapshot")
+
+
+QUERIES["dd16b_snapshot_overlap"] = q_source_overlap_snapshots
+ORACLES["dd16b_snapshot_overlap"] = _overlap_oracle(
+    "CASE WHEN doc_id % 2 = 0 THEN 'snap0' ELSE 'snap1' END"
+)
 
 
 # --- t21: n-gram diversity report (round 15) ----------------------------------
