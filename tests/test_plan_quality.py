@@ -261,6 +261,8 @@ def test_no_hof_recompute_in_scan_filters(spark, sf_dir):
         # round-15: DSIR's gram explode and dd16's per-source shingle
         # sets are HOF transforms feeding join keys — the same trap
         "x23_dsir_resample", "dd16_source_overlap",
+        # round-16: same kernels under a parametric target / grouping
+        "x25_dsir_balanced", "dd16b_snapshot_overlap",
     ]
     markers = (
         "isnotnull(transform(", "isnotnull(aggregate(",

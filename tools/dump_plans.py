@@ -54,6 +54,7 @@ SHOWCASE = [
     ("x23_dsir_resample", "DSIR importance resampling (round 15): bucket-count tables are bounded (≤ n_buckets rows) regardless of corpus size, so every join in the plan is broadcast — the gram explode is the only corpus-scale op, and the per-language rank window sorts slim (doc_id, lang, log_w) rows."),
     ("dd16_source_overlap", "Cross-source overlap matrix (round 15): per-source MinHash components reduce map-side on the agg's own group key — one signature ROW per source before any pair logic; the exact legs' shingle-keyed join is the single (group-granularity) SortMergeJoin, droppable at 100 TB."),
     ("t21_ngram_diversity", "N-gram diversity report (round 15): one gram explode feeds a single per-language agg with conditional count_distincts; the entropy fold rides the vocabulary-sized (lang, token) table — no windows, no range exchange, joins only on |langs| rows."),
+    ("x25_dsir_balanced", "DSIR with a caller-chosen lang-balanced target (round 16): the target/candidate split is ONE lang-partitioned row_number over slim (doc_id, lang) rows ahead of x23's unchanged scoring core — bucket tables stay bounded and broadcast, the gram explode stays the only corpus-scale op."),
 ]
 
 
