@@ -4623,11 +4623,16 @@ def q_dsir_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins that non-English candidates rank strictly higher here than
     under x23's src0 target.
 
-    Scale shape: one extra lang-partitioned row_number over slim
-    ``(doc_id, lang)`` rows to split target from candidates (one
-    shuffle of the id column, not the text); the scoring core is
-    operators/text.py:dsir_log_weights unchanged — bucket tables stay
-    ≤ X23_BUCKETS rows regardless of corpus size. NEW vs reference."""
+    Scale shape: the target/candidate split ranks SLIM ``(doc_id,
+    lang)`` rows only — the text column never rides the lang-partitioned
+    window shuffle (first cut did exactly that and paid 3.1× x23's wall
+    time at 100×; the interleaved A/B for this form is in
+    SCALE100X.md round-16) — and the selected target is ≤
+    X25_TARGET_PER_LANG·|langs| ids, so membership joins back into the
+    corpus as a BROADCAST hash join / anti-join pair. The scoring core
+    is operators/text.py:dsir_log_weights unchanged — bucket tables
+    stay ≤ X23_BUCKETS rows regardless of corpus size. NEW vs
+    reference."""
     from pyspark.sql import Window
 
     from ..operators import scoped_persist
@@ -4635,11 +4640,16 @@ def q_dsir_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     rn = F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
-    # persist: target and candidates both read the ranked table; without
-    # this the lang window (and the scan under it) runs twice
-    m = scoped_persist(d.select("doc_id", "lang", "text").withColumn("rn", rn))
-    target = m.filter(F.col("rn") <= X25_TARGET_PER_LANG)
-    cand = m.filter(F.col("rn") > X25_TARGET_PER_LANG)
+    # persist: the tiny id list is consumed by both membership joins;
+    # without this the slim rank window runs twice
+    tgt_ids = scoped_persist(
+        d.select("doc_id", "lang")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= X25_TARGET_PER_LANG)
+        .select("doc_id")
+    )
+    target = d.join(F.broadcast(tgt_ids), "doc_id")
+    cand = d.join(F.broadcast(tgt_ids), "doc_id", "left_anti")
     w = dsir_log_weights(cand, target, n_buckets=X23_BUCKETS).select(
         F.col("id").alias("doc_id"), "log_w"
     )
