@@ -266,6 +266,41 @@ def main() -> None:
 
     io_calibration_sec = _calibrate_io()
 
+    # fixed-work WRITE probe (round 14, PERF_AB_r14.md): the r13 dispute
+    # showed the read probe is largely page-cache-served, so the shared-
+    # disk write stalls that hit the transform hardest (its parquet
+    # write + shuffle spill) inflate transform seconds ~3x while the
+    # read probe moves ~2x — the io_norm ratio is drift-resistant, not
+    # drift-proof. This probe writes a fixed 2M-row/3-col parquet
+    # (~30 MB, same codec as the suite) and removes it; it is recorded,
+    # never used in any headline ratio, so the io_norm series stays
+    # comparable while the artifact can say WHICH IO axis moved.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    def _io_write_probe_once() -> float:
+        d = _tempfile.mkdtemp(prefix="bench_wprobe_")
+        t0 = time.perf_counter()
+        (
+            spark.range(2_000_000, numPartitions=32)
+            .select(
+                F.col("id"),
+                (F.col("id") * 7 % 9973).alias("a"),
+                F.concat(F.lit("w"), F.col("id") % 1000).alias("s"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "probe.parquet"))
+        )
+        dt = time.perf_counter() - t0
+        _shutil.rmtree(d, ignore_errors=True)
+        return dt
+
+    def _calibrate_io_write() -> float:
+        med, _, _ = _timed(_io_write_probe_once)
+        return round(med, 3)
+
+    io_write_calibration_sec = _calibrate_io_write()
+
     spread: dict[str, list[float]] = {}
 
     def run_suite(names: list[str]) -> dict[str, float]:
@@ -319,10 +354,25 @@ def main() -> None:
     prod_paths: dict[str, float] = run_prods() if prods_first else {}
 
     timings = run_suite(HEADLINE)
+    # mid-suite drift sentinels (VERDICT r13 item 4): the start-of-run
+    # probes cannot see drift (or session aging) that arrives DURING the
+    # ~30-min suite — the r13 dispute had a start probe that ran faster
+    # than r12's while late-suite queries ran 2-3x slower. Re-running
+    # both fixed-work probes between phases gives every future
+    # drift-vs-code dispute intra-run evidence: if _mid/_end probes
+    # inflate alongside late-suite queries, the box (or the aged
+    # session) moved; if probes hold flat while queries inflate, the
+    # code (or per-query state) is the suspect.
+    calibration_sec_mid = _calibrate()
+    io_calibration_sec_mid = _calibrate_io()
+    io_write_calibration_sec_mid = _calibrate_io_write()
     curation = run_suite(CURATION)
 
     if not prods_first:
         prod_paths = run_prods()
+    calibration_sec_end = _calibrate()
+    io_calibration_sec_end = _calibrate_io()
+    io_write_calibration_sec_end = _calibrate_io_write()
 
     # rows/s through the full transform pipeline INCLUDING the parquet
     # writes of both branches (the reference's 300k rows/s covers load →
@@ -484,6 +534,20 @@ def main() -> None:
         "calibration_sec": calibration_sec,
         # IO twin probe backing the promoted io_norm figures above
         "io_calibration_sec": io_calibration_sec,
+        # mid-suite and end-of-suite re-runs of the SAME two probes
+        # (VERDICT r13 item 4): _mid lands between the headline and
+        # curation phases, _end after the prod paths, immediately
+        # before the transform pairing — three probe points per run so
+        # intra-run drift/aging is measured, not litigated
+        "calibration_sec_mid": calibration_sec_mid,
+        "io_calibration_sec_mid": io_calibration_sec_mid,
+        "calibration_sec_end": calibration_sec_end,
+        "io_calibration_sec_end": io_calibration_sec_end,
+        # write-axis probes (PERF_AB_r14.md): diagnostic only, never in
+        # a headline ratio
+        "io_write_calibration_sec": io_write_calibration_sec,
+        "io_write_calibration_sec_mid": io_write_calibration_sec_mid,
+        "io_write_calibration_sec_end": io_write_calibration_sec_end,
         # drift-normalized twins (VERDICT r8 item 4): suite totals as
         # MULTIPLES OF THE FIXED-WORK CALIBRATION on the same box at the
         # same moment — box drift inflates numerator and denominator

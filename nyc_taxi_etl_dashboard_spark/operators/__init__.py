@@ -119,7 +119,15 @@ def cache_scope() -> Iterator[list[DataFrame]]:
 
     Scopes nest; each persist registers with the innermost one only,
     and the stack is per driver thread (``threading.local``), so
-    threads submitting parallel jobs each own their scopes.
+    threads submitting parallel jobs each own their scopes. The
+    inverse pattern is deliberately NOT covered (ADVICE r13): a helper
+    thread spawned INSIDE a scope does not inherit it — its
+    :func:`scoped_persist` calls register nowhere and leak the persist
+    until an external ``clearCache``. Parallel plan-builders must open
+    a ``cache_scope`` on each worker thread (or persist/unpersist
+    explicitly); scope inheritance across threads would reintroduce
+    exactly the cross-thread unpersist race this stack exists to
+    prevent.
     Chosen over the eager-localCheckpoint alternative (truncate lineage
     then unpersist immediately) deliberately: the checkpoint hides the
     operator subtree behind a LogicalRDD scan, which would blind the

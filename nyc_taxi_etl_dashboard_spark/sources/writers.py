@@ -185,6 +185,18 @@ def write_jdbc_upsert(
     write_jdbc_append(fresh, url, table, properties)
 
 
+def _qident(name: str) -> str:
+    """Double-quote an SQL identifier (ADVICE r13: table/column/key
+    names were interpolated unquoted, so a mixed-case or reserved-word
+    column — legal in a staged DataFrame, and written QUOTED by Spark's
+    own JDBC writer — produced broken or wrong-target statements).
+    Embedded quotes are doubled per the SQL standard; control chars are
+    rejected outright rather than smuggled into DDL."""
+    if any(ord(c) < 0x20 for c in name):
+        raise ValueError(f"control character in SQL identifier: {name!r}")
+    return '"' + name.replace('"', '""') + '"'
+
+
 def upsert_pushdown_sql(
     table: str,
     staging: str,
@@ -207,12 +219,12 @@ def upsert_pushdown_sql(
             f"no ON CONFLICT pushdown for dialect {dialect!r}; "
             "use write_jdbc_upsert (anti-join form)"
         )
-    cols = ", ".join(columns)
-    keys = ", ".join(key_cols)
+    cols = ", ".join(_qident(c) for c in columns)
+    keys = ", ".join(_qident(k) for k in key_cols)
     return [
-        f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+        f"INSERT INTO {_qident(table)} ({cols}) SELECT {cols} FROM {_qident(staging)} "
         f"ON CONFLICT ({keys}) DO NOTHING",
-        f"DROP TABLE {staging}",
+        f"DROP TABLE {_qident(staging)}",
     ]
 
 
@@ -252,11 +264,22 @@ def write_jdbc_upsert_pushdown(
     table: str,
     key_cols: list[str],
     properties: dict[str, str] | None = None,
+    run_id: str | None = None,
 ) -> None:
     """Insert-if-absent with the dedup INSIDE the database (S9 pushdown
-    form; VERDICT r12 item 4): stage the frame to ``<table>_staging``
-    over JDBC, then one ``INSERT ... SELECT ... ON CONFLICT (keys) DO
-    NOTHING`` + staging drop as a single transaction.
+    form; VERDICT r12 item 4): stage the frame to
+    ``<table>_staging_<run_id>`` over JDBC, then one ``INSERT ... SELECT
+    ... ON CONFLICT (keys) DO NOTHING`` + staging drop as a single
+    transaction.
+
+    ``run_id`` names THIS invocation's staging table (ADVICE r13: a
+    fixed ``<table>_staging`` + mode=overwrite let two concurrent
+    upserts to the same target silently clobber each other's staged
+    rows — the ON CONFLICT statement is atomic, but the staging step
+    was not). Callers running concurrently MUST pass distinct run ids
+    (a job/batch id); when omitted, a fresh UUID is generated, so the
+    default is concurrency-safe and only the staging table's name is
+    nondeterministic (it is dropped in the same transaction).
 
     vs :func:`write_jdbc_upsert` (anti-join form): no read-back of
     existing keys, and ATOMIC against concurrent writers — the conflict
@@ -273,8 +296,10 @@ def write_jdbc_upsert_pushdown(
     anti-join path's result exactly. The staging write + transaction
     machinery runs against embedded Derby with a dialect-legal
     statement list."""
+    import uuid
+
     props = dict(properties or {})
-    staging = f"{table}_staging"
+    staging = f"{table}_staging_{run_id if run_id is not None else uuid.uuid4().hex[:12]}"
     df.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)
     execute_jdbc_transaction(
         spark,

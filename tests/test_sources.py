@@ -477,15 +477,25 @@ def test_upsert_pushdown_sql_pinned():
         ["trip_id", "fare_amount"], ["trip_id"],
     )
     assert stmts == [
-        "INSERT INTO fact_trips (trip_id, fare_amount) "
-        "SELECT trip_id, fare_amount FROM fact_trips_staging "
-        "ON CONFLICT (trip_id) DO NOTHING",
-        "DROP TABLE fact_trips_staging",
+        'INSERT INTO "fact_trips" ("trip_id", "fare_amount") '
+        'SELECT "trip_id", "fare_amount" FROM "fact_trips_staging" '
+        'ON CONFLICT ("trip_id") DO NOTHING',
+        'DROP TABLE "fact_trips_staging"',
     ]
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         upsert_pushdown_sql("t", "s", ["a"], ["a"], dialect="derby")
+    # identifiers are quoted (ADVICE r13): mixed-case and reserved-word
+    # columns survive, embedded quotes are doubled, control chars raise
+    mixed = upsert_pushdown_sql("T", "S", ['we"ird', "select"], ["select"])
+    assert mixed[0] == (
+        'INSERT INTO "T" ("we""ird", "select") '
+        'SELECT "we""ird", "select" FROM "S" '
+        'ON CONFLICT ("select") DO NOTHING'
+    )
+    with _pytest.raises(ValueError):
+        upsert_pushdown_sql("t\n--", "s", ["a"], ["a"])
 
 
 def test_upsert_pushdown_sql_semantics_vs_anti_join(duck):
@@ -584,9 +594,12 @@ def test_write_jdbc_upsert_pushdown_stages_and_requires_on_conflict(spark, tmp_p
     )
     df = spark.createDataFrame([(1, "new"), (2, "b")], "k int, v string")
     with _pytest.raises(Exception):
-        write_jdbc_upsert_pushdown(spark, df, url, "tgt", ["k"], props)
-    # target untouched, staging table present with the full frame
+        write_jdbc_upsert_pushdown(
+            spark, df, url, "tgt", ["k"], props, run_id="r14test"
+        )
+    # target untouched, staging table present with the full frame under
+    # the caller-supplied per-invocation name (ADVICE r13)
     assert sorted(
         map(tuple, read_jdbc(spark, url, "tgt", props).collect())
     ) == [(1, "old")]
-    assert read_jdbc(spark, url, "tgt_staging", props).count() == 2
+    assert read_jdbc(spark, url, "tgt_staging_r14test", props).count() == 2

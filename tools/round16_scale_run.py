@@ -66,7 +66,10 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     rows_per_dir: dict[str, int] = {}
     for d in dirs:
-        label = d.rstrip("/").rsplit("/", 1)[-1]
+        # key by FULL path (ADVICE r13: keying by basename collapsed
+        # /a/sf0.1 and /b/sf0.1 into one entry, corrupting the
+        # alpha-exponent endpoints)
+        label = d.rstrip("/")
         rows_per_dir[label] = spark.read.parquet(f"{d}/documents.parquet").count()
         per: dict[str, float] = {}
         for name in DOC_QUERIES:

@@ -70,7 +70,7 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     rows_per_dir: dict[str, int] = {}
     for d in dirs:
-        label = d.rstrip("/").rsplit("/", 1)[-1]
+        label = d.rstrip("/")  # full path: basenames can collide (ADVICE r13)
         per: dict[str, float] = {}
         for name in QUERIES:
             per[name] = round(

@@ -87,7 +87,7 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     n_vec: dict[str, int] = {}
     for d in dirs:
-        label = d.rstrip("/").rsplit("/", 1)[-1]
+        label = d.rstrip("/")  # full path: basenames can collide (ADVICE r13)
         per: dict[str, float] = {}
         embs = spark.read.parquet(f"{d}/embeddings.parquet")
         n = embs.count()
