@@ -3348,7 +3348,15 @@ def q_sq_cosine_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = _embs(spark, sf_dir)
     e = raw.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    pairs = embedding_candidate_pairs(raw, n_planes=16, probe_radius=1, dim=64)
+    # n_planes="auto" (round 14): the round-17 scale run caught the
+    # fixed-16-plane form superlinear on the 10x->100x leg (3.9 s ->
+    # 124 s, leg alpha 1.50) — bucket occupancy, and with it candidate
+    # volume per vector, grows linearly under a fixed plane count. The
+    # corpus-adaptive count (auto_n_planes: ceil(log2 n)+4, cap 30) is
+    # the library's documented answer and what v10_prod's path uses; at
+    # the fixture scales the twin test runs (n <= 2000) auto resolves
+    # to the same 16 planes, so the pinned values are unchanged.
+    pairs = embedding_candidate_pairs(raw, n_planes="auto", probe_radius=1, dim=64)
     return _sq_scored_pairs(_sq_dequantized(e), pairs)
 
 
@@ -4625,9 +4633,10 @@ def q_dsir_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the target/candidate split ranks SLIM ``(doc_id,
     lang)`` rows only — the text column never rides the lang-partitioned
-    window shuffle (first cut did exactly that and paid 3.1× x23's wall
-    time at 100×; the interleaved A/B for this form is in
-    SCALE100X.md round-16) — and the selected target is ≤
+    window shuffle. The first-cut form did exactly that and measured
+    **2.9× slower at 100×** (paired-interleaved ×5, 500 k docs —
+    committed table in SCALE100X.md round-16; the counterexample form
+    lives in tools/x25_form_ab.py) — and the selected target is ≤
     X25_TARGET_PER_LANG·|langs| ids, so membership joins back into the
     corpus as a BROADCAST hash join / anti-join pair. The scoring core
     is operators/text.py:dsir_log_weights unchanged — bucket tables

@@ -2125,6 +2125,42 @@ def test_source_overlap_matrix_exact_and_estimate(spark):
         assert 0.0 <= est <= 1.0
 
 
+def test_snapshot_overlap_matrix_hand_computed(spark, tmp_path):
+    """dd16b value check (VERDICT r13 item 5), independent of the
+    oracle sweep: q_source_overlap_snapshots on a hand-built documents
+    fixture must produce the parity-derived snapshot split and the
+    hand-computed exact Jaccard between the two snapshot shingle sets.
+
+    snap0 (even doc_ids): docs "a b c d" -> {abc, bcd} and "x y z" ->
+    {xyz}, union {abc, bcd, xyz}. snap1 (odd doc_ids): "a b c e" ->
+    {abc, bce} and "p q r" -> {pqr}, union {abc, bce, pqr}.
+    Intersection {abc} = 1, union = 5 -> jaccard 0.2 exactly."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        q_source_overlap_snapshots,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d", "en", "src0", 7),
+            (2, "x y z", "en", "src0", 5),
+            (1, "a b c e", "en", "src1", 7),
+            (3, "p q r", "en", "src1", 5),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = str(tmp_path / "dd16b")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = q_source_overlap_snapshots(spark, d).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r.grp_a, r.grp_b) == ("snap0", "snap1")
+    assert r.jaccard == 0.2
+    assert 0.0 <= r.est_jaccard <= 1.0
+    # determinism of the MinHash estimate (fixed seeded params)
+    (r2,) = q_source_overlap_snapshots(spark, d).collect()
+    assert r2.est_jaccard == r.est_jaccard
+
+
 def test_curriculum_schedule_stage_and_pos_contract(spark, sf_dir, duck):
     """x24: ntile stages partition the corpus into near-equal quality
     quartiles (sizes differ by at most 1), stage 1 holds the highest
