@@ -198,7 +198,14 @@ PRIORITY_IN_WINDOW = [
         # in-window inside v14's filtered ANN, and the eval-exclusion
         # contract stays in-window via t15/t19).
         "x23_dsir_resample",
-        "dd16_source_overlap",
+        # Round-17 swap (VERDICT r13 item 5 context): dd16b — the only
+        # registry entry that had NEVER earned a driver CORRECTNESS row
+        # — takes its kernel-twin dd16's window slot. dd16 (driver-green
+        # r13) rotates to the tail; source_overlap_matrix is
+        # group-column-parametric, so the in-window evidence covers the
+        # identical kernel either way, and dd16b additionally carries
+        # the hand-computed pytest value check added this round.
+        "dd16b_snapshot_overlap",
         "t21_ngram_diversity",
         "x24_curriculum_schedule",
         # NEW in round 15 (second wave): t22 BPE-style pre-tokenizer
@@ -266,10 +273,10 @@ PRIORITY_TAIL = [
         # test documents this as deliberate — it was previously only a
         # comment, which is how the original x9 spill went unnoticed.
         "x8_mixture_plan",
-        # dd16b registered straight to the tail in round 16 (VERDICT
-        # r12 item 7): same group-parametric kernel as the in-window
-        # dd16, snapshot granularity; sweep-covered.
-        "dd16b_snapshot_overlap",
+        # dd16 rotated out in round 17 when dd16b (which had no driver
+        # row anywhere) took its slot: same group-parametric kernel,
+        # driver-green r13, sweep-covered.
+        "dd16_source_overlap",
         # v7 rotated out in round 16 for a7b (see PRIORITY_IN_WINDOW)
         "v7_ivf_trained",
         # t11 rotated out in round 16 for x25 (see PRIORITY_IN_WINDOW):
