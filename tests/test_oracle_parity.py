@@ -140,3 +140,26 @@ def test_registry_window_membership():
     )
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(names), sorted(set(oracles) - set(names))
+
+
+def test_bench_suites_resolve_in_registry():
+    """bench.py's suites are plain name lists; a query rename/removal
+    would otherwise surface only when the DRIVER runs the round's bench
+    (round 14 — the suites gained mid-run probes and the name lists now
+    gate three phases). Pin: every HEADLINE/CURATION name is a
+    registered query, and the BENCH_ONLY prod paths never shadow a
+    registered name (they are timed with different hygiene and MUST
+    stay out of the oracle registry — their outputs are approximate)."""
+    import bench
+
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import BENCH_ONLY
+
+    names = set(entrymod.queries().keys())
+    missing = [n for n in [*bench.HEADLINE, *bench.CURATION] if n not in names]
+    assert not missing, f"bench suite names not in registry: {missing}"
+    overlap = set(BENCH_ONLY) & names
+    assert not overlap, f"BENCH_ONLY shadows registered queries: {sorted(overlap)}"
+    # the transform specials are computed inline by bench.main, never
+    # via the suites — keep them out so they aren't double-timed
+    assert "pipe_transform_full" not in bench.HEADLINE
+    assert "pipe_transform_bronze" not in bench.HEADLINE
