@@ -663,6 +663,22 @@ def ivf_ann_trained(
     )
 
 
+def auto_n_cells(n: int, floor: int = 8, cap: int = 4096) -> int:
+    """Corpus-adaptive IVF coarse-cell count: ``round(sqrt(n))``,
+    clamped. The v8 lesson (SCALE100X.md round-17) applied to cell
+    quantizers: a FIXED cell count means expected cell occupancy n/cells
+    grows linearly with the corpus, so any within-cell exact kernel
+    (v13's density kNN is corpus×corpus) does n·occupancy·n_probes
+    folds — quadratic. At cells ≈ sqrt(n) with a fixed probe count the
+    fold total grows as n^1.5 and per-task memory stays bounded; the
+    sqrt rule is the standard IVF sizing (FAISS guidelines use
+    4·sqrt(n)–16·sqrt(n); the bounded-sample Lloyd fit here prefers the
+    low end so the driver-side fit stays cheap)."""
+    import math
+
+    return max(floor, min(cap, round(math.sqrt(max(n, 1)))))
+
+
 def knn_density_outliers(
     corpus: DataFrame,
     k: int = 5,
@@ -670,7 +686,7 @@ def knn_density_outliers(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     n_probes: int = 4,
     centroids: list[list[float]] | None = None,
     pa_accuracy: int = 10_000,
@@ -705,7 +721,15 @@ def knn_density_outliers(
     (recall@5 ≥ 0.9, outlier-set Jaccard vs exact ≥ 0.9). On
     structure-free fixtures raise ``n_probes`` toward ``n_cells``
     (degrades gracefully to exact, at brute-force cost).
+
+    ``n_cells="auto"`` resolves via :func:`auto_n_cells` (≈ sqrt(n),
+    one count() pre-pass — round 14): a fixed cell count makes this
+    corpus×corpus kernel quadratic (measured: v13_prod 127 s at 10×
+    under 4-of-8 fixed cells, SCALE100X.md round-17), the sqrt sizing
+    bounds the fold total at n^1.5 with per-cell work flat.
     """
+    if n_cells == "auto":
+        n_cells = auto_n_cells(corpus.count())
     if exact:
         nn = knn_bruteforce(corpus, corpus, k=k, id_col=id_col, vec_col=vec_col)
         scored = nn.groupBy("query_id").agg(

@@ -2845,21 +2845,24 @@ def q_knn_outliers_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percent_rank`` sort. Per-cell work bounds the quadratic; the gate
     is one aggregation plus a broadcast scalar.
 
-    The round-8 measured negative still governs the CONFIG: on this
-    near-random 64-dim fixture low nprobe scrambles decile membership,
-    so the benched prod config probes 4 of 8 cells (~half the corpus as
-    candidates — still 2× cheaper than all-pairs and, unlike the cert
-    path, free of the single-task global sort). The recall floor and
+    Cell count is CORPUS-ADAPTIVE (round 14): the previous fixed
+    4-of-8-cells config kept per-query candidates at ~half the corpus —
+    quadratic at any scale; the 10× bench caught it at 127 s while
+    every other prod path sat ≤ 12 s (the v8_prod lesson repeating, one
+    operator over). ``n_cells="auto"`` (≈ sqrt(n), auto_n_cells) bounds
+    the fold total at n^1.5 with a fixed probe count — measured in
+    SCALE100X.md round-17. The round-8 measured negative still stands
+    as the REGIME statement: on structure-free fixtures a small probe
+    fraction scrambles decile membership, so the recall floor and
     outlier-set agreement are pytest-pinned on a planted-CLUSTER
-    fixture (tests/test_llmops.py), where real structure lets the same
-    kernel run at low nprobe: that's the honest production claim —
-    cells help exactly where the embedding space has density structure,
-    which is the only regime where a density gate is meaningful at
-    all."""
+    fixture (tests/test_llmops.py), where real structure lets the
+    kernel run at low probe fractions — cells help exactly where the
+    embedding space has density structure, which is the only regime
+    where a density gate is meaningful at all."""
     from ..operators.similarity import knn_density_outliers
 
     return knn_density_outliers(
-        _embs(spark, sf_dir), k=5, decile=0.1, n_cells=8, n_probes=4
+        _embs(spark, sf_dir), k=5, decile=0.1, n_cells="auto", n_probes=4
     )
 
 

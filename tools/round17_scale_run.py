@@ -26,7 +26,7 @@ if REPO not in sys.path:
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
-PROD_QUERIES = ["v8_prod"]
+PROD_QUERIES = ["v8_prod", "v13_prod"]
 
 
 def _timed(fn) -> float:
