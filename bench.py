@@ -414,6 +414,16 @@ def main() -> None:
         # headline, and the standalone probe stays as a reference point.
         import statistics as _stats
 
+        # one UNTIMED warm-up execution (round 14): every suite query
+        # runs after the shared session warm-up, but the transform
+        # special's first-ever execution in the session also pays its
+        # own codegen + broadcast warm-up — measured 18.6 s cold vs
+        # 4.6 s warm on identical 10x data in a fresh session. The
+        # suites' medians absorb a cold first run at N_RUNS=3; the
+        # paired transform at N_RUNS=2 does not. Recorded in the
+        # artifact so the series change is explicit.
+        full_pipeline()
+
         _pair_probe, _pair_xform = [], []
         for _ in range(N_RUNS):
             _pair_probe.append(_io_probe_once())
@@ -496,6 +506,11 @@ def main() -> None:
         # as the secondary (absolute) series.
         "pipe_transform_io_norm": io_norm_paired,
         "pipe_transform_io_norm_min": io_norm_paired_min,
+        # round 14: the paired transform now runs once untimed first
+        # (codegen/broadcast warm-up, the same treatment every suite
+        # query gets from the shared warm-up); flagged so artifact
+        # series before/after the change are read correctly
+        "transform_warmup": True,
         # continuity across the round-14 definition change (the r2
         # value_with_ingest precedent): the pre-pairing definition
         # (median transform / standalone probe) for comparison against
