@@ -260,7 +260,7 @@ def ivfadc_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     n_probes: int = 2,
     m: int = 8,
     ksub: int = 16,
@@ -299,9 +299,17 @@ def ivfadc_topk(
     probe filter prunes row groups at scan — here the filter runs
     before the scoring kernel, so only probed cells' rows are ever
     scored. Queries are a bounded batch (collected once, LUTs in the
-    kernel closure — the kmeans model pattern)."""
-    from .similarity import kmeans_fit, nearest_cells
+    kernel closure — the kmeans model pattern).
 
+    ``n_cells="auto"`` resolves via ``similarity.auto_n_cells``
+    (≈ sqrt(n) — round 14): a fixed cell count makes each query's
+    probed-candidate set n·n_probes/n_cells, i.e. LINEAR in the corpus
+    (a quarter-corpus scan at the 2-of-8 default), which defeats the
+    index at scale; sqrt sizing makes it n_probes·sqrt(n)."""
+    from .similarity import auto_n_cells, kmeans_fit, nearest_cells
+
+    if n_cells == "auto":
+        n_cells = auto_n_cells(corpus.count())
     if centroids is None:
         centroids, _ = kmeans_fit(
             corpus, k=n_cells, id_col=id_col, vec_col=vec_col

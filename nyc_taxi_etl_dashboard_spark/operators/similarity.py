@@ -612,7 +612,7 @@ def ivf_ann_trained(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     n_iters: int = 5,
     n_probes: int = 2,
     id_col: str = "vec_id",
@@ -630,7 +630,15 @@ def ivf_ann_trained(
     n_cells`` degrades gracefully to exact brute force (every cell
     probed ⇒ the candidate set is the whole corpus), which the tests pin.
     Pass ``centroids`` to reuse a fitted model across query batches.
+
+    ``n_cells="auto"`` resolves via :func:`auto_n_cells` (≈ sqrt(n),
+    one count() pre-pass — round 14): under a FIXED cell count the
+    per-query candidate set is n·n_probes/n_cells — linear in the
+    corpus, a 25 %-of-corpus scan at the 2-of-8 default, which defeats
+    the index at scale; sqrt sizing makes it n_probes·sqrt(n).
     """
+    if n_cells == "auto":
+        n_cells = auto_n_cells(corpus.count())
     if centroids is None:
         centroids, _ = kmeans_fit(
             corpus, k=n_cells, n_iters=n_iters, id_col=id_col, vec_col=vec_col

@@ -295,12 +295,17 @@ def q_ivf_trained_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit (amortized across query batches in production; included here so
     the number is end-to-end honest) + nprobe=2 probe join. No probe-all
     leg, no verdict joins (those are v7, the certification shape).
-    Bench-only; recall and inertia floors pinned in pytest."""
+    Bench-only; recall and inertia floors pinned in pytest.
+
+    Cell count is corpus-adaptive (round 14, the v8/v13 sweep): fixed
+    8 cells made every query scan n·2/8 = a quarter of the corpus —
+    linear per query, defeating the index at scale; ``"auto"``
+    (≈ sqrt(n)) bounds it at 2·sqrt(n) candidates per query."""
     from ..operators.similarity import ivf_ann_trained
 
     e = _embs(spark, sf_dir)
     qs = e.filter(F.col("vec_id") < 3)
-    return ivf_ann_trained(e, qs, k=5, n_cells=8, n_iters=3, n_probes=2)
+    return ivf_ann_trained(e, qs, k=5, n_cells="auto", n_iters=3, n_probes=2)
 
 
 #: production-path ANN shapes timed by bench.py but NOT registered in
@@ -3503,12 +3508,17 @@ def q_ivfadc_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly equal to flat ADC in pytest (the v7 precedent), and the
     residual path carries a recall floor — registering a third
     quantizer certification would duplicate v11's verdict machinery for
-    no new evidence."""
+    no new evidence.
+
+    Cell count is corpus-adaptive (round 14, the v8/v13 sweep): under
+    fixed 8 cells each query ADC-scored a quarter of the corpus —
+    linear per query; ``"auto"`` (≈ sqrt(n)) bounds probed candidates
+    at 2·sqrt(n) per query, the billion-scale IVFADC sizing."""
     from ..operators.quantization import ivfadc_topk
 
     e = _embs(spark, sf_dir)
     qs = e.filter(F.col("vec_id") < 3)
-    return ivfadc_topk(e, qs, k=5, n_cells=8, n_probes=2, m=8, ksub=16)
+    return ivfadc_topk(e, qs, k=5, n_cells="auto", n_probes=2, m=8, ksub=16)
 
 
 BENCH_ONLY["v12_prod"] = q_ivfadc_prod

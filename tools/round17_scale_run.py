@@ -26,7 +26,14 @@ if REPO not in sys.path:
 
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
-PROD_QUERIES = ["v8_prod", "v13_prod"]
+#: override with SPARK_GRAFT_PRODS=name1,name2 to scale-run a subset
+PROD_QUERIES = [
+    q
+    for q in os.environ.get(
+        "SPARK_GRAFT_PRODS", "v8_prod,v13_prod"
+    ).split(",")
+    if q
+]
 
 
 def _timed(fn) -> float:
