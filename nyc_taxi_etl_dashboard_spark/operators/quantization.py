@@ -308,9 +308,12 @@ def ivfadc_topk(
     index at scale; sqrt sizing makes it n_probes·sqrt(n)."""
     from .similarity import auto_n_cells, kmeans_fit, nearest_cells
 
-    if n_cells == "auto":
-        n_cells = auto_n_cells(corpus.count())
     if centroids is None:
+        # resolve "auto" only on the fit path (n_cells is consumed
+        # solely by kmeans_fit): callers reusing a fitted model across
+        # query batches must not pay a corpus count() per batch
+        if n_cells == "auto":
+            n_cells = auto_n_cells(corpus.count())
         centroids, _ = kmeans_fit(
             corpus, k=n_cells, id_col=id_col, vec_col=vec_col
         )

@@ -637,9 +637,12 @@ def ivf_ann_trained(
     corpus, a 25 %-of-corpus scan at the 2-of-8 default, which defeats
     the index at scale; sqrt sizing makes it n_probes·sqrt(n).
     """
-    if n_cells == "auto":
-        n_cells = auto_n_cells(corpus.count())
     if centroids is None:
+        # resolve "auto" only on the fit path (n_cells is consumed
+        # solely by kmeans_fit): callers reusing a fitted model across
+        # query batches must not pay a corpus count() per batch
+        if n_cells == "auto":
+            n_cells = auto_n_cells(corpus.count())
         centroids, _ = kmeans_fit(
             corpus, k=n_cells, n_iters=n_iters, id_col=id_col, vec_col=vec_col
         )
@@ -736,8 +739,6 @@ def knn_density_outliers(
     under 4-of-8 fixed cells, SCALE100X.md round-17), the sqrt sizing
     bounds the fold total at n^1.5 with per-cell work flat.
     """
-    if n_cells == "auto":
-        n_cells = auto_n_cells(corpus.count())
     if exact:
         nn = knn_bruteforce(corpus, corpus, k=k, id_col=id_col, vec_col=vec_col)
         scored = nn.groupBy("query_id").agg(

@@ -295,7 +295,11 @@ def q_ivf_trained_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit (amortized across query batches in production; included here so
     the number is end-to-end honest) + nprobe=2 probe join. No probe-all
     leg, no verdict joins (those are v7, the certification shape).
-    Bench-only; recall and inertia floors pinned in pytest.
+    Bench-only; recall and inertia floors pinned in pytest — including
+    the auto-cells config itself on the planted-cluster fixture (auto
+    resolves to 32 cells there, recall@5 >= 0.9 pinned; on
+    structure-free data tune n_probes upward with the cell count, the
+    standard IVF knob).
 
     Cell count is corpus-adaptive (round 14, the v8/v13 sweep): fixed
     8 cells made every query scan n·2/8 = a quarter of the corpus —

@@ -186,15 +186,37 @@ def write_jdbc_upsert(
 
 
 def _qident(name: str) -> str:
-    """Double-quote an SQL identifier (ADVICE r13: table/column/key
-    names were interpolated unquoted, so a mixed-case or reserved-word
-    column — legal in a staged DataFrame, and written QUOTED by Spark's
-    own JDBC writer — produced broken or wrong-target statements).
+    """Double-quote a COLUMN identifier (ADVICE r13: column/key names
+    were interpolated unquoted, so a mixed-case or reserved-word column
+    — legal in a staged DataFrame, and written QUOTED by Spark's own
+    JDBC writer when it creates the staging table — produced broken or
+    wrong-target statements; quoting matches the writer's own DDL).
     Embedded quotes are doubled per the SQL standard; control chars are
     rejected outright rather than smuggled into DDL."""
     if any(ord(c) < 0x20 for c in name):
         raise ValueError(f"control character in SQL identifier: {name!r}")
     return '"' + name.replace('"', '""') + '"'
+
+
+import re as _re
+
+#: table names pass through VERBATIM (possibly schema-qualified) but
+#: must look like unquoted SQL table references. Deliberately NOT
+#: quoted (round-14 review): Spark's JDBC writer interpolates the
+#:  staging table name verbatim into its CREATE TABLE, so the database
+#: case-folds it; quoting it here (case-preserving) would reference a
+#: DIFFERENT relation for any mixed-case name, and quoting a
+#: schema-qualified target as one identifier would break it. Verbatim
+#: on both sides means writer and statements always fold identically.
+_TABLE_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?$")
+
+
+def _tident(name: str) -> str:
+    if not _TABLE_RE.match(name):
+        raise ValueError(
+            f"unsafe SQL table name {name!r}: must match {_TABLE_RE.pattern}"
+        )
+    return name
 
 
 def upsert_pushdown_sql(
@@ -222,9 +244,9 @@ def upsert_pushdown_sql(
     cols = ", ".join(_qident(c) for c in columns)
     keys = ", ".join(_qident(k) for k in key_cols)
     return [
-        f"INSERT INTO {_qident(table)} ({cols}) SELECT {cols} FROM {_qident(staging)} "
+        f"INSERT INTO {_tident(table)} ({cols}) SELECT {cols} FROM {_tident(staging)} "
         f"ON CONFLICT ({keys}) DO NOTHING",
-        f"DROP TABLE {_qident(staging)}",
+        f"DROP TABLE {_tident(staging)}",
     ]
 
 
@@ -265,6 +287,7 @@ def write_jdbc_upsert_pushdown(
     key_cols: list[str],
     properties: dict[str, str] | None = None,
     run_id: str | None = None,
+    drop_staging_on_failure: bool = False,
 ) -> None:
     """Insert-if-absent with the dedup INSIDE the database (S9 pushdown
     form; VERDICT r12 item 4): stage the frame to
@@ -277,9 +300,20 @@ def write_jdbc_upsert_pushdown(
     upserts to the same target silently clobber each other's staged
     rows — the ON CONFLICT statement is atomic, but the staging step
     was not). Callers running concurrently MUST pass distinct run ids
-    (a job/batch id); when omitted, a fresh UUID is generated, so the
-    default is concurrency-safe and only the staging table's name is
+    (validated ``[A-Za-z0-9_]+`` — the name flows into unquoted DDL);
+    when omitted, a fresh UUID is generated, so the default is
+    concurrency-safe and only the staging table's name is
     nondeterministic (it is dropped in the same transaction).
+
+    Failure semantics: if the pushdown transaction fails, its DROP
+    rolls back with the INSERT and the staged table SURVIVES for
+    inspection (the Derby boundary test pins this — target untouched,
+    staged rows intact). A RETRY LOOP must therefore either pass a
+    STABLE ``run_id`` (the retry's mode="overwrite" staging write then
+    reuses the same name — no accumulation) or set
+    ``drop_staging_on_failure=True`` to best-effort drop the staged
+    table before re-raising; the UUID default plus retries without
+    either would leak one uniquely-named staging table per failure.
 
     vs :func:`write_jdbc_upsert` (anti-join form): no read-back of
     existing keys, and ATOMIC against concurrent writers — the conflict
@@ -298,15 +332,31 @@ def write_jdbc_upsert_pushdown(
     statement list."""
     import uuid
 
+    if run_id is not None and not _re.fullmatch(r"[A-Za-z0-9_]+", run_id):
+        raise ValueError(
+            f"unsafe run_id {run_id!r}: must match [A-Za-z0-9_]+ "
+            "(it names a staging table in unquoted DDL)"
+        )
     props = dict(properties or {})
     staging = f"{table}_staging_{run_id if run_id is not None else uuid.uuid4().hex[:12]}"
+    _tident(staging)  # reject unsafe names BEFORE the staging write
     df.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)
-    execute_jdbc_transaction(
-        spark,
-        url,
-        upsert_pushdown_sql(table, staging, df.columns, key_cols),
-        props,
-    )
+    try:
+        execute_jdbc_transaction(
+            spark,
+            url,
+            upsert_pushdown_sql(table, staging, df.columns, key_cols),
+            props,
+        )
+    except Exception:
+        if drop_staging_on_failure:
+            try:
+                execute_jdbc_transaction(
+                    spark, url, [f"DROP TABLE {_tident(staging)}"], props
+                )
+            except Exception:  # pragma: no cover - best-effort cleanup
+                pass
+        raise
 
 
 def merge_parquet(

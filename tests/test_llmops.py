@@ -1416,6 +1416,40 @@ def test_v13_prod_kernel_recall_and_gate_agreement(spark):
     jac = len(exact_out & prod_out) / len(exact_out | prod_out)
     assert jac >= 0.9, f"outlier-set Jaccard {jac:.3f}"
     assert outlier_ids <= exact_out and outlier_ids <= prod_out
+
+    # the SHIPPED prod config (round 14): n_cells="auto" resolves to 32
+    # cells at this fixture's n=1000, so this pins the corpus-adaptive
+    # config itself — not just the historical fixed-8 kernel above.
+    # Calibrated before pinning: recall@5 0.950 at the shipped
+    # n_probes=4 (0.911 even at 2), outlier Jaccard 1.0.
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        auto_n_cells,
+    )
+
+    assert auto_n_cells(10) == 8  # floor
+    assert auto_n_cells(1000) == 32
+    assert auto_n_cells(200_000) == 447
+    assert auto_n_cells(10**9) == 4096  # cap
+    auto_nn = ivf_ann_trained(e, e, k=5, n_cells="auto", n_probes=4).collect()
+    by_q_auto: dict = {}
+    for r in auto_nn:
+        by_q_auto.setdefault(r.query_id, set()).add(r.neighbor_id)
+    auto_recalls = [
+        len(by_q_exact[q] & by_q_auto.get(q, set())) / len(by_q_exact[q])
+        for q in by_q_exact
+    ]
+    auto_recall = sum(auto_recalls) / len(auto_recalls)
+    assert auto_recall >= 0.9, f"auto-cells recall@5 {auto_recall:.3f}"
+    auto_out = {
+        r.vec_id
+        for r in knn_density_outliers(
+            e, k=5, decile=0.1, n_cells="auto", n_probes=4
+        ).collect()
+        if r.is_outlier
+    }
+    auto_jac = len(exact_out & auto_out) / len(exact_out | auto_out)
+    assert auto_jac >= 0.9, f"auto-cells outlier Jaccard {auto_jac:.3f}"
+    assert outlier_ids <= auto_out
     e.unpersist()
 
 

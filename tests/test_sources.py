@@ -477,25 +477,37 @@ def test_upsert_pushdown_sql_pinned():
         ["trip_id", "fare_amount"], ["trip_id"],
     )
     assert stmts == [
-        'INSERT INTO "fact_trips" ("trip_id", "fare_amount") '
-        'SELECT "trip_id", "fare_amount" FROM "fact_trips_staging" '
+        'INSERT INTO fact_trips ("trip_id", "fare_amount") '
+        'SELECT "trip_id", "fare_amount" FROM fact_trips_staging '
         'ON CONFLICT ("trip_id") DO NOTHING',
-        'DROP TABLE "fact_trips_staging"',
+        "DROP TABLE fact_trips_staging",
     ]
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         upsert_pushdown_sql("t", "s", ["a"], ["a"], dialect="derby")
-    # identifiers are quoted (ADVICE r13): mixed-case and reserved-word
-    # columns survive, embedded quotes are doubled, control chars raise
-    mixed = upsert_pushdown_sql("T", "S", ['we"ird', "select"], ["select"])
+    # COLUMN identifiers are quoted (ADVICE r13): mixed-case and
+    # reserved-word columns survive (Spark's JDBC writer creates the
+    # staging columns quoted, so quoting here matches the staged DDL);
+    # embedded quotes are doubled, control chars raise. TABLE names
+    # pass VERBATIM (the writer interpolates the staging name unquoted
+    # into its CREATE TABLE, so the database case-folds it — quoting
+    # here would reference a different relation for mixed-case names)
+    # but are validated against a safe-table-reference pattern,
+    # including schema qualification.
+    mixed = upsert_pushdown_sql(
+        "analytics.Fact_Trips", "Fact_Trips_staging_r1", ['we"ird', "select"], ["select"]
+    )
     assert mixed[0] == (
-        'INSERT INTO "T" ("we""ird", "select") '
-        'SELECT "we""ird", "select" FROM "S" '
+        'INSERT INTO analytics.Fact_Trips ("we""ird", "select") '
+        'SELECT "we""ird", "select" FROM Fact_Trips_staging_r1 '
         'ON CONFLICT ("select") DO NOTHING'
     )
-    with _pytest.raises(ValueError):
-        upsert_pushdown_sql("t\n--", "s", ["a"], ["a"])
+    for bad in ("t\n--", "t; DROP TABLE x", 't"t', "a.b.c", "ta ble"):
+        with _pytest.raises(ValueError):
+            upsert_pushdown_sql(bad, "s", ["a"], ["a"])
+        with _pytest.raises(ValueError):
+            upsert_pushdown_sql("t", bad, ["a"], ["a"])
 
 
 def test_upsert_pushdown_sql_semantics_vs_anti_join(duck):
@@ -593,6 +605,12 @@ def test_write_jdbc_upsert_pushdown_stages_and_requires_on_conflict(spark, tmp_p
         props,
     )
     df = spark.createDataFrame([(1, "new"), (2, "b")], "k int, v string")
+    # unsafe run_id rejected BEFORE any staging write (it names a table
+    # in unquoted DDL)
+    with _pytest.raises(ValueError):
+        write_jdbc_upsert_pushdown(
+            spark, df, url, "tgt", ["k"], props, run_id="2026-08-15 batch#1"
+        )
     with _pytest.raises(Exception):
         write_jdbc_upsert_pushdown(
             spark, df, url, "tgt", ["k"], props, run_id="r14test"

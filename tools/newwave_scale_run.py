@@ -97,6 +97,8 @@ def main() -> None:
     for name in DOC_QUERIES + VEC_QUERIES + PROD_QUERIES:
         table = "embeddings" if name.startswith(("v14", "v15")) else "documents"
         scale = rows_per_dir[hi][table] / rows_per_dir[lo][table]
+        if scale == 1.0:  # single dir / equal rows: no alpha (round-14 review)
+            continue
         exponents[name] = round(
             math.log(max(results[hi][name], 1e-3) / max(results[lo][name], 1e-3))
             / math.log(scale),

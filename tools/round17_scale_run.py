@@ -76,6 +76,9 @@ def main() -> None:
     labels = list(results)
     lo, hi = labels[0], labels[-1]
     scale = rows_per_dir[hi] / rows_per_dir[lo]
+    if scale == 1.0:  # single dir / equal row counts: no alpha to compute
+        print("\nROUND17:", json.dumps({"results": results, "rows": rows_per_dir}))
+        return
     exponents = {
         name: round(
             math.log(max(results[hi][name], 1e-3) / max(results[lo][name], 1e-3))

@@ -158,6 +158,9 @@ def main() -> None:
     labels = list(results)
     lo, hi = labels[0], labels[-1]
     scale = n_vec[hi] / n_vec[lo]
+    if scale == 1.0:  # single dir / equal rows: no alpha (round-14 review)
+        print("\nSEMANTIC100:", json.dumps({"results": results, "rows": n_vec}))
+        return
     exponents = {
         name: round(
             math.log(max(results[hi][name], 1e-3) / max(results[lo][name], 1e-3))
