@@ -282,13 +282,30 @@ def rhp_projections(
     return F.expr(f"transform(sequence(0, {n_planes - 1}), p -> {per_plane})")
 
 
+def auto_n_planes_topk(
+    n: int, target_occupancy: int = 64, floor: int = 4, cap: int = 30
+) -> int:
+    """Corpus-adaptive plane count for the TOP-K bucketing path
+    (:func:`knn_lsh`): ``ceil(log2(n / target_occupancy))``, clamped.
+    Different target than :func:`auto_n_planes` (the PAIR-generation
+    sizing, occupancy ≈ 1/16): a top-k query needs each probed bucket
+    to still CONTAIN candidates (≥ k, with headroom for recall), so
+    occupancy is held near ``target_occupancy`` instead of near zero —
+    per-query candidate work stays ≈ (1+n_probes)·target_occupancy,
+    flat in the corpus, while a FIXED plane count lets it grow
+    linearly (n/2^planes per bucket)."""
+    import math
+
+    return max(floor, min(cap, math.ceil(math.log2(max(n / target_occupancy, 2)))))
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     dim: int = 64,
     n_probes: int = 0,
     exhaustive: bool = False,
@@ -319,7 +336,14 @@ def knn_lsh(
     to ``2**n_planes`` per query — keep ``n_planes`` small and the query
     set bounded when using it (a certification/debug mode, not the
     production path).
+
+    ``n_planes="auto"`` resolves via :func:`auto_n_planes_topk`
+    (occupancy-targeted, one count() pre-pass — round 14): a fixed
+    plane count lets per-query candidates grow linearly with the
+    corpus (n/2^planes per probed bucket).
     """
+    if n_planes == "auto":
+        n_planes = auto_n_planes_topk(corpus.count())
     # corpus-side signatures take the kernel knob (the corpus is the
     # scale side; bits pinned equal between kernels, see
     # rhp_signature_arrow). Query-side signatures derive from the

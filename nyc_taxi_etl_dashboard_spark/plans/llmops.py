@@ -280,14 +280,17 @@ def q_embedding_decontam(
 
 def q_knn_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v4_prod: the PRODUCTION multi-probe LSH path a 100 TB user runs —
-    default 8-plane bucketing plus 2 extra probes, exact-scored top-5.
-    No exhaustive reshape, no brute-force leg, no verdict joins (those
-    are v4, the certification shape; VERDICT r6 item 1b split the two so
-    bench measures production cost). Bench-only: approximate output is
-    recall-floor-tested in pytest, not hash-certified."""
+    occupancy-targeted bucketing (``n_planes="auto"``, round 14: a
+    fixed 8-plane count let per-query candidates grow linearly with
+    the corpus — n/256 per probed bucket) plus 2 extra probes,
+    exact-scored top-5. No exhaustive reshape, no brute-force leg, no
+    verdict joins (those are v4, the certification shape; VERDICT r6
+    item 1b split the two so bench measures production cost).
+    Bench-only: approximate output is recall-floor-tested in pytest,
+    not hash-certified."""
     e = _embs(spark, sf_dir)
     qs = e.filter(F.col("vec_id") < 3)
-    return knn_lsh(e, qs, k=5, n_probes=2)
+    return knn_lsh(e, qs, k=5, n_planes="auto", n_probes=2)
 
 
 def q_ivf_trained_prod(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1450,6 +1450,32 @@ def test_v13_prod_kernel_recall_and_gate_agreement(spark):
     auto_jac = len(exact_out & auto_out) / len(exact_out | auto_out)
     assert auto_jac >= 0.9, f"auto-cells outlier Jaccard {auto_jac:.3f}"
     assert outlier_ids <= auto_out
+
+    # v4_prod's shipped config (round 14): knn_lsh with occupancy-
+    # targeted planes (auto_n_planes_topk -> 4 planes at n=1000).
+    # Calibrated before pinning: recall@5 0.973 at n_probes=2 vs 0.667
+    # under the old fixed 8 planes — the adaptive sizing improves
+    # fixture-scale recall AND caps per-query candidates at scale.
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        auto_n_planes_topk,
+        knn_lsh,
+    )
+
+    assert auto_n_planes_topk(128) == 4  # floor
+    assert auto_n_planes_topk(200_000) == 12
+    assert auto_n_planes_topk(10**9) == 24
+    qs = e.filter("vec_id < 30")
+    exact_q = {q: by_q_exact[q] for q in range(30) if q in by_q_exact}
+    lsh_nn = knn_lsh(e, qs, k=5, n_planes="auto", n_probes=2).collect()
+    by_q_lsh: dict = {}
+    for r in lsh_nn:
+        by_q_lsh.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh_recalls = [
+        len(exact_q[q] & by_q_lsh.get(q, set())) / len(exact_q[q])
+        for q in exact_q
+    ]
+    lsh_recall = sum(lsh_recalls) / len(lsh_recalls)
+    assert lsh_recall >= 0.9, f"auto-planes knn_lsh recall@5 {lsh_recall:.3f}"
     e.unpersist()
 
 
