@@ -324,12 +324,22 @@ def ivfadc_topk(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("cell", nearest_cells("v", centroids, 1).getItem(0))
     if by_residual:
-        cent_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
-        )
-        c = c.withColumn(
-            "v", F.zip_with("v", F.element_at(cent_lit, F.col("cell") + 1), lambda a, b: a - b)
-        )
+        # subtract the cell centroid inside an Arrow kernel (the
+        # nearest_cells pattern) rather than a zip_with over a literal
+        # centroid array: with n_cells="auto" the literal form embeds
+        # n_cells×dim F.lit expressions in the plan (up to 4096×64 ≈
+        # 262k at the cap — a Catalyst/codegen plan-size blowup the
+        # fixed-8 form never had; ADVICE r14). The closure ships the
+        # same floats once per task via the UDF, not per plan node.
+        @F.pandas_udf("array<double>")
+        def _residual(v: pd.Series, cell: pd.Series) -> pd.Series:
+            if not len(v):
+                return pd.Series([], dtype="object")
+            V = np.stack(v.to_numpy())
+            R = V - C[cell.to_numpy().astype(int)]
+            return pd.Series(list(R))
+
+        c = c.withColumn("v", _residual("v", "cell"))
     if codebooks is None:
         codebooks = pq_fit(c, m=m, ksub=ksub, dim=dim, id_col="id", vec_col="v")
     stored = pq_encode(c, codebooks, id_col="id", vec_col="v", extra_cols=["cell"])

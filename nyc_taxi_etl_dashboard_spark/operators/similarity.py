@@ -342,6 +342,18 @@ def knn_lsh(
     plane count lets per-query candidates grow linearly with the
     corpus (n/2^planes per probed bucket).
     """
+    if exhaustive and (n_planes == "auto" or int(n_planes) > 12):
+        # exhaustive is a small-plane certification/debug mode: it
+        # builds all 2**n_planes probe masks as literal expressions.
+        # At auto-resolved plane counts (up to 30 on large corpora)
+        # that is millions of Catalyst expressions — a planner/driver
+        # killer, never what a cert run wants (ADVICE r14).
+        raise ValueError(
+            "exhaustive=True requires an explicit n_planes <= 12 "
+            f"(got {n_planes!r}); it probes all 2**n_planes buckets "
+            "as plan literals and is a certification mode, not the "
+            "production path"
+        )
     if n_planes == "auto":
         n_planes = auto_n_planes_topk(corpus.count())
     # corpus-side signatures take the kernel knob (the corpus is the

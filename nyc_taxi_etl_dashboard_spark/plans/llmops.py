@@ -4761,8 +4761,10 @@ def q_source_overlap_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     triage a recurring ingestion runs per date. Same kernel as dd16
     (operators/dedup.py:source_overlap_matrix is group-column
     parametric); the grouping is t20's snapshot convention (doc_id
-    parity stands in for two crawl dates). Registered straight to the
-    sweep tail: the kernel's driver-window evidence is dd16 itself."""
+    parity stands in for two crawl dates). Rotated INTO the driver
+    window in round 14 (dd16 moved to the sweep tail) so both kernel
+    groupings carry driver-oracle evidence; dd16b has its own green
+    r14 row plus a hand-computed pytest fixture."""
     from ..operators.dedup import source_overlap_matrix
 
     d = _docs(spark, sf_dir).withColumn(

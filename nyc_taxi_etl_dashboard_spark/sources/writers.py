@@ -279,6 +279,23 @@ def execute_jdbc_transaction(
         conn.close()
 
 
+def _staging_name(table: str, suffix: str) -> str:
+    """``<table>_staging_<suffix>``, bounded to 63 bytes (ADVICE r14):
+    PostgreSQL silently truncates identifiers at NAMEDATALEN-1 = 63
+    (two long-named targets could collide post-truncation); other
+    dialects reject outright. Past the limit the name collapses to a
+    deterministic ``stg_<sha256(table|suffix)[:24]>`` — the same
+    (table, run_id) still maps to the same staging name, so the
+    retry-with-stable-run_id contract holds."""
+    staging = f"{table}_staging_{suffix}"
+    if len(staging) > 63:
+        import hashlib
+
+        digest = hashlib.sha256(f"{table}|{suffix}".encode()).hexdigest()[:24]
+        staging = f"stg_{digest}"
+    return staging
+
+
 def write_jdbc_upsert_pushdown(
     spark: SparkSession,
     df: DataFrame,
@@ -303,7 +320,11 @@ def write_jdbc_upsert_pushdown(
     (validated ``[A-Za-z0-9_]+`` — the name flows into unquoted DDL);
     when omitted, a fresh UUID is generated, so the default is
     concurrency-safe and only the staging table's name is
-    nondeterministic (it is dropped in the same transaction).
+    nondeterministic (it is dropped in the same transaction). Staging
+    names longer than 63 bytes (PostgreSQL's NAMEDATALEN silently
+    truncates there; other dialects reject) collapse to a
+    deterministic ``stg_<sha256(table|run_id)[:24]>`` — still stable
+    per (table, run_id), so retries reuse the same name.
 
     Failure semantics: if the pushdown transaction fails, its DROP
     rolls back with the INSERT and the staged table SURVIVES for
@@ -338,7 +359,7 @@ def write_jdbc_upsert_pushdown(
             "(it names a staging table in unquoted DDL)"
         )
     props = dict(properties or {})
-    staging = f"{table}_staging_{run_id if run_id is not None else uuid.uuid4().hex[:12]}"
+    staging = _staging_name(table, run_id if run_id is not None else uuid.uuid4().hex[:12])
     _tident(staging)  # reject unsafe names BEFORE the staging write
     df.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)
     try:

@@ -56,6 +56,25 @@ def test_knn_lsh_exhaustive_equals_bruteforce(spark, sf_dir):
         )
 
 
+def test_knn_lsh_exhaustive_rejects_auto_and_large_planes(spark, sf_dir):
+    """exhaustive=True is a small-plane certification mode: it builds
+    all 2**n_planes probe masks as plan literals, so combining it with
+    n_planes='auto' (up to 30 planes on large corpora → millions of
+    Catalyst expressions) or any count > 12 must raise up front instead
+    of killing the planner (ADVICE r14)."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import knn_lsh
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="exhaustive"):
+        knn_lsh(e, qs, k=5, n_planes="auto", exhaustive=True)
+    with pytest.raises(ValueError, match="exhaustive"):
+        knn_lsh(e, qs, k=5, n_planes=16, exhaustive=True)
+    # the documented cert configuration still works
+    assert knn_lsh(e, qs, k=5, n_planes=8, exhaustive=True).count() > 0
+
+
 def test_lsh_pairs_subset_of_exact_jaccard(spark, sf_dir):
     from nyc_taxi_etl_dashboard_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
     from nyc_taxi_etl_dashboard_spark.sources import read_table

@@ -466,6 +466,26 @@ def test_compact_parquet_preserves_hive_partitioning(spark, tmp_path):
     assert got.filter(F.col("batch_id") == 9).count() == 10
 
 
+def test_staging_name_bounded_and_deterministic():
+    """Staging identifiers stay within PostgreSQL's 63-byte NAMEDATALEN
+    (silent truncation there would let two long-named targets collide);
+    past the limit the name collapses to a deterministic hash form so
+    the retry-with-stable-run_id contract survives (ADVICE r14)."""
+    from nyc_taxi_etl_dashboard_spark.sources.writers import _staging_name
+
+    # short names keep the readable <table>_staging_<run_id> form
+    assert _staging_name("Fact_Trips", "r1") == "Fact_Trips_staging_r1"
+    long_table = "analytics_" + "x" * 60
+    a = _staging_name(long_table, "retry_run")
+    b = _staging_name(long_table, "retry_run")
+    c = _staging_name(long_table, "other_run")
+    d = _staging_name(long_table + "y", "retry_run")
+    assert a == b, "same (table, run_id) must reuse the same staging name"
+    assert len({a, c, d}) == 3, "distinct inputs must not collide"
+    for name in (a, c, d):
+        assert len(name) <= 63 and name.startswith("stg_")
+
+
 def test_upsert_pushdown_sql_pinned():
     """S9 pushdown (VERDICT r12 item 4): the emitted single-round-trip
     statements are pinned VERBATIM — no Postgres server exists here, so
