@@ -36,6 +36,14 @@ the registered v4/v7/x7 queries are the certification shapes
 than any 100 TB user runs — the split keeps CORRECTNESS exhaustive and
 BENCH representative (VERDICT r6 items 1b and 4). They are reported
 separately and excluded from both totals.
+
+Since round 15 the artifact is SELF-ADJUDICATING (VERDICT r14 item 1):
+"suspects" lists queries >2x their previous-artifact value, "settled"
+carries each one's verdict — wave_probe_corroborated (the bracketing
+fixed-work write probe inflated >2x alongside), wave_ab_exonerated /
+code_regression (an automatic tools/ab_interleaved.py run against the
+previous round's artifact commit; paired same-moment ratios), or an
+unsettled_* reason. Disable with SPARK_GRAFT_BENCH_ADJUDICATE=0.
 """
 
 from __future__ import annotations
@@ -179,6 +187,246 @@ CURATION = [
     # (VERDICT r12 item 2 — the target-parametric proof query)
     "x25_dsir_balanced",
 ]
+
+
+# --- bench self-adjudication (VERDICT r14 item 1) ---------------------------
+#
+# Three rounds of judge/builder cycles were spent re-litigating "regressions"
+# that PERF_AB_r14.md eventually pinned on shared-disk write-stall waves
+# (byte-identical code swinging 3.1x). The instruments that settled those
+# disputes — the start/mid/end write-axis probes and tools/ab_interleaved.py —
+# now run AUTOMATICALLY: after the suites finish, any query whose median
+# exceeds ~2x its previous-artifact value is flagged as a suspect; a suspect
+# whose phase-adjacent write probe also inflated >2x vs the same artifact is
+# settled in place as a box wave (the probe is fixed work — code cannot slow
+# it); the rest get one interleaved HEAD-vs-previous-round A/B run (paired
+# same-moment ratios, the PERF_AB_r14 method) and are settled by the paired
+# ratio. The artifact carries "suspects"/"settled" so a future dispute is
+# answered inside the artifact that raised it.
+
+#: suspect rule: now > RATIO x prev AND the absolute delta clears a floor
+#: (a 0.2 s query doubling is noise; a 5 s query doubling is a finding)
+SUSPECT_RATIO = 2.0
+SUSPECT_ABS_FLOOR = 0.75
+#: paired A/B ratio above which a suspect is ruled a CODE regression
+#: (PERF_AB_r14 measured same-code paired ratios <= 1.10; 1.25 adds margin)
+AB_CODE_THRESHOLD = 1.25
+#: write-probe inflation that corroborates a wave without burning an A/B
+PROBE_WAVE_RATIO = 2.0
+#: at most this many suspects ride the auto-A/B (largest deltas first)
+AB_MAX_QUERIES = 4
+
+#: phase -> the write-axis probes that bracket it (start/mid/end), so a
+#: suspect is compared against the probe readings taken nearest to WHEN it ran
+PHASE_PROBES = {
+    "headline": ("io_write_calibration_sec", "io_write_calibration_sec_mid"),
+    "curation": ("io_write_calibration_sec_mid", "io_write_calibration_sec_end"),
+    "prod": ("io_write_calibration_sec_end",),
+    "transform": ("io_write_calibration_sec_end",),
+}
+
+
+def find_suspects(
+    now: dict[str, float],
+    prev: dict[str, float],
+    ratio: float = SUSPECT_RATIO,
+    abs_floor: float = SUSPECT_ABS_FLOOR,
+    prev_floor: float = 0.05,
+) -> dict[str, dict]:
+    """Queries whose current median exceeds ``ratio`` x their
+    previous-artifact value AND whose absolute inflation clears
+    ``abs_floor`` seconds. Pure so tests can pin the rule."""
+    out: dict[str, dict] = {}
+    for q, v in now.items():
+        p = prev.get(q)
+        if p is None or p <= prev_floor:
+            continue
+        if v > ratio * p and (v - p) > abs_floor:
+            out[q] = {"prev": p, "now": v, "ratio": round(v / p, 2)}
+    return out
+
+
+def probe_corroboration(
+    phase: str, probes_now: dict[str, float], probes_prev: dict[str, float]
+) -> float | None:
+    """Max inflation ratio of the phase's bracketing write probes vs the
+    previous artifact (None when the reference lacks them)."""
+    ratios = [
+        probes_now[k] / probes_prev[k]
+        for k in PHASE_PROBES.get(phase, ())
+        if probes_now.get(k) and probes_prev.get(k)
+    ]
+    return round(max(ratios), 2) if ratios else None
+
+
+def _load_reference(repo_dir: str) -> tuple[dict, str] | tuple[None, str]:
+    """Previous-artifact values to adjudicate against: the on-disk
+    BENCH_local.json from the LAST completed run (full per-query detail;
+    at a round boundary this is the committed previous-round artifact),
+    overridable via SPARK_GRAFT_BENCH_REF; falls back to the newest
+    BENCH_r{N}.json's parsed summary (headline queries + probes only)."""
+    import glob
+    import re as _re2
+
+    override = os.environ.get("SPARK_GRAFT_BENCH_REF", "")
+    if override:
+        with open(override) as f:
+            return json.load(f), override
+    local = os.path.join(repo_dir, "BENCH_local.json")
+    if os.path.isfile(local):
+        with open(local) as f:
+            return json.load(f), "BENCH_local.json"
+    rounds = []
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = _re2.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if rounds:
+        _, p = max(rounds)
+        with open(p) as f:
+            parsed = json.load(f).get("parsed") or {}
+        return parsed, os.path.basename(p)
+    return None, "none"
+
+
+def _ab_base_commit(repo_dir: str) -> str | None:
+    """The commit that last touched the newest round artifact — the code
+    state the previous round's numbers measured (artifact commits only
+    add artifacts on top of the measured snapshot)."""
+    import glob
+    import re as _re2
+    import subprocess
+
+    rounds = []
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = _re2.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), os.path.basename(p)))
+    if not rounds:
+        return None
+    _, name = max(rounds)
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo_dir, "log", "-1", "--format=%h", "--", name],
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=30,
+        ).stdout.strip()
+        return out or None
+    except Exception:
+        return None
+
+
+def _adjudicate(
+    repo_dir: str,
+    now_by_phase: dict[str, dict[str, float]],
+    probes_now: dict[str, float],
+) -> tuple[dict, dict, dict]:
+    """Returns (suspects, settled, meta) for the artifact. Runs AFTER all
+    measurements (and after spark.stop(), so the A/B subprocess is the
+    only JVM). Never raises — adjudication failures are recorded, not
+    fatal to the bench."""
+    meta: dict = {"ref": "none"}
+    ref, ref_name = _load_reference(repo_dir)
+    meta["ref"] = ref_name
+    if ref is None:
+        return {}, {}, meta
+    now_all = {q: v for d in now_by_phase.values() for q, v in d.items()}
+    phase_of = {q: ph for ph, d in now_by_phase.items() for q in d}
+    if str(ref.get("sf")) != str(_sf_of_env()):
+        meta["skipped"] = f"reference sf {ref.get('sf')!r} != current"
+        return {}, {}, meta
+    prev = {
+        **(ref.get("queries") or {}),
+        **(ref.get("curation_queries") or {}),
+        **(ref.get("prod_paths") or {}),
+    }
+    probes_prev = {k: ref.get(k) for k in set().union(*PHASE_PROBES.values())}
+    suspects = find_suspects(now_all, prev)
+    settled: dict[str, dict] = {}
+    to_ab: list[str] = []
+    for q, info in suspects.items():
+        pr = probe_corroboration(phase_of.get(q, "headline"), probes_now, probes_prev)
+        info["write_probe_ratio"] = pr
+        if pr is not None and pr > PROBE_WAVE_RATIO:
+            settled[q] = {
+                "verdict": "wave_probe_corroborated",
+                "write_probe_ratio": pr,
+            }
+        else:
+            to_ab.append(q)
+    if not to_ab:
+        return suspects, settled, meta
+    if os.environ.get("SPARK_GRAFT_BENCH_ADJUDICATE", "1") == "0":
+        for q in to_ab:
+            settled[q] = {"verdict": "unsettled_adjudication_disabled"}
+        return suspects, settled, meta
+    base = _ab_base_commit(repo_dir)
+    if base is None:
+        for q in to_ab:
+            settled[q] = {"verdict": "unsettled_no_base_commit"}
+        return suspects, settled, meta
+    to_ab = sorted(to_ab, key=lambda q: suspects[q]["prev"] - suspects[q]["now"])[
+        :AB_MAX_QUERIES
+    ]
+    meta["ab_base"] = base
+    ab_rounds = int(os.environ.get("SPARK_GRAFT_AB_ROUNDS", "3"))
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [
+                "python",
+                os.path.join(repo_dir, "tools", "ab_interleaved.py"),
+                base,
+                str(ab_rounds),
+                ",".join(to_ab),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_AB_TIMEOUT", "1800")),
+            cwd=repo_dir,
+        )
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.strip().splitlines())
+                if ln.startswith("{")
+            ),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            raise RuntimeError(f"ab rc={proc.returncode}: {proc.stderr[-300:]}")
+        ab = json.loads(line)["ab"]
+        for q in to_ab:
+            r = ab.get(q, {}).get("paired_ratio_med")
+            settled[q] = {
+                "verdict": (
+                    "unsettled_ab_missing"
+                    if r is None
+                    else "code_regression"
+                    if r > AB_CODE_THRESHOLD
+                    else "wave_ab_exonerated"
+                ),
+                "paired_ratio_med": r,
+            }
+    except Exception as exc:  # noqa: BLE001 - adjudication must not kill bench
+        for q in to_ab:
+            settled[q] = {"verdict": "unsettled_ab_error", "error": str(exc)[:200]}
+    return suspects, settled, meta
+
+
+def _sf_of_env() -> float | str:
+    label = (
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        .rstrip("/")
+        .split("sf")[-1]
+    )
+    try:
+        return float(label)
+    except ValueError:
+        return label
 
 
 #: runs per query. Round-5 lesson (third flag): single-run timings on a
@@ -578,11 +826,36 @@ def main() -> None:
         "curation_norm": round(sum(curation.values()) / calibration_sec, 2),
         "detail": "BENCH_local.json",
     }
+    # self-adjudication (VERDICT r14 item 1): flag >2x anomalies vs the
+    # previous artifact, settle them via probe corroboration or an
+    # interleaved A/B — AFTER spark.stop() so the A/B subprocess is the
+    # only JVM on the box (clean same-moment pairs, no memory contention)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    now_by_phase = {
+        "headline": {q: timings[q] for q in HEADLINE if q in timings},
+        "curation": curation,
+        "prod": prod_paths,
+        "transform": {
+            "pipe_transform_full": timings["pipe_transform_full"],
+            "pipe_transform_bronze": timings["pipe_transform_bronze"],
+        },
+    }
+    probes_now = {k: summary[k] for k in set().union(*PHASE_PROBES.values())}
+    spark.stop()
+    suspects, settled, adj_meta = _adjudicate(repo_dir, now_by_phase, probes_now)
+    summary["suspects"] = suspects
+    summary["settled"] = settled
+    summary["adjudication"] = adj_meta
+
     full = dict(summary)
     full["curation_queries"] = curation
     full["spread"] = spread
     full["queries_norm"] = {
-        name: round(vals[1] / calibration_sec, 2) for name, vals in spread.items()
+        # vals is [min, med, max] for suite queries but a raw sorted
+        # N_RUNS list for io_probe_paired — index the median position
+        # so SPARK_GRAFT_BENCH_RUNS=1 smoke runs don't crash
+        name: round(vals[len(vals) // 2] / calibration_sec, 2)
+        for name, vals in spread.items()
     }
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"

@@ -24,11 +24,43 @@ from pyspark.sql import DataFrame
 _NPARTS_MEMO: dict[int, int] = {}
 
 
+#: semanticHash -> row count, for the "auto" bucket-sizing pre-pass
+#: (VERDICT r14 nit 1: auto_n_planes/auto_n_cells paid a full corpus
+#: count() PER INVOCATION — at 100 TB that is a full scan per query
+#: batch). Same lifecycle as _NPARTS_MEMO: bounded, plan-keyed,
+#: invalidated by clear_nparts_memo (file rewrites change row counts
+#: exactly when they change partition counts).
+_COUNT_MEMO: dict[int, int] = {}
+
+
+def memo_count(df: DataFrame) -> int:
+    """``df.count()`` memoized per logical plan ``semanticHash`` — the
+    scale_out pattern. The "auto" bucket-sizing paths (LSH plane counts,
+    IVF cell counts, shingle df caps) only need n to within a factor of
+    2, and re-derive identical corpus plans constantly (every prod query
+    re-reads the same table), so one count per corpus per session
+    suffices. Callers that already know n should pass explicit
+    parameters and skip the pre-pass entirely (the fit-path-only
+    resolution allows it)."""
+    try:
+        key = df.semanticHash()
+    except Exception:  # pragma: no cover - hash unavailable on exotic plans
+        key = None
+    n = _COUNT_MEMO.get(key) if key is not None else None
+    if n is None:
+        n = df.count()
+        if key is not None and len(_COUNT_MEMO) < 1024:
+            _COUNT_MEMO[key] = n
+    return n
+
+
 def clear_nparts_memo() -> None:
-    """Drop memoized partition counts. Call after anything that rewrites
-    files under a previously-scanned path (the count is a property of
-    the files, not the plan, so a rewrite invalidates it)."""
+    """Drop memoized partition AND row counts. Call after anything that
+    rewrites files under a previously-scanned path (both counts are
+    properties of the files, not the plan, so a rewrite invalidates
+    them)."""
     _NPARTS_MEMO.clear()
+    _COUNT_MEMO.clear()
 
 
 def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -90,7 +90,9 @@ def _resolve_df_cap(
     if max_shingle_freq == "auto":
         import math
 
-        n = df.select(id_col).count()
+        from . import memo_count
+
+        n = memo_count(df.select(id_col))
         return max(AUTO_DF_CAP_MIN, int(math.ceil(AUTO_DF_CAP_EPS * n)))
     return max_shingle_freq
 

@@ -313,7 +313,9 @@ def ivfadc_topk(
         # solely by kmeans_fit): callers reusing a fitted model across
         # query batches must not pay a corpus count() per batch
         if n_cells == "auto":
-            n_cells = auto_n_cells(corpus.count())
+            from . import memo_count
+
+            n_cells = auto_n_cells(memo_count(corpus))
         centroids, _ = kmeans_fit(
             corpus, k=n_cells, id_col=id_col, vec_col=vec_col
         )

@@ -355,7 +355,9 @@ def knn_lsh(
             "production path"
         )
     if n_planes == "auto":
-        n_planes = auto_n_planes_topk(corpus.count())
+        from . import memo_count
+
+        n_planes = auto_n_planes_topk(memo_count(corpus))
     # corpus-side signatures take the kernel knob (the corpus is the
     # scale side; bits pinned equal between kernels, see
     # rhp_signature_arrow). Query-side signatures derive from the
@@ -678,7 +680,9 @@ def ivf_ann_trained(
         # solely by kmeans_fit): callers reusing a fitted model across
         # query batches must not pay a corpus count() per batch
         if n_cells == "auto":
-            n_cells = auto_n_cells(corpus.count())
+            from . import memo_count
+
+            n_cells = auto_n_cells(memo_count(corpus))
         centroids, _ = kmeans_fit(
             corpus, k=n_cells, n_iters=n_iters, id_col=id_col, vec_col=vec_col
         )
@@ -896,7 +900,9 @@ def embedding_candidate_pairs(
     explicitly to skip the probe job.
     """
     if n_planes == "auto":
-        n_planes = auto_n_planes(df.count())
+        from . import memo_count
+
+        n_planes = auto_n_planes(memo_count(df))
     if dim is None:
         probe = df.select(F.array_size(vec_col).alias("d")).first()
         dim = int(probe["d"]) if probe else 64

@@ -4082,13 +4082,20 @@ def q_filtered_ann_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filter below a TRAINED IVF probe join (filter-then-bucket:
     cells are fit on the filtered corpus, so probe quality reflects
     the filtered distribution, not the global one). Bench-only:
-    approximate output, recall-floor-tested in pytest like v4/v7."""
+    approximate output, recall-floor-tested in pytest like v4/v7.
+
+    Cell count is corpus-adaptive like every other prod ANN path
+    (round 15 — the prod-config contract test caught this one still
+    carrying the fixed-8 literal the v7/v8/v13 sweep removed): auto
+    sizes ≈ sqrt(n) on the FILTERED corpus, so per-query probed
+    candidates stay ~n_probes·sqrt(n_filtered) instead of a fixed
+    quarter-corpus scan."""
     from ..operators.similarity import ivf_ann_trained
 
     e = _embs(spark, sf_dir)
     qs = e.filter(F.col("vec_id") < 3)
     corpus = e.filter(F.col("label") == V14_LABEL)
-    return ivf_ann_trained(corpus, qs, k=5, n_cells=8, n_iters=3, n_probes=2)
+    return ivf_ann_trained(corpus, qs, k=5, n_cells="auto", n_iters=3, n_probes=2)
 
 
 QUERIES["v14_filtered_ann"] = q_filtered_ann

@@ -1,0 +1,123 @@
+"""Pins for bench.py's self-adjudication rule (VERDICT r14 item 1): the
+suspect flagging, probe corroboration, and reference-loading logic are
+pure functions so the thresholds that gate an automatic interleaved A/B
+are testable without running a bench."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def test_find_suspects_flags_2x_with_floors():
+    prev = {"big": 5.0, "small": 0.2, "tiny": 0.02, "steady": 4.0, "gone": 3.0}
+    now = {
+        "big": 11.0,  # 2.2x and +6 s -> suspect
+        "small": 0.55,  # 2.75x but +0.35 s < abs floor -> not a suspect
+        "tiny": 1.0,  # prev below prev_floor -> ignored (no stable base)
+        "steady": 4.3,  # inside 2x -> clean
+        "new_query": 9.0,  # no reference value -> cannot be a suspect
+    }
+    suspects = bench.find_suspects(now, prev)
+    assert set(suspects) == {"big"}
+    assert suspects["big"]["prev"] == 5.0 and suspects["big"]["now"] == 11.0
+    assert suspects["big"]["ratio"] == 2.2
+
+
+def test_find_suspects_tiny_prev_floor_is_tunable():
+    # a 0.02 s reference is noise; callers can widen the floor
+    assert bench.find_suspects({"q": 1.0}, {"q": 0.02}) == {}
+    got = bench.find_suspects({"q": 1.0}, {"q": 0.1}, abs_floor=0.5)
+    assert got == {"q": {"prev": 0.1, "now": 1.0, "ratio": 10.0}}
+
+
+def test_probe_corroboration_uses_phase_bracketing_probes():
+    prev = {
+        "io_write_calibration_sec": 0.4,
+        "io_write_calibration_sec_mid": 0.3,
+        "io_write_calibration_sec_end": 0.5,
+    }
+    # curation phase brackets with the mid+end probes: mid tripled
+    now = dict(prev, io_write_calibration_sec_mid=0.9)
+    assert bench.probe_corroboration("curation", now, prev) == 3.0
+    # headline phase brackets with start+mid: start flat, mid tripled
+    assert bench.probe_corroboration("headline", now, prev) == 3.0
+    # prod phase only sees the end probe, which held flat
+    assert bench.probe_corroboration("prod", now, prev) == 1.0
+    # missing reference values -> None, never a divide-by-zero
+    assert bench.probe_corroboration("prod", now, {}) is None
+
+
+def test_load_reference_prefers_local_then_round_artifact(tmp_path):
+    # no artifacts at all -> (None, "none")
+    ref, name = bench._load_reference(str(tmp_path))
+    assert ref is None and name == "none"
+    # newest BENCH_r{N}.json's parsed summary is the fallback
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps({"parsed": {"sf": 0.1, "queries": {"a": 1}}}))
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps({"parsed": {"sf": 0.1, "queries": {"a": 2}}}))
+    ref, name = bench._load_reference(str(tmp_path))
+    assert name == "BENCH_r10.json" and ref["queries"]["a"] == 2
+    # an on-disk BENCH_local.json (full detail) wins over round artifacts
+    (tmp_path / "BENCH_local.json").write_text(json.dumps({"sf": 0.1, "queries": {"a": 3}}))
+    ref, name = bench._load_reference(str(tmp_path))
+    assert name == "BENCH_local.json" and ref["queries"]["a"] == 3
+
+
+def test_adjudicate_skips_on_sf_mismatch(tmp_path, monkeypatch):
+    (tmp_path / "BENCH_local.json").write_text(
+        json.dumps({"sf": "10x", "queries": {"a": 1.0}})
+    )
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)  # -> sf 0.1
+    suspects, settled, meta = bench._adjudicate(
+        str(tmp_path), {"headline": {"a": 9.0}}, {}
+    )
+    assert suspects == {} and settled == {}
+    assert "skipped" in meta and meta["ref"] == "BENCH_local.json"
+
+
+def test_adjudicate_probe_corroborated_wave_needs_no_ab(tmp_path, monkeypatch):
+    """A suspect whose bracketing write probe inflated >2x is settled in
+    place as a box wave — no subprocess A/B is attempted (the test would
+    fail loudly if one were: there is no git repo at tmp_path)."""
+    (tmp_path / "BENCH_local.json").write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "queries": {"q": 2.0},
+                "io_write_calibration_sec": 0.4,
+                "io_write_calibration_sec_mid": 0.4,
+                "io_write_calibration_sec_end": 0.4,
+            }
+        )
+    )
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    probes_now = {
+        "io_write_calibration_sec": 1.2,  # 3x the reference probe
+        "io_write_calibration_sec_mid": 1.2,
+        "io_write_calibration_sec_end": 0.4,
+    }
+    suspects, settled, meta = bench._adjudicate(
+        str(tmp_path), {"headline": {"q": 5.0}}, probes_now
+    )
+    assert set(suspects) == {"q"}
+    assert settled["q"]["verdict"] == "wave_probe_corroborated"
+    assert settled["q"]["write_probe_ratio"] == 3.0
+
+
+def test_adjudicate_disabled_marks_unsettled(tmp_path, monkeypatch):
+    (tmp_path / "BENCH_local.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 2.0}, "io_write_calibration_sec": 0.4})
+    )
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ADJUDICATE", "0")
+    # probes flat -> not a corroborated wave -> would A/B, but it's disabled
+    probes_now = {"io_write_calibration_sec": 0.4}
+    suspects, settled, _ = bench._adjudicate(
+        str(tmp_path), {"headline": {"q": 5.0}}, probes_now
+    )
+    assert settled["q"]["verdict"] == "unsettled_adjudication_disabled"

@@ -1970,6 +1970,13 @@ def test_filtered_ann_prod_recall_floor(spark):
     approx = ivf_ann_trained(corpus, qs, k=4, n_cells=8, n_iters=3, n_probes=2).collect()
     assert all(r.neighbor_id % 2 == 1 for r in approx)
     assert _recall(approx, exact) >= 0.9
+    # the ACTUAL v14_prod config (round 15: n_cells="auto" on the
+    # filtered corpus — the fixed-8 literal was the contract-test catch)
+    auto = ivf_ann_trained(
+        corpus, qs, k=4, n_cells="auto", n_iters=3, n_probes=2
+    ).collect()
+    assert all(r.neighbor_id % 2 == 1 for r in auto)
+    assert _recall(auto, exact) >= 0.9
 
 
 def test_interleaved_pack_matches_python_reference(spark, sf_dir):

@@ -507,3 +507,140 @@ def test_round15_wave_plan_shapes(spark, sf_dir):
     p16 = plan("dd16_source_overlap")
     assert p16.count("SortMergeJoin") <= 1
     assert "PythonUDF" not in p16
+
+
+def test_prod_paths_use_corpus_adaptive_bucketing():
+    """Prod-config contract (VERDICT r14 item 4): the fixed-bucket-
+    parameter defect class now has THREE instances (v8_prod fixed 16
+    planes — leg alpha 1.50 at 100x; v13_prod fixed 8 cells — quadratic
+    at 10x; v14_prod fixed 8 cells — caught by this test in round 15).
+    Every BENCH_ONLY prod path that invokes a bucketed operator must
+    pass its sizing kwarg EXPLICITLY as "auto" (corpus-adaptive), or
+    carry a `bucket-fixed-ok:` justification comment on the call line.
+    Omitting the kwarg is also a failure — the operator defaults are
+    fixed literals sized for certification fixtures, not production.
+
+    Follows one level of lambda indirection (v10_prod/x7_prod register
+    lambdas that forward kwargs into their certification query)."""
+    import ast
+    import inspect
+    import textwrap
+
+    from nyc_taxi_etl_dashboard_spark.plans import llmops
+
+    BUCKETED = {
+        "knn_lsh": "n_planes",
+        "ivf_ann_trained": "n_cells",
+        "ivfadc_topk": "n_cells",
+        "embedding_candidate_pairs": "n_planes",
+        "embedding_dedup_pairs": "n_planes",
+        "minhash_lsh_pairs": "max_shingle_freq",
+        "containment_pairs": "max_shingle_freq",
+        "knn_density_outliers": "n_cells",
+    }
+
+    def call_name(node: ast.Call) -> str | None:
+        f = node.func
+        return f.id if isinstance(f, ast.Name) else (
+            f.attr if isinstance(f, ast.Attribute) else None
+        )
+
+    def check_tree(tree: ast.AST, src_lines: list[str], bindings: dict,
+                   owner: str, violations: list[str]) -> None:
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            op = call_name(node)
+            if op not in BUCKETED:
+                continue
+            line = src_lines[node.lineno - 1] if node.lineno - 1 < len(src_lines) else ""
+            if "bucket-fixed-ok:" in line:
+                continue
+            kwarg = BUCKETED[op]
+            kw = next((k for k in node.keywords if k.arg == kwarg), None)
+            if kw is None:
+                violations.append(
+                    f"{owner}: {op}() omits {kwarg} (silent fixed default)"
+                )
+                continue
+            v = kw.value
+            ok = (
+                isinstance(v, ast.Constant) and v.value == "auto"
+            ) or (
+                isinstance(v, ast.Name) and bindings.get(v.id) == "auto"
+            )
+            if not ok:
+                violations.append(
+                    f"{owner}: {op}({kwarg}={ast.unparse(v)}) is not 'auto'"
+                )
+
+    violations: list[str] = []
+    for name, fn in llmops.BENCH_ONLY.items():
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+        lam = next((n for n in ast.walk(tree) if isinstance(n, ast.Lambda)), None)
+        if lam is not None and isinstance(lam.body, ast.Call):
+            # follow the forwarding: the lambda's constant kwargs become
+            # bindings when analyzing the target certification query
+            target_name = call_name(lam.body)
+            bindings = {
+                k.arg: k.value.value
+                for k in lam.body.keywords
+                if k.arg and isinstance(k.value, ast.Constant)
+            }
+            target = getattr(llmops, target_name, None)
+            assert target is not None, f"{name}: lambda target {target_name} not found"
+            tsrc = textwrap.dedent(inspect.getsource(target))
+            check_tree(ast.parse(tsrc), tsrc.splitlines(), bindings, name, violations)
+            # the lambda body itself may also call a bucketed op directly
+            check_tree(lam.body, src.splitlines(), {}, name, violations)
+        else:
+            check_tree(tree, src.splitlines(), {}, name, violations)
+    assert not violations, "\n".join(violations)
+
+
+def test_auto_bucketing_memoizes_corpus_count(spark, sf_dir, monkeypatch):
+    """VERDICT r14 nit 1: "auto" bucket sizing paid a full corpus
+    count() PER INVOCATION — a full scan per query batch at 100 TB.
+    Now memoized per plan semanticHash (the scale_out pattern): the
+    second auto-resolved call on the same corpus plan must trigger NO
+    new count job, and clear_nparts_memo invalidates (file rewrites
+    change row counts exactly when they change partition counts)."""
+    from pyspark.sql import functions as F
+
+    # Spark 4 dispatches to the classic implementation class — patching
+    # the abstract pyspark.sql.DataFrame would miss its count() override
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from nyc_taxi_etl_dashboard_spark.operators import (
+        _COUNT_MEMO,
+        clear_nparts_memo,
+        memo_count,
+    )
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import knn_lsh
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    clear_nparts_memo()
+    calls = {"n": 0}
+    orig = DataFrame.count
+
+    def spy(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 2)
+    # plan construction resolves n_planes="auto" -> exactly one count
+    knn_lsh(e, qs, k=5, n_planes="auto")
+    assert calls["n"] == 1
+    # same corpus plan again -> memo hit, no new job
+    knn_lsh(e, qs, k=5, n_planes="auto")
+    assert calls["n"] == 1
+    assert memo_count(e) == orig(e.alias("twin"))  # value correct; alias shares hash
+    assert calls["n"] == 1
+    # invalidation drops the memo: next resolution pays one fresh count
+    clear_nparts_memo()
+    assert not _COUNT_MEMO
+    knn_lsh(e, qs, k=5, n_planes="auto")
+    assert calls["n"] == 2

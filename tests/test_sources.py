@@ -641,3 +641,107 @@ def test_write_jdbc_upsert_pushdown_stages_and_requires_on_conflict(spark, tmp_p
         map(tuple, read_jdbc(spark, url, "tgt", props).collect())
     ) == [(1, "old")]
     assert read_jdbc(spark, url, "tgt_staging_r14test", props).count() == 2
+
+
+def test_concurrent_upserts_distinct_run_ids_no_clobber(spark, tmp_path):
+    """VERDICT r14 item 5: prove the per-invocation run_id staging fix's
+    concurrency claim (writers.py docstring) instead of asserting it.
+    Two threads upsert DIFFERENT frames into the SAME Derby target with
+    distinct run_ids, truly concurrently.
+
+    Leg 1 — staging isolation: Derby lacks ON CONFLICT, so the real
+    function's pushdown transaction fails at the dialect boundary with
+    staging intact (the pinned failure semantics) — which lets us
+    inspect both staged tables: each must hold exactly ITS OWN frame
+    (the r13 bug — a shared `<table>_staging` + mode=overwrite — made
+    one thread's stage clobber the other's), and the target untouched.
+
+    Leg 2 — both commit: the same two staged tables then flow through
+    the same single-transaction shape in Derby's dialect (MERGE INTO =
+    its ON CONFLICT DO NOTHING), still one thread each, concurrently:
+    both transactions commit, the target ends with the union minus key
+    conflicts, and neither staging table survives (no orphans)."""
+    import threading
+
+    import pytest as _pytest
+
+    from nyc_taxi_etl_dashboard_spark.sources.readers import read_jdbc
+    from nyc_taxi_etl_dashboard_spark.sources.writers import (
+        execute_jdbc_transaction,
+        write_jdbc_upsert_pushdown,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/ccdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    execute_jdbc_transaction(
+        spark, url,
+        ["CREATE TABLE tgt (k INT PRIMARY KEY, v VARCHAR(10))",
+         "INSERT INTO tgt VALUES (0, 'seed')"],
+        props,
+    )
+    frames = {
+        "a": spark.createDataFrame([(1, "a1"), (2, "a2")], "k int, v string"),
+        "b": spark.createDataFrame([(3, "b3"), (0, "dup")], "k int, v string"),
+    }
+    errs: dict[str, Exception] = {}
+
+    def upsert(tag: str) -> None:
+        try:
+            write_jdbc_upsert_pushdown(
+                spark, frames[tag], url, "tgt", ["k"], props, run_id=f"cc_{tag}"
+            )
+        except Exception as exc:  # noqa: BLE001 - asserted below
+            errs[tag] = exc
+
+    threads = [threading.Thread(target=upsert, args=(t,)) for t in frames]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # both hit the Derby dialect boundary (ON CONFLICT unsupported) ...
+    assert set(errs) == {"a", "b"}
+    # ... with each staging table holding exactly its own frame
+    assert sorted(
+        map(tuple, read_jdbc(spark, url, "tgt_staging_cc_a", props).collect())
+    ) == [(1, "a1"), (2, "a2")]
+    assert sorted(
+        map(tuple, read_jdbc(spark, url, "tgt_staging_cc_b", props).collect())
+    ) == [(0, "dup"), (3, "b3")]
+    # and the target untouched
+    assert sorted(map(tuple, read_jdbc(spark, url, "tgt", props).collect())) == [
+        (0, "seed")
+    ]
+
+    merge_errs: dict[str, Exception] = {}
+
+    def merge(tag: str) -> None:
+        stg = f"tgt_staging_cc_{tag}"
+        try:
+            execute_jdbc_transaction(
+                spark, url,
+                [
+                    # staging columns are quoted-lowercase (Spark's JDBC
+                    # writer quotes identifiers — the same reason
+                    # upsert_pushdown_sql quotes every column)
+                    f'MERGE INTO tgt t USING {stg} s ON t.k = s."k" '
+                    'WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s."k", s."v")',
+                    f"DROP TABLE {stg}",
+                ],
+                props,
+            )
+        except Exception as exc:  # noqa: BLE001 - asserted below
+            merge_errs[tag] = exc
+
+    threads = [threading.Thread(target=merge, args=(t,)) for t in frames]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not merge_errs, merge_errs
+    assert sorted(map(tuple, read_jdbc(spark, url, "tgt", props).collect())) == [
+        (0, "seed"), (1, "a1"), (2, "a2"), (3, "b3")
+    ]
+    # no orphan staging: both tables dropped inside their transactions
+    for tag in frames:
+        with _pytest.raises(Exception):
+            read_jdbc(spark, url, f"tgt_staging_cc_{tag}", props).schema
