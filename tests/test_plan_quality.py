@@ -644,3 +644,27 @@ def test_auto_bucketing_memoizes_corpus_count(spark, sf_dir, monkeypatch):
     assert not _COUNT_MEMO
     knn_lsh(e, qs, k=5, n_planes="auto")
     assert calls["n"] == 2
+
+
+def test_density_gate_linear_branch_plan_shape(spark, sf_dir):
+    """v16's production linear branch must keep the O(n) promise in the
+    PLAN: centroids join back as a broadcast (labels are bounded), the
+    decile threshold is a scalar broadcast — no sort-merge join, no
+    range partitioning (a global sort would reintroduce the cost the
+    branch exists to avoid), no Python UDF."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import density_gate
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    plan = (
+        density_gate(e, decile=0.1, budget=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "PythonUDF" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
