@@ -134,7 +134,14 @@ PRIORITY_IN_WINDOW = [
         # form + t12 which recomputes t10's scores in-window), mm2
         # (mapInPandas frame plumbing evidenced by mm3's resize over
         # the same batch shape).
-        "x17_split_assign",
+        # x17 rotated to the tail in round 15 for x26 (below): its
+        # histogram-cut split kernel runs verbatim in-window inside
+        # x21's export manifest (split → shard → pack); green r12-r14.
+        # NEW in round 15 (third wave): x26 — the embedding-side
+        # curation chain (v10 SemDeDup collapse → v16 linear density
+        # gate on survivors → per-label diversity cap), the vector
+        # modality's x11/x14/x16 analogue.
+        "x26_embedding_curation",
         # x19 rotated to the tail in round 14: its ENTIRE kernel
         # (collapse-first LSH pairs → CC → cluster-atomic cut → member
         # inherit) runs verbatim in-window inside the new x21b, which
@@ -359,6 +366,10 @@ PRIORITY_TAIL = [
         # fixed-order centroid + cosine machinery executes in-window
         # inside v16's cert; its per-label rank window by w1.
         "v15_prototype_prune",
+        # round-15 rotation for x26 (see PRIORITY_IN_WINDOW): x17's
+        # histogram-cut split kernel executes in-window inside x21's
+        # export manifest; green r12-r14.
+        "x17_split_assign",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

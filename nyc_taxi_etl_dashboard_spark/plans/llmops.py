@@ -4344,6 +4344,185 @@ def q_density_gate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_ONLY["v16_prod"] = q_density_gate_prod
 
 
+#: x26 diversity cap: max gate-survivors kept per label (the x12
+#: cell-balance idea at label granularity, deterministic exact form)
+X26_CAP = 25
+
+
+def q_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x26: the EMBEDDING-side curation chain — the composition the
+    text pipelines (x11/x14/x16) have had since round 8, for the
+    vector modality: (1) semantic near-dup collapse (v10's SemDeDup
+    keep-list: RHP-blocked cosine pairs → connected components → keep
+    cluster minimum), (2) the linear density gate on the SURVIVORS
+    (v16's prototype-cosine kernel, exact cert form — centroids are
+    computed on survivors, not the raw corpus, so a large dropped
+    near-dup cluster cannot drag its label's prototype), (3) a
+    per-label diversity cap keeping the X26_CAP LEAST prototypical
+    survivors (the v15/Sorscher easy-example-pruning direction: after
+    outliers are gone, the diverse tail adds the most information per
+    training token). One row per ORIGINAL vector with full provenance:
+    ``kept_dedup`` / ``density_score``+``pct``+``is_outlier`` (null for
+    dedup-dropped rows) / ``rnk`` (null unless it survived the gate) /
+    final ``kept``.
+
+    Scale shape: stage-1 candidates are RHP-bucketed (never
+    all-pairs; threshold 0.45 is the certification config — production
+    runs ≥0.9 with n_planes="auto", benched as x26_prod), CC is
+    O(log diameter) pointer jumping on slim pairs, the gate is one
+    broadcast-centroid join, and the cap window partitions by label —
+    no corpus-keyed window, no global sort outside the cert-only
+    percent_rank."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import (
+        embedding_dedup_pairs,
+        prototype_density_outliers,
+    )
+
+    e = _embs(spark, sf_dir)
+    pairs = embedding_dedup_pairs(e, threshold=0.45)
+    cc = connected_components(pairs).select(F.col("id").alias("vec_id"), "cluster_id")
+    base = (
+        e.select("vec_id", "label")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col("vec_id")) == F.col("vec_id")).alias(
+                "kept_dedup"
+            ),
+        )
+    )
+    surv = e.join(base.filter(F.col("kept_dedup")).select("vec_id"), "vec_id")
+    gate = prototype_density_outliers(surv, decile=0.1, exact=True).select(
+        "vec_id",
+        F.col("proto_cosine").alias("density_score"),
+        "pct",
+        "is_outlier",
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("density_score"), F.asc("vec_id"))
+    ranked = (
+        gate.filter(~F.col("is_outlier"))
+        .join(e.select("vec_id", "label"), "vec_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .select("vec_id", "rnk")
+    )
+    return (
+        base.join(gate, "vec_id", "left")
+        .join(ranked, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cluster_id",
+            "kept_dedup",
+            "density_score",
+            "pct",
+            "is_outlier",
+            "rnk",
+            F.coalesce(
+                F.col("kept_dedup")
+                & ~F.col("is_outlier")
+                & (F.col("rnk") <= X26_CAP),
+                F.lit(False),
+            ).alias("kept"),
+        )
+    )
+
+
+QUERIES["x26_embedding_curation"] = q_embedding_curation
+ORACLES["x26_embedding_curation"] = f"""
+WITH RECURSIVE
+n AS (SELECT vec_id, embedding, sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.45),
+ed AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src, dst FROM ed
+  UNION
+  SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src WHERE ed.dst <> r.src),
+cl AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+base AS (
+  SELECT em.vec_id, em.label,
+         coalesce(cl.cluster_id, em.vec_id) AS cluster_id,
+         coalesce(cl.cluster_id, em.vec_id) = em.vec_id AS kept_dedup
+  FROM embeddings em LEFT JOIN cl USING (vec_id)),
+surv AS (SELECT em.* FROM embeddings em JOIN base USING (vec_id) WHERE base.kept_dedup),
+m AS (
+  SELECT label, i AS pos,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(embedding[i+1] AS DOUBLE) ORDER BY vec_id)), (a, x) -> a + x)
+           / count(*) AS mean_val
+  FROM surv CROSS JOIN range(64) r(i)
+  GROUP BY label, i),
+c AS (SELECT label, list(mean_val ORDER BY pos) AS centroid FROM m GROUP BY label),
+s AS (SELECT sv.vec_id, sv.label,
+        round({_DOT.format(a='embedding', b='centroid')}
+          / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
+      FROM surv sv JOIN c USING (label)),
+g AS (SELECT vec_id, label, density_score,
+             round(percent_rank() OVER (ORDER BY density_score), 6) AS pct
+      FROM s),
+r AS (SELECT vec_id,
+             CAST(row_number() OVER (PARTITION BY label ORDER BY density_score, vec_id) AS INTEGER) AS rnk
+      FROM g WHERE pct > 0.1)
+SELECT b.vec_id, b.label, b.cluster_id, b.kept_dedup,
+       g.density_score, g.pct,
+       CASE WHEN g.pct IS NULL THEN NULL ELSE g.pct <= 0.1 END AS is_outlier,
+       r.rnk,
+       coalesce(b.kept_dedup AND g.pct > 0.1 AND r.rnk <= {X26_CAP}, FALSE) AS kept
+FROM base b LEFT JOIN g USING (vec_id) LEFT JOIN r USING (vec_id)"""
+
+
+def q_embedding_curation_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x26_prod: the production config of the embedding curation chain
+    — SemDeDup regime threshold (0.92: copies and true paraphrases),
+    corpus-adaptive RHP planes, and the gate in its sketch form
+    (percentile_approx scalar, no global percent_rank). Bench-only:
+    bucketing makes stage-1 candidates approximate, so this is
+    recall/agreement-covered by the v10/v16 pins, not oracle-hashed."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import (
+        embedding_dedup_pairs,
+        prototype_density_outliers,
+    )
+
+    e = _embs(spark, sf_dir)
+    pairs = embedding_dedup_pairs(e, threshold=0.92, n_planes="auto")
+    cc = connected_components(pairs).select(F.col("id").alias("vec_id"), "cluster_id")
+    base = (
+        e.select("vec_id", "label")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            (F.coalesce("cluster_id", F.col("vec_id")) == F.col("vec_id")).alias(
+                "kept_dedup"
+            ),
+        )
+    )
+    surv = e.join(base.filter(F.col("kept_dedup")).select("vec_id"), "vec_id")
+    gate = prototype_density_outliers(surv, decile=0.1)
+    w = Window.partitionBy("label").orderBy(F.asc("proto_cosine"), F.asc("vec_id"))
+    return (
+        gate.filter(~F.col("is_outlier"))
+        .join(e.select("vec_id", "label"), "vec_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= X26_CAP)
+        .select("vec_id", "label", "proto_cosine", "rnk")
+    )
+
+
+BENCH_ONLY["x26_prod"] = q_embedding_curation_prod
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t20: corpus distribution drift — per-language KL divergence of
     unigram token distributions between two snapshots (doc_id parity

@@ -668,3 +668,27 @@ def test_density_gate_linear_branch_plan_shape(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "PythonUDF" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_embedding_curation_prod_plan_shape(spark, sf_dir):
+    """x26_prod (the embedding curation chain's production config): no
+    global sort anywhere (the cert-only percent_rank is absent — the
+    gate is a percentile_approx scalar, the ONE single-partition
+    exchange), no Python UDF, and the diversity-cap window partitions
+    by label. SortMergeJoins are expected and correct here: CC's
+    pointer-jumping self-joins and the vec_id provenance joins run on
+    slim id frames that shuffle on their key at scale."""
+    import re as _re
+
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import BENCH_ONLY
+
+    plan = (
+        BENCH_ONLY["x26_prod"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan
+    assert "PythonUDF" not in plan
+    assert len(_re.findall(r"Exchange SinglePartition", plan)) <= 1
+    assert "percent_rank" not in plan  # cert-only gate form must not leak

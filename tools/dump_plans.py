@@ -55,6 +55,8 @@ SHOWCASE = [
     ("dd16_source_overlap", "Cross-source overlap matrix (round 15): per-source MinHash components reduce map-side on the agg's own group key — one signature ROW per source before any pair logic; the exact legs' shingle-keyed join is the single (group-granularity) SortMergeJoin, droppable at 100 TB."),
     ("t21_ngram_diversity", "N-gram diversity report (round 15): one gram explode feeds a single per-language agg with conditional count_distincts; the entropy fold rides the vocabulary-sized (lang, token) table — no windows, no range exchange, joins only on |langs| rows."),
     ("x25_dsir_balanced", "DSIR with a caller-chosen lang-balanced target (round 16): the target/candidate split is ONE lang-partitioned row_number over slim (doc_id, lang) rows ahead of x23's unchanged scoring core — bucket tables stay bounded and broadcast, the gram explode stays the only corpus-scale op."),
+    ("x26_embedding_curation", "Embedding-side curation chain (round 18): RHP-bucketed dedup pairs feed CC pointer-jumping on slim id frames; the density gate joins survivors to broadcast centroids; the diversity cap windows per label — no global sort outside the cert-only percent_rank."),
+    ("v16_density_gate", "Budget-aware density gate, linear branch (round 18): per-label prototype centroids join back as a broadcast, the decile gate is the cert percent_rank (prod uses a percentile_approx scalar); no SortMergeJoin, no corpus-pair join anywhere — the O(n) shape v13's n^1.5 audit hands off to past the budget."),
 ]
 
 
