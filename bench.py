@@ -186,6 +186,12 @@ CURATION = [
     # round-16: DSIR against a caller-chosen lang-balanced target
     # (VERDICT r12 item 2 — the target-parametric proof query)
     "x25_dsir_balanced",
+    # round-18: the budget-aware density gate's linear branch (v16,
+    # certified through the selector) and the embedding-side curation
+    # chain (x26: SemDeDup collapse → density gate → diversity cap);
+    # their production configs ride prod_paths as v16_prod/x26_prod
+    "v16_density_gate",
+    "x26_embedding_curation",
 ]
 
 
