@@ -223,13 +223,34 @@ PROBE_WAVE_RATIO = 2.0
 AB_MAX_QUERIES = 4
 
 #: phase -> the write-axis probes that bracket it (start/mid/end), so a
-#: suspect is compared against the probe readings taken nearest to WHEN it ran
+#: suspect is compared against the probe readings taken nearest to WHEN
+#: it ran. The prod phase moves with SPARK_GRAFT_PRODS_FIRST (recorded
+#: as prods_order in the artifact): prods run either right after the
+#: START probes or right before the END ones — see phase_probe_map().
 PHASE_PROBES = {
     "headline": ("io_write_calibration_sec", "io_write_calibration_sec_mid"),
     "curation": ("io_write_calibration_sec_mid", "io_write_calibration_sec_end"),
     "prod": ("io_write_calibration_sec_end",),
     "transform": ("io_write_calibration_sec_end",),
 }
+
+#: every probe key any phase can reference (for collecting probes_now)
+PROBE_KEYS = (
+    "io_write_calibration_sec",
+    "io_write_calibration_sec_mid",
+    "io_write_calibration_sec_end",
+)
+
+
+def phase_probe_map(prods_first: bool) -> dict[str, tuple[str, ...]]:
+    """PHASE_PROBES with the prod phase re-bracketed for the actual run
+    order: under SPARK_GRAFT_PRODS_FIRST=1 the prod paths execute right
+    after the start probes, so corroborating them against the END probe
+    (taken up to ~30 min later) would attribute a late wave to an early
+    query — or miss an early wave entirely (code-review r15)."""
+    if prods_first:
+        return {**PHASE_PROBES, "prod": ("io_write_calibration_sec",)}
+    return dict(PHASE_PROBES)
 
 
 def find_suspects(
@@ -253,16 +274,34 @@ def find_suspects(
 
 
 def probe_corroboration(
-    phase: str, probes_now: dict[str, float], probes_prev: dict[str, float]
+    phase: str,
+    probes_now: dict[str, float],
+    probes_prev: dict[str, float],
+    phase_probes: dict[str, tuple[str, ...]] | None = None,
 ) -> float | None:
     """Max inflation ratio of the phase's bracketing write probes vs the
     previous artifact (None when the reference lacks them)."""
     ratios = [
         probes_now[k] / probes_prev[k]
-        for k in PHASE_PROBES.get(phase, ())
+        for k in (phase_probes or PHASE_PROBES).get(phase, ())
         if probes_now.get(k) and probes_prev.get(k)
     ]
     return round(max(ratios), 2) if ratios else None
+
+
+def _newest_round_artifact(repo_dir: str) -> str | None:
+    """Basename of the highest-numbered BENCH_r{N}.json, or None. The
+    single copy of the round-artifact discovery rule (code-review r15:
+    it was duplicated in _load_reference and _ab_base_commit)."""
+    import glob
+    import re as _re2
+
+    rounds = []
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = _re2.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), os.path.basename(p)))
+    return max(rounds)[1] if rounds else None
 
 
 def _load_reference(repo_dir: str) -> tuple[dict, str] | tuple[None, str]:
@@ -270,28 +309,29 @@ def _load_reference(repo_dir: str) -> tuple[dict, str] | tuple[None, str]:
     BENCH_local.json from the LAST completed run (full per-query detail;
     at a round boundary this is the committed previous-round artifact),
     overridable via SPARK_GRAFT_BENCH_REF; falls back to the newest
-    BENCH_r{N}.json's parsed summary (headline queries + probes only)."""
-    import glob
-    import re as _re2
+    BENCH_r{N}.json's parsed summary (headline queries + probes only).
+    Committed round artifacts wrap the summary in a 'parsed' envelope —
+    unwrapped on every path, including the override (code-review r15:
+    pointing the override at BENCH_r14.json silently skipped on a None
+    sf before this)."""
+
+    def _unwrap(d: dict) -> dict:
+        if "parsed" in d and isinstance(d.get("parsed"), dict):
+            return d["parsed"]
+        return d
 
     override = os.environ.get("SPARK_GRAFT_BENCH_REF", "")
     if override:
         with open(override) as f:
-            return json.load(f), override
+            return _unwrap(json.load(f)), override
     local = os.path.join(repo_dir, "BENCH_local.json")
     if os.path.isfile(local):
         with open(local) as f:
             return json.load(f), "BENCH_local.json"
-    rounds = []
-    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
-        m = _re2.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
-            rounds.append((int(m.group(1)), p))
-    if rounds:
-        _, p = max(rounds)
-        with open(p) as f:
-            parsed = json.load(f).get("parsed") or {}
-        return parsed, os.path.basename(p)
+    name = _newest_round_artifact(repo_dir)
+    if name:
+        with open(os.path.join(repo_dir, name)) as f:
+            return _unwrap(json.load(f)), name
     return None, "none"
 
 
@@ -299,18 +339,11 @@ def _ab_base_commit(repo_dir: str) -> str | None:
     """The commit that last touched the newest round artifact — the code
     state the previous round's numbers measured (artifact commits only
     add artifacts on top of the measured snapshot)."""
-    import glob
-    import re as _re2
     import subprocess
 
-    rounds = []
-    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
-        m = _re2.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
-            rounds.append((int(m.group(1)), os.path.basename(p)))
-    if not rounds:
+    name = _newest_round_artifact(repo_dir)
+    if name is None:
         return None
-    _, name = max(rounds)
     try:
         out = subprocess.run(
             ["git", "-C", repo_dir, "log", "-1", "--format=%h", "--", name],
@@ -328,6 +361,7 @@ def _adjudicate(
     repo_dir: str,
     now_by_phase: dict[str, dict[str, float]],
     probes_now: dict[str, float],
+    prods_first: bool = False,
 ) -> tuple[dict, dict, dict]:
     """Returns (suspects, settled, meta) for the artifact. Runs AFTER all
     measurements (and after spark.stop(), so the A/B subprocess is the
@@ -348,12 +382,15 @@ def _adjudicate(
         **(ref.get("curation_queries") or {}),
         **(ref.get("prod_paths") or {}),
     }
-    probes_prev = {k: ref.get(k) for k in set().union(*PHASE_PROBES.values())}
+    probes_prev = {k: ref.get(k) for k in PROBE_KEYS}
+    probe_map = phase_probe_map(prods_first)
     suspects = find_suspects(now_all, prev)
     settled: dict[str, dict] = {}
     to_ab: list[str] = []
     for q, info in suspects.items():
-        pr = probe_corroboration(phase_of.get(q, "headline"), probes_now, probes_prev)
+        pr = probe_corroboration(
+            phase_of.get(q, "headline"), probes_now, probes_prev, probe_map
+        )
         info["write_probe_ratio"] = pr
         if pr is not None and pr > PROBE_WAVE_RATIO:
             settled[q] = {
@@ -368,22 +405,27 @@ def _adjudicate(
         for q in to_ab:
             settled[q] = {"verdict": "unsettled_adjudication_disabled"}
         return suspects, settled, meta
+    ranked = sorted(to_ab, key=lambda q: suspects[q]["prev"] - suspects[q]["now"])
+    to_ab, truncated = ranked[:AB_MAX_QUERIES], ranked[AB_MAX_QUERIES:]
+    for q in truncated:
+        # no silent caps: a flagged-but-not-A/B'd suspect gets an
+        # explicit verdict so the artifact never shows a suspect with
+        # no adjudication outcome (code-review r15)
+        settled[q] = {"verdict": "unsettled_truncated_by_ab_cap"}
     base = _ab_base_commit(repo_dir)
     if base is None:
         for q in to_ab:
             settled[q] = {"verdict": "unsettled_no_base_commit"}
         return suspects, settled, meta
-    to_ab = sorted(to_ab, key=lambda q: suspects[q]["prev"] - suspects[q]["now"])[
-        :AB_MAX_QUERIES
-    ]
     meta["ab_base"] = base
     ab_rounds = int(os.environ.get("SPARK_GRAFT_AB_ROUNDS", "3"))
     import subprocess
+    import sys as _sys
 
     try:
         proc = subprocess.run(
             [
-                "python",
+                _sys.executable,  # the bench's own interpreter, never bare "python"
                 os.path.join(repo_dir, "tools", "ab_interleaved.py"),
                 base,
                 str(ab_rounds),
@@ -846,9 +888,11 @@ def main() -> None:
             "pipe_transform_bronze": timings["pipe_transform_bronze"],
         },
     }
-    probes_now = {k: summary[k] for k in set().union(*PHASE_PROBES.values())}
+    probes_now = {k: summary[k] for k in PROBE_KEYS}
     spark.stop()
-    suspects, settled, adj_meta = _adjudicate(repo_dir, now_by_phase, probes_now)
+    suspects, settled, adj_meta = _adjudicate(
+        repo_dir, now_by_phase, probes_now, prods_first=prods_first
+    )
     summary["suspects"] = suspects
     summary["settled"] = settled
     summary["adjudication"] = adj_meta

@@ -953,8 +953,13 @@ def density_gate(
     SQL oracle."""
     from . import memo_count
 
-    n = memo_count(corpus.select(id_col))
-    if budget is None or n <= budget:
+    # budget=None forces the audit branch with NO count pre-pass (the
+    # result would be unused); otherwise count the FULL corpus frame so
+    # the memo key matches the audit branch's own n_cells="auto"
+    # resolution inside ivf_ann_trained -- one count job serves both
+    # (code-review r15: a select(id_col) projection here split the key
+    # and paid a second full scan per timed run).
+    if budget is None or memo_count(corpus) <= budget:
         out = knn_density_outliers(
             corpus,
             k=k,

@@ -121,3 +121,45 @@ def test_adjudicate_disabled_marks_unsettled(tmp_path, monkeypatch):
         str(tmp_path), {"headline": {"q": 5.0}}, probes_now
     )
     assert settled["q"]["verdict"] == "unsettled_adjudication_disabled"
+
+
+def test_load_reference_override_unwraps_parsed_envelope(tmp_path, monkeypatch):
+    """Pointing SPARK_GRAFT_BENCH_REF at a committed round artifact
+    (the {'parsed': {...}} envelope) must unwrap it — before this, the
+    override path saw sf=None and silently skipped adjudication."""
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps({"rc": 0, "parsed": {"sf": 0.1, "queries": {"a": 1}}}))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REF", str(p))
+    ref, name = bench._load_reference(str(tmp_path))
+    assert ref["sf"] == 0.1 and ref["queries"]["a"] == 1 and name == str(p)
+
+
+def test_adjudicate_truncated_suspects_get_explicit_verdict(tmp_path, monkeypatch):
+    """Suspects past the AB_MAX_QUERIES cap must carry an explicit
+    unsettled verdict — no silent caps (code-review r15)."""
+    queries = {f"q{i}": 2.0 for i in range(bench.AB_MAX_QUERIES + 2)}
+    (tmp_path / "BENCH_local.json").write_text(
+        json.dumps({"sf": 0.1, "queries": queries, "io_write_calibration_sec": 0.4})
+    )
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ADJUDICATE", "1")
+    now = {q: 9.0 for q in queries}  # all suspects, probes flat -> all want A/B
+    suspects, settled, _ = bench._adjudicate(
+        str(tmp_path), {"headline": now}, {"io_write_calibration_sec": 0.4}
+    )
+    assert len(suspects) == bench.AB_MAX_QUERIES + 2
+    truncated = [q for q, v in settled.items() if v["verdict"] == "unsettled_truncated_by_ab_cap"]
+    assert len(truncated) == 2
+    # every suspect has SOME settled entry (A/B ones get unsettled_no_base
+    # or an error here -- tmp_path has no BENCH_r artifact/git repo)
+    assert set(settled) == set(suspects)
+
+
+def test_phase_probe_map_moves_prod_bracket_with_run_order():
+    """Under SPARK_GRAFT_PRODS_FIRST the prod paths run right after the
+    START probes; corroborating them against the end probe would
+    attribute a late wave to an early query (code-review r15)."""
+    assert bench.phase_probe_map(False)["prod"] == ("io_write_calibration_sec_end",)
+    assert bench.phase_probe_map(True)["prod"] == ("io_write_calibration_sec",)
+    # other phases unchanged either way
+    assert bench.phase_probe_map(True)["curation"] == bench.PHASE_PROBES["curation"]
