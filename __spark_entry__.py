@@ -153,7 +153,13 @@ PRIORITY_IN_WINDOW = [
         # quantile-sketch bound-verdict machinery is evidenced
         # in-window by t13 (percentile_approx thresholds certified
         # against the exact window gate).
-        "mm4_audio_windows",
+        # mm4 rotated to the tail in round 15 for v17 (below): its
+        # Arrow mapInPandas batch-expansion contract is exercised
+        # in-window by mm5 (the mm2/mm3 precedent); green r12-r14.
+        # NEW in round 15 (third wave): v17 — IVF index-maintenance
+        # telemetry (per-cell occupancy/error + refit verdicts against
+        # a deterministic stand-in quantizer).
+        "v17_index_maintenance",
         # NEW in round 13: x20 temperature-scaled mixing (the upsampling
         # planner x8's water-filling cannot express), t19 eval-side
         # contamination attribution (t8's audit twin), v14 metadata-
@@ -370,6 +376,10 @@ PRIORITY_TAIL = [
         # histogram-cut split kernel executes in-window inside x21's
         # export manifest; green r12-r14.
         "x17_split_assign",
+        # round-15 rotation for v17 (see PRIORITY_IN_WINDOW): mm4's
+        # Arrow mapInPandas batch contract is exercised in-window by
+        # mm5's interleaved pack; green r12-r14.
+        "mm4_audio_windows",
         "dd6_corpus_curation",
         "dd4_lsh_pairs",
         "v2_knn_bruteforce",

@@ -192,6 +192,9 @@ CURATION = [
     # their production configs ride prod_paths as v16_prod/x26_prod
     "v16_density_gate",
     "x26_embedding_curation",
+    # round-18 third wave: IVF index-maintenance telemetry (v17_prod
+    # rides prod_paths with the trained auto-cells quantizer)
+    "v17_index_maintenance",
 ]
 
 

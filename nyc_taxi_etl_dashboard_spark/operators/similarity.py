@@ -819,6 +819,141 @@ def knn_density_outliers(
     )
 
 
+def index_maintenance_report(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    skew_factor: float = 2.0,
+    dist_factor: float = 1.5,
+) -> DataFrame:
+    """IVF index-maintenance telemetry (v17) — the operational stage a
+    production vector store runs as data arrives against a FITTED
+    coarse quantizer: assign each vector to its nearest centroid, then
+    report per cell (a) occupancy and share, (b) mean squared
+    quantization error, and (c) the refit verdicts — ``high_skew``
+    (share > skew_factor/k: the cell absorbed a hot region and should
+    split) and ``high_error`` (mean error > dist_factor × the global
+    mean: the centroid no longer represents its members — data drift).
+    Either flag sets ``refit``; a scheduler watching this table knows
+    WHEN re-running ``kmeans_fit`` is worth its cost, instead of
+    refitting on a timer.
+
+    ``exact=True`` is the CERTIFICATION shape: assignment distances are
+    sequential HOF folds over centroid literals (bit-reproducible in a
+    SQL oracle — argmin ties break to the lowest cell via first-min
+    semantics in both engines), per-cell means are the v15 fixed-order
+    fold (a plain avg is order-dependent in the last ulp), and the
+    global mean folds cells in cell order. Keep the centroid list
+    small in this mode (k×dim plan literals — the v12 lesson).
+
+    The default is the PRODUCTION shape: the Arrow ``nearest_cells``
+    kernel assigns (centroids ride the UDF closure, never the plan),
+    and per-cell stats are one map-side-combinable aggregation — a
+    single pass over the batch, shuffle bounded by k rows.
+
+    Scale shape: telemetry cost is O(n·k·dim) map-side + a k-row
+    aggregate; k comes from the fitted index (``auto_n_cells`` at fit
+    time), and the batch is the increment, not the corpus — the same
+    bounded-by-the-increment contract as the dd11 signature warehouse.
+    """
+    k = len(centroids)
+    v = F.col(vec_col).cast("array<double>")
+    if exact:
+        dist_cols = [
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+        assigned = corpus.select(
+            F.col(id_col).alias("id"),
+            F.array(*dist_cols).alias("dists"),
+        ).select(
+            "id",
+            (F.expr("array_position(dists, array_min(dists))") - 1)
+            .cast("int")
+            .alias("cell"),
+            F.expr("array_min(dists)").alias("dist2"),
+        )
+        # per-cell mean via the fixed-order fold (v15 pattern): sum the
+        # members' dist2 in id order, divide by the count — bit-equal to
+        # the oracle's ORDER BY list_reduce
+        per_cell = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("id", "dist2"))),
+                        lambda s: s["dist2"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_dist2_raw"),
+        )
+    else:
+        assigned = corpus.select(
+            F.col(id_col).alias("id"), v.alias("v")
+        ).withColumn("cell", nearest_cells("v", centroids, 1).getItem(0))
+        C = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+        # prod keeps the error fold JVM-side too, but a plain avg is
+        # fine (telemetry, not a hash-certified value)
+        assigned = assigned.withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.element_at(C, F.col("cell") + 1),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        per_cell = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg("dist2").alias("mean_dist2_raw"),
+        )
+    total = per_cell.agg(
+        F.sum("n_vecs").alias("__n"),
+        # global mean of the PER-CELL means, folded in cell order —
+        # k values, deterministic either way, but keep the cert habit
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cell", "mean_dist2_raw"))),
+                lambda s: s["mean_dist2_raw"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("__sum_means"),
+        F.count(F.lit(1)).alias("__k_seen"),
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vecs",
+            F.round(F.col("n_vecs") / F.col("__n"), 6).alias("share"),
+            F.round("mean_dist2_raw", 6).alias("mean_dist2"),
+            (F.col("n_vecs") / F.col("__n") > skew_factor / k).alias("high_skew"),
+            (
+                F.col("mean_dist2_raw")
+                > dist_factor * F.col("__sum_means") / F.col("__k_seen")
+            ).alias("high_error"),
+        )
+        .withColumn("refit", F.col("high_skew") | F.col("high_error"))
+    )
+
+
 def prototype_density_outliers(
     corpus: DataFrame,
     decile: float = 0.1,

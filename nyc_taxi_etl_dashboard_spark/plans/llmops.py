@@ -4523,6 +4523,99 @@ def q_embedding_curation_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_ONLY["x26_prod"] = q_embedding_curation_prod
 
 
+def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v17: IVF index-maintenance telemetry — the operational query a
+    production vector store runs as batches arrive against a FITTED
+    coarse quantizer: per-cell occupancy/share, mean squared
+    quantization error, and the refit verdicts (high_skew: cell share
+    > 2/k — a hot region outgrew its cell; high_error: mean error >
+    1.5× the global mean — centroid drift). A scheduler watching this
+    table refits when the index degrades instead of on a timer.
+
+    Certification shape: the quantizer is the DETERMINISTIC stand-in
+    fit (the 8 lowest-vec_id vectors as centroids — the kmeans_fit
+    init rule, reproducible in SQL; Lloyd iteration itself is never
+    reproduced in SQL, the v7/v11 precedent), assignment distances are
+    sequential HOF folds (argmin ties to the lowest cell in both
+    engines), per-cell means are the v15 fixed-order fold. The
+    production shape (trained k-means at auto cells + Arrow
+    assignment) is ``v17_prod``."""
+    from ..operators.similarity import index_maintenance_report
+
+    e = _embs(spark, sf_dir)
+    cent_rows = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = [list(r.v) for r in cent_rows]
+    return index_maintenance_report(e, centroids, exact=True)
+
+
+QUERIES["v17_index_maintenance"] = q_index_maintenance
+_SQDIFF = (
+    "(CAST(e.embedding[j+1] AS DOUBLE) - CAST(ct.c[j+1] AS DOUBLE))"
+    " * (CAST(e.embedding[j+1] AS DOUBLE) - CAST(ct.c[j+1] AS DOUBLE))"
+)
+ORACLES["v17_index_maintenance"] = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+d AS (
+  SELECT e.vec_id, ct.cell,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(64), j -> {_SQDIFF})), (a, x) -> a + x) AS dist2
+  FROM embeddings e CROSS JOIN cents ct),
+a AS (SELECT vec_id, cell, dist2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rk
+      FROM d),
+asg AS (SELECT vec_id, cell, dist2 FROM a WHERE rk = 1),
+pc AS (
+  SELECT cell, count(*) AS n_vecs,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(dist2 ORDER BY vec_id)), (a, x) -> a + x) / count(*) AS mean_raw
+  FROM asg GROUP BY cell),
+tot AS (
+  SELECT sum(n_vecs) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(mean_raw ORDER BY cell)), (a, x) -> a + x) AS sum_means,
+         count(*) AS k_seen
+  FROM pc)
+SELECT CAST(pc.cell AS INTEGER) AS cell, n_vecs,
+       round(n_vecs * 1.0 / tot.n, 6) AS share,
+       round(mean_raw, 6) AS mean_dist2,
+       n_vecs * 1.0 / tot.n > 2.0 / 8 AS high_skew,
+       mean_raw > 1.5 * tot.sum_means / tot.k_seen AS high_error,
+       (n_vecs * 1.0 / tot.n > 2.0 / 8)
+         OR (mean_raw > 1.5 * tot.sum_means / tot.k_seen) AS refit
+FROM pc CROSS JOIN tot"""
+
+
+def q_index_maintenance_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v17_prod: the production maintenance pass — a TRAINED quantizer
+    (kmeans_fit at corpus-adaptive cells via auto_n_cells(memo_count);
+    amortized across batches in production, included for end-to-end
+    honesty) and the Arrow nearest_cells assignment (centroids in the
+    kernel closure, never the plan — the ADVICE-r14 literal-blowup
+    rule). Bench-only: the fit is iterative (never SQL-reproduced);
+    telemetry semantics are certified by v17."""
+    from ..operators import memo_count
+    from ..operators.similarity import (
+        auto_n_cells,
+        index_maintenance_report,
+        kmeans_fit,
+    )
+
+    e = _embs(spark, sf_dir)
+    n_cells = auto_n_cells(memo_count(e))
+    centroids, _ = kmeans_fit(e, k=n_cells)
+    return index_maintenance_report(e, centroids, exact=False)
+
+
+BENCH_ONLY["v17_prod"] = q_index_maintenance_prod
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t20: corpus distribution drift — per-language KL divergence of
     unigram token distributions between two snapshots (doc_id parity

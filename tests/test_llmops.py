@@ -2586,3 +2586,59 @@ def test_density_gate_audit_vs_linear_outlier_agreement(spark):
     assert planted <= linear, f"linear missed planted outliers: {planted - linear}"
     jac = len(audit & linear) / len(audit | linear)
     assert jac >= 0.8, f"outlier-set Jaccard {jac:.3f} (audit={sorted(audit)}, linear={sorted(linear)})"
+
+
+def test_index_maintenance_flags_planted_skew_and_drift(spark):
+    """v17's refit verdicts on a planted fixture: a quantizer fitted
+    when the data was balanced, then a batch arrives where (a) one
+    cell's region holds ~2/3 of the vectors (high_skew must fire) and
+    (b) another cell's members drifted far from their centroid
+    (high_error must fire); healthy cells stay quiet. Exact and Arrow
+    kernels must agree on every verdict (assignment near-ties aside —
+    the fixture keeps cells well separated)."""
+    import math
+
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        index_maintenance_report,
+    )
+
+    def unit(axis, scale=1.0):
+        v = [0.0] * 64
+        v[axis] = scale
+        return v
+
+    # 4 well-separated centroids along distinct axes
+    centroids = [unit(0, 5.0), unit(1, 5.0), unit(2, 5.0), unit(3, 5.0)]
+    rows, vid = [], 0
+    # cell 0: HOT — 60 vectors tightly around centroid 0
+    for i in range(60):
+        v = unit(0, 5.0)
+        v[10 + (i % 5)] = 0.1 * math.sin(i)
+        rows.append((vid, v)); vid += 1
+    # cell 1: DRIFTED — 10 vectors near centroid 1's axis but far away
+    for i in range(10):
+        v = unit(1, 9.0)  # distance 4 along the axis -> dist2 ~16
+        v[20 + (i % 3)] = 0.1 * i
+        rows.append((vid, v)); vid += 1
+    # cells 2/3: healthy — 15 vectors each, tight
+    for c in (2, 3):
+        for i in range(15):
+            v = unit(c, 5.0)
+            v[30 + (i % 4)] = 0.05 * (i + 1)
+            rows.append((vid, v)); vid += 1
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    for exact in (True, False):
+        rep = {
+            r.cell: r
+            for r in index_maintenance_report(df, centroids, exact=exact).collect()
+        }
+        assert set(rep) == {0, 1, 2, 3}
+        assert rep[0].high_skew and rep[0].refit, f"exact={exact}: hot cell not flagged"
+        assert not rep[0].high_error
+        assert rep[1].high_error and rep[1].refit, f"exact={exact}: drifted cell not flagged"
+        assert not rep[1].high_skew
+        for c in (2, 3):
+            assert not rep[c].refit, f"exact={exact}: healthy cell {c} flagged"
+        assert rep[0].n_vecs == 60 and rep[1].n_vecs == 10
+        assert abs(rep[0].share - 0.6) < 1e-9

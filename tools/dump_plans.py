@@ -56,6 +56,7 @@ SHOWCASE = [
     ("t21_ngram_diversity", "N-gram diversity report (round 15): one gram explode feeds a single per-language agg with conditional count_distincts; the entropy fold rides the vocabulary-sized (lang, token) table — no windows, no range exchange, joins only on |langs| rows."),
     ("x25_dsir_balanced", "DSIR with a caller-chosen lang-balanced target (round 16): the target/candidate split is ONE lang-partitioned row_number over slim (doc_id, lang) rows ahead of x23's unchanged scoring core — bucket tables stay bounded and broadcast, the gram explode stays the only corpus-scale op."),
     ("x26_embedding_curation", "Embedding-side curation chain (round 18): RHP-bucketed dedup pairs feed CC pointer-jumping on slim id frames; the density gate joins survivors to broadcast centroids; the diversity cap windows per label — no global sort outside the cert-only percent_rank."),
+    ("v17_index_maintenance", "IVF maintenance telemetry (round 18): assignment folds map-side against centroid literals (cert) or the Arrow closure (prod); per-cell stats are one k-row aggregate — a single pass over the batch, shuffle bounded by k."),
     ("v16_density_gate", "Budget-aware density gate, linear branch (round 18): per-label prototype centroids join back as a broadcast, the decile gate is the cert percent_rank (prod uses a percentile_approx scalar); no SortMergeJoin, no corpus-pair join anywhere — the O(n) shape v13's n^1.5 audit hands off to past the budget."),
 ]
 
