@@ -142,6 +142,14 @@ PRIORITY_IN_WINDOW = [
         # gate on survivors → per-label diversity cap), the vector
         # modality's x11/x14/x16 analogue.
         "x26_embedding_curation",
+        # NEW in round 19: x27 — the JOINT text+embedding curation
+        # chain (x16's line-dedup + recomputed quality gate with v16's
+        # linear density gate appended as stage 4, lang-grouped
+        # prototypes). x16 rotated to the tail to make room: x27 runs
+        # its stage-1/2 machinery verbatim in-window, and its stage-3
+        # shard+pos layout runs in-window inside x21/x21b's export
+        # manifests (the x15 precedent); green r12-r14.
+        "x27_joint_curation",
         # x19 rotated to the tail in round 14: its ENTIRE kernel
         # (collapse-first LSH pairs → CC → cluster-atomic cut → member
         # inherit) runs verbatim in-window inside the new x21b, which
@@ -287,6 +295,10 @@ PRIORITY_IN_WINDOW = [
 #: and semantically unchanged since. The membership test allows these
 #: (and overflow-prefixed names) past index 49 and nothing else.
 PRIORITY_TAIL = [
+        # x16 rotated out in round 19 for x27 (see PRIORITY_IN_WINDOW):
+        # its line-dedup + recomputed-quality-gate stages run verbatim
+        # in-window inside x27, its shard+pos layout inside x21/x21b.
+        "x16_curation_pipeline_v4",
         # x8 rotated out in round 8 when x9 moved ahead of it (x9
         # composes x8's water-filling math, so the machinery stays
         # evidenced in-window); sits at exactly index 50. The guard

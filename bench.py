@@ -195,6 +195,12 @@ CURATION = [
     # round-18 third wave: IVF index-maintenance telemetry (v17_prod
     # rides prod_paths with the trained auto-cells quantizer)
     "v17_index_maintenance",
+    # round-19: the joint text+embedding curation chain (x16's text
+    # stages + the v16 density gate as stage 4; x27_prod rides
+    # prod_paths with the percentile_approx gate). NOTE: curation_total
+    # grows by one entry this round — compare to the prior series minus
+    # x27 (the r6/r18 definition-change precedent).
+    "x27_joint_curation",
 ]
 
 

@@ -4616,6 +4616,177 @@ def q_index_maintenance_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_ONLY["v17_prod"] = q_index_maintenance_prod
 
 
+#: x27 density-gate decile: fraction of quality survivors flagged as
+#: embedding-space outliers (the v16 convention).
+X27_DECILE = 0.1
+
+
+def _x27_stages(spark: SparkSession, sf_dir: str):
+    """x27 stages 1-3 shared by the cert and prod forms: line dedup →
+    recomputed quality gate → survivor docs joined to their embeddings.
+    Returns ``(docs, quality, survivors)``."""
+    from ..operators.dedup import line_dedup
+
+    d = _docs(spark, sf_dir)
+    e = _embs(spark, sf_dir)
+    toks = F.split("clean_text", " ")
+    quality = line_dedup(d, seg_tokens=8).select(
+        "doc_id",
+        F.array_size(toks).alias("n_clean_tokens"),
+        (
+            (F.array_size(toks) >= GATE_MIN_TOKENS)
+            & (
+                F.array_size(F.array_distinct(toks)) / F.array_size(toks)
+                >= GATE_MIN_DISTINCT_RATIO
+            )
+        ).alias("passed_quality"),
+    )
+    surv = (
+        quality.filter("passed_quality")
+        .select("doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .join(e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+    )
+    return d, quality, surv
+
+
+def q_joint_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x27: the JOINT text+embedding curation chain — the round-19
+    agenda item closed ("the embedding gate is a natural fourth stage
+    once embeddings ride the pipeline"): x16's text stages with v16's
+    linear density gate appended, cross-modal because the TEXT
+    metadata (``lang``) groups the VECTOR prototypes:
+
+    1. dd13 line dedup (boilerplate segments removed globally, BEFORE
+       any gate — the x16 ordering),
+    2. t7's quality gate RECOMPUTED on the cleaned text
+       (>= GATE_MIN_TOKENS tokens AND distinct-token ratio >=
+       GATE_MIN_DISTINCT_RATIO — the x16 convention),
+    3. v16's linear density gate on the survivors' embeddings
+       (doc_id = vec_id, the fixture's contract), prototypes per
+       LANGUAGE computed on the SURVIVORS only — a dropped boilerplate
+       farm cannot drag its language's prototype (the x26 stage-2
+       lesson),
+    4. final keep + full provenance, one row per ORIGINAL doc
+       (``n_clean_tokens`` / ``passed_quality`` always set;
+       ``density_score``/``pct``/``is_outlier`` null unless the doc
+       reached the gate).
+
+    Scale shape: a linear chain — dd13's MIN agg + equi-join, a
+    map-side quality filter, ONE co-partitioned doc→embedding
+    equi-join, one broadcast-centroid cosine join (|langs|·dim rows).
+    The only global sort is the cert-only exact percent_rank; the
+    production form (``x27_prod``) replaces it with v16's
+    percentile_approx scalar broadcast. ``quality`` forks the lineage
+    (filter arm + provenance arm) — at bench scale the recompute is
+    one segment agg; a persisted boundary is the caller's call via
+    ``cache_scope`` (the x26 precedent)."""
+    from ..operators.similarity import prototype_density_outliers
+
+    d, quality, surv = _x27_stages(spark, sf_dir)
+    gate = prototype_density_outliers(
+        surv,
+        decile=X27_DECILE,
+        label_col="lang",
+        id_col="doc_id",
+        exact=True,
+    ).select(
+        "doc_id",
+        F.col("proto_cosine").alias("density_score"),
+        "pct",
+        "is_outlier",
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(quality, "doc_id")
+        .join(gate, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_clean_tokens",
+            "passed_quality",
+            "density_score",
+            "pct",
+            "is_outlier",
+            F.coalesce(
+                F.col("passed_quality") & ~F.col("is_outlier"), F.lit(False)
+            ).alias("kept"),
+        )
+    )
+
+
+QUERIES["x27_joint_curation"] = q_joint_curation
+ORACLES["x27_joint_curation"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+ix AS (SELECT doc_id, tok,
+              unnest(range(CAST(ceil(len(tok) / 8.0) AS BIGINT))) AS i
+       FROM t),
+segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+                array_to_string(tok[i*8+1 : i*8+8], ' ') AS seg,
+                doc_id * 1000000 + i AS occ_key
+         FROM ix),
+canon AS (SELECT seg, min(occ_key) AS canon_key FROM segs GROUP BY seg),
+ksegs AS (SELECT doc_id, seg_idx, seg, occ_key = canon_key AS is_kept
+          FROM segs JOIN canon USING (seg)),
+agg AS (SELECT doc_id,
+               coalesce(string_agg(CASE WHEN is_kept THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text
+        FROM ksegs GROUP BY doc_id),
+q AS (SELECT doc_id,
+             CAST(len(string_split(clean_text, ' ')) AS INTEGER) AS n_clean_tokens,
+             len(string_split(clean_text, ' ')) >= {GATE_MIN_TOKENS}
+               AND len(list_distinct(string_split(clean_text, ' '))) * 1.0
+                     / len(string_split(clean_text, ' ')) >= {GATE_MIN_DISTINCT_RATIO}
+               AS passed_quality
+      FROM agg),
+surv AS (SELECT d.doc_id, d.lang, e.embedding
+         FROM documents d JOIN q USING (doc_id)
+         JOIN embeddings e ON e.vec_id = d.doc_id
+         WHERE q.passed_quality),
+m AS (SELECT lang, i AS pos,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CAST(embedding[i+1] AS DOUBLE) ORDER BY doc_id)), (a, x) -> a + x)
+               / count(*) AS mean_val
+      FROM surv CROSS JOIN range(64) r(i)
+      GROUP BY lang, i),
+c AS (SELECT lang, list(mean_val ORDER BY pos) AS centroid FROM m GROUP BY lang),
+s AS (SELECT sv.doc_id,
+        round({_DOT.format(a='embedding', b='centroid')}
+          / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
+      FROM surv sv JOIN c USING (lang)),
+g AS (SELECT doc_id, density_score,
+             round(percent_rank() OVER (ORDER BY density_score), 6) AS pct
+      FROM s)
+SELECT d.doc_id, d.lang, q.n_clean_tokens, q.passed_quality,
+       g.density_score, g.pct,
+       CASE WHEN g.pct IS NULL THEN NULL ELSE g.pct <= {X27_DECILE} END AS is_outlier,
+       coalesce(q.passed_quality AND g.pct > {X27_DECILE}, FALSE) AS kept
+FROM documents d JOIN q USING (doc_id) LEFT JOIN g USING (doc_id)"""
+
+
+def q_joint_curation_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x27_prod: the production config of the joint chain — identical
+    text stages, the density gate in its sketch form (map-side-
+    combinable avg centroids + percentile_approx scalar broadcast, no
+    global sort). Bench-only: the approx threshold makes the outlier
+    CUT approximate; semantics are certified by x27 and the two forms'
+    keep decisions are agreement-pinned in tests/test_llmops.py.
+    Returns the kept docs only (the shape a training store ingests)."""
+    from ..operators.similarity import prototype_density_outliers
+
+    _, _, surv = _x27_stages(spark, sf_dir)
+    gate = prototype_density_outliers(
+        surv, decile=X27_DECILE, label_col="lang", id_col="doc_id"
+    )
+    return (
+        gate.filter(~F.col("is_outlier"))
+        .join(surv.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("proto_cosine").alias("density_score"))
+    )
+
+
+BENCH_ONLY["x27_prod"] = q_joint_curation_prod
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t20: corpus distribution drift — per-language KL divergence of
     unigram token distributions between two snapshots (doc_id parity

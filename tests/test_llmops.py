@@ -2642,3 +2642,45 @@ def test_index_maintenance_flags_planted_skew_and_drift(spark):
             assert not rep[c].refit, f"exact={exact}: healthy cell {c} flagged"
         assert rep[0].n_vecs == 60 and rep[1].n_vecs == 10
         assert abs(rep[0].share - 0.6) < 1e-9
+
+
+def test_joint_curation_stages_bite_and_provenance(spark, sf_dir):
+    """x27 (the joint text+embedding chain): every stage drops someone
+    on the fixture, and provenance nulls land exactly where the
+    contract says — gate columns null iff the doc never reached the
+    gate, kept = passed_quality AND NOT is_outlier."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import QUERIES
+
+    rows = QUERIES["x27_joint_curation"](spark, sf_dir).collect()
+    total = len(rows)
+    passed = [r for r in rows if r.passed_quality]
+    outliers = [r for r in rows if r.is_outlier]
+    kept = [r for r in rows if r.kept]
+    assert 0 < len(passed) < total, "quality gate did not bite"
+    assert 0 < len(outliers) < len(passed), "density gate did not bite"
+    assert len(kept) == len(passed) - len(outliers)
+    for r in rows:
+        gate_cols_null = r.density_score is None
+        assert gate_cols_null == (not r.passed_quality)
+        assert (r.pct is None) == gate_cols_null
+        assert (r.is_outlier is None) == gate_cols_null
+        assert r.kept == bool(r.passed_quality and not r.is_outlier)
+
+
+def test_joint_curation_cert_prod_keep_agreement(spark, sf_dir):
+    """x27 vs x27_prod: identical keep decisions on the fixture. The
+    prod gate's percentile_approx threshold is EXACT whenever the
+    survivor count <= pa_accuracy (10k — true at every test SF), so
+    the pin is equality, not overlap; at corpus sizes past the sketch
+    accuracy the cut may differ by the sketch's rank-error bound."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import BENCH_ONLY, QUERIES
+
+    cert_kept = {
+        r.doc_id
+        for r in QUERIES["x27_joint_curation"](spark, sf_dir).collect()
+        if r.kept
+    }
+    prod_kept = {
+        r.doc_id for r in BENCH_ONLY["x27_prod"](spark, sf_dir).collect()
+    }
+    assert cert_kept == prod_kept

@@ -692,3 +692,25 @@ def test_embedding_curation_prod_plan_shape(spark, sf_dir):
     assert "PythonUDF" not in plan
     assert len(_re.findall(r"Exchange SinglePartition", plan)) <= 1
     assert "percent_rank" not in plan  # cert-only gate form must not leak
+
+
+def test_joint_curation_prod_plan_shape(spark, sf_dir):
+    """x27_prod (the joint chain's production config): the cert-only
+    exact percent_rank must not leak into the prod plan, the gate's
+    percentile_approx scalar is the ONE SinglePartition exchange, no
+    Python UDF, no global sort. SortMergeJoins on doc_id are expected:
+    the doc->embedding provenance joins shuffle on their key at scale."""
+    import re as _re
+
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import BENCH_ONLY
+
+    plan = (
+        BENCH_ONLY["x27_prod"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan
+    assert "PythonUDF" not in plan
+    assert len(_re.findall(r"Exchange SinglePartition", plan)) <= 1
+    assert "percent_rank" not in plan  # cert-only gate form must not leak
