@@ -112,7 +112,14 @@ PRIORITY_IN_WINDOW = [
         # green r3-r9, frozen; its CC + cluster-canonical machinery
         # stays evidenced in-window by dd8 (the same CC kernel) and
         # dd11 — rotates to the tail to make room.
-        "dd13_line_dedup",
+        # dd13 rotated to the tail in round 19 for dd17 (below): its
+        # segment-dedup kernel (doc_segments → MIN canon → rebuild)
+        # runs verbatim in-window as x27's stage 1; green r10-r14.
+        # NEW in round 19: dd17 — per-source EXACT snapshot churn
+        # (retained/added/removed distinct contents + churn ratio
+        # between two crawl dates), the doc-granularity ledger next to
+        # dd16b's sketch-estimated overlap.
+        "dd17_snapshot_churn",
         # NEW in round 14: dd14 maximal duplicated-span detection (the
         # Lee-et-al exact-substring dedup shape at any offset — a
         # granularity dd13's fixed segments straddle). a14 rotated to
@@ -299,6 +306,10 @@ PRIORITY_TAIL = [
         # its line-dedup + recomputed-quality-gate stages run verbatim
         # in-window inside x27, its shard+pos layout inside x21/x21b.
         "x16_curation_pipeline_v4",
+        # dd13 rotated out in round 19 for dd17 (see PRIORITY_IN_WINDOW):
+        # its segment-dedup kernel runs verbatim in-window as x27's
+        # stage 1.
+        "dd13_line_dedup",
         # x8 rotated out in round 8 when x9 moved ahead of it (x9
         # composes x8's water-filling math, so the machinery stays
         # evidenced in-window); sits at exactly index 50. The guard

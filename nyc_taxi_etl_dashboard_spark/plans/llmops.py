@@ -4787,6 +4787,93 @@ def q_joint_curation_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_ONLY["x27_prod"] = q_joint_curation_prod
 
 
+def _snapshot_churn(d: DataFrame, key) -> DataFrame:
+    """dd17's kernel over any (doc_id, source, text) frame: per-source
+    EXACT content churn between two snapshots (doc_id parity — the
+    t20/dd16b convention). ``key`` is the content-identity column: the
+    raw text (cert — bit-exact in any engine) or a 64-bit hash of it
+    (prod — the slim shuffle). Presence is per DISTINCT content per
+    source, so intra-snapshot duplicates count once."""
+    pres = d.groupBy("source", key.alias("__k")).agg(
+        F.max((F.col("doc_id") % 2 == 0).cast("int")).alias("in_a"),
+        F.max((F.col("doc_id") % 2 == 1).cast("int")).alias("in_b"),
+    )
+    n_a = F.sum(F.col("in_a").cast("long")).alias("n_a")
+    n_b = F.sum(F.col("in_b").cast("long")).alias("n_b")
+    retained = F.sum(
+        ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+    ).alias("retained")
+    added = F.sum(((F.col("in_b") == 1) & (F.col("in_a") == 0)).cast("long")).alias(
+        "added"
+    )
+    removed = F.sum(
+        ((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")
+    ).alias("removed")
+    return (
+        pres.groupBy("source")
+        .agg(n_a, n_b, retained, added, removed)
+        .withColumn(
+            "churn",
+            F.round(
+                (F.col("added") + F.col("removed")) / (F.col("n_a") + F.col("n_b")),
+                6,
+            ),
+        )
+    )
+
+
+def q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd17: per-source EXACT snapshot churn — the operational diff a
+    recurring crawl runs between two corpus versions (doc_id parity
+    stands in for two crawl dates, the t20/dd16b convention): distinct
+    contents retained / added / removed per source, plus a churn ratio
+    ((added+removed)/(n_a+n_b)). Complements dd16b, which ESTIMATES
+    cross-snapshot overlap from MinHash sketches at shingle
+    granularity — dd17 is the exact doc-granularity ledger a source
+    on-boarding decision reads (a source churning 90 % per crawl is a
+    spam signal; one churning 0 % has gone stale).
+
+    Scale shape: ONE map-side-combinable groupBy on (source, content
+    key) — presence flags are max-folds, exact in any order — then a
+    per-source roll-up of five longs. No join, no window, no explode;
+    at 100 TB the only shuffle is keyed by content, and the production
+    form (``dd17_prod``) shuffles a 64-bit xxhash64 instead of the
+    text (count-equal pinned in tests/test_llmops.py; a collision
+    would need ~2^32 distinct docs per source)."""
+    return _snapshot_churn(_docs(spark, sf_dir), F.col("text"))
+
+
+QUERIES["dd17_snapshot_churn"] = q_snapshot_churn
+ORACLES["dd17_snapshot_churn"] = """
+WITH pres AS (
+  SELECT source, text,
+         max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS in_b
+  FROM documents GROUP BY source, text)
+SELECT source,
+       sum(in_a) AS n_a,
+       sum(in_b) AS n_b,
+       sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS retained,
+       sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS added,
+       sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS removed,
+       round((sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)) * 1.0
+           / (sum(in_a) + sum(in_b)), 6) AS churn
+FROM pres GROUP BY source"""
+
+
+def q_snapshot_churn_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd17_prod: the production shape — content identity is
+    xxhash64(text), so the presence groupBy shuffles 8 bytes per doc
+    instead of the document body. Bench-only: the hash is
+    Spark-specific (no DuckDB twin); counts are pinned equal to the
+    cert form in tests/test_llmops.py."""
+    return _snapshot_churn(_docs(spark, sf_dir), F.xxhash64("text"))
+
+
+BENCH_ONLY["dd17_prod"] = q_snapshot_churn_prod
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t20: corpus distribution drift — per-language KL divergence of
     unigram token distributions between two snapshots (doc_id parity

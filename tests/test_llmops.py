@@ -2684,3 +2684,46 @@ def test_joint_curation_cert_prod_keep_agreement(spark, sf_dir):
         r.doc_id for r in BENCH_ONLY["x27_prod"](spark, sf_dir).collect()
     }
     assert cert_kept == prod_kept
+
+
+def test_snapshot_churn_hand_computed(spark):
+    """dd17 on a planted fixture: src0 has one retained text, one
+    removed (A-only), one added (B-only); src1 retains its single text
+    through an intra-snapshot duplicate (presence counts distinct
+    contents, not rows)."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import _snapshot_churn
+
+    rows = [
+        (0, "src0", "kept both"),    # A (even)
+        (1, "src0", "kept both"),    # B (odd) -> retained
+        (2, "src0", "gone after a"),  # A only -> removed
+        (3, "src0", "new in b"),      # B only -> added
+        (4, "src1", "stable"),        # A
+        (5, "src1", "stable"),        # B
+        (7, "src1", "stable"),        # B duplicate -> still one content
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in _snapshot_churn(df, F.col("text")).collect()}
+    s0 = out["src0"]
+    assert (s0.n_a, s0.n_b, s0.retained, s0.added, s0.removed) == (2, 2, 1, 1, 1)
+    assert s0.churn == 0.5
+    s1 = out["src1"]
+    assert (s1.n_a, s1.n_b, s1.retained, s1.added, s1.removed) == (1, 1, 1, 0, 0)
+    assert s1.churn == 0.0
+
+
+def test_snapshot_churn_cert_prod_count_equal(spark, sf_dir):
+    """dd17 vs dd17_prod: grouping on xxhash64(text) instead of the
+    text must yield identical per-source ledgers (collision-free on
+    the fixture, and at any plausible corpus size)."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import BENCH_ONLY, QUERIES
+
+    cert = {
+        r.source: (r.n_a, r.n_b, r.retained, r.added, r.removed, r.churn)
+        for r in QUERIES["dd17_snapshot_churn"](spark, sf_dir).collect()
+    }
+    prod = {
+        r.source: (r.n_a, r.n_b, r.retained, r.added, r.removed, r.churn)
+        for r in BENCH_ONLY["dd17_prod"](spark, sf_dir).collect()
+    }
+    assert cert == prod
