@@ -241,7 +241,14 @@ PRIORITY_IN_WINDOW = [
         # identical kernel either way, and dd16b additionally carries
         # the hand-computed pytest value check added this round.
         "dd16b_snapshot_overlap",
-        "t21_ngram_diversity",
+        # t21 rotated to the tail in round 19 for v18 (below): its gram
+        # explode + per-language agg machinery is evidenced in-window
+        # by t22's pre-tokenizer census and t23's trigram profiles;
+        # green r14.
+        # NEW in round 19: v18 — ANN recall telemetry (bucket-only
+        # recall@k vs exact brute force over the portable RHP cell,
+        # fully hash-certified), the index-quality twin of v17.
+        "v18_recall_report",
         "x24_curriculum_schedule",
         # NEW in round 15 (second wave): t22 BPE-style pre-tokenizer
         # census (the subword budget t5's whitespace census
@@ -310,6 +317,9 @@ PRIORITY_TAIL = [
         # its segment-dedup kernel runs verbatim in-window as x27's
         # stage 1.
         "dd13_line_dedup",
+        # t21 rotated out in round 19 for v18 (see PRIORITY_IN_WINDOW):
+        # gram explode + per-lang aggs evidenced in-window by t22/t23.
+        "t21_ngram_diversity",
         # x8 rotated out in round 8 when x9 moved ahead of it (x9
         # composes x8's water-filling math, so the machinery stays
         # evidenced in-window); sits at exactly index 50. The guard

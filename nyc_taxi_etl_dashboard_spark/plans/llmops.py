@@ -4874,6 +4874,178 @@ def q_snapshot_churn_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_ONLY["dd17_prod"] = q_snapshot_churn_prod
 
 
+#: v18 probe set: the V18_QUERIES lowest vec_ids (the v17 stand-in
+#: convention — deterministic, SQL-reproducible) scored at top-V18_K.
+V18_K = 5
+V18_QUERIES = 8
+
+
+def q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v18: ANN recall telemetry — the INDEX-QUALITY twin of v17's
+    maintenance report: for a deterministic probe set of query vectors,
+    measure the bucket-only ANN's recall@k against exact brute force.
+    A vector store runs this after every refit (v17 says WHEN to refit;
+    v18 says whether the refit index still FINDS things): per query,
+    the bucket's candidate count, how many neighbors the bucket could
+    return, and recall@k — falling recall with healthy v17 telemetry
+    means the bucketing (not the centroids) degraded.
+
+    Certification shape: the bucketing is :func:`rhp_cell_portable`
+    (the x12 engine-portable LCG cell — DuckDB reproduces every cell
+    bit-for-bit), both legs rank by (cosine DESC, vec_id) with
+    sequential HOF folds, so the ENTIRE report — candidate counts,
+    recall fractions — is hash-certified, not verdict-scaffolded. The
+    production bucketing (murmur signatures, multi-probe, auto planes)
+    is ``v18_prod``, recall-measured against the same exact leg.
+
+    Scale shape: the probe set is bounded (broadcast both legs); the
+    exact leg is ONE corpus scan with a per-query top-k window — the
+    ground-truth cost is the point of the report, and at 100 TB it
+    runs over a corpus SAMPLE (the recall estimate converges at
+    thousands of probes regardless of corpus size)."""
+    from ..operators.similarity import (
+        dot,
+        knn_bruteforce,
+        l2_norm,
+        rhp_cell_portable,
+    )
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    cells = e.select(
+        "vec_id",
+        "embedding",
+        rhp_cell_portable("embedding", n_planes=X12_PLANES).alias("cell"),
+    )
+    qs = (
+        cells.filter(F.col("vec_id") < V18_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("cell").alias("q_cell"),
+        )
+        .withColumn("q_nrm", l2_norm("q_vec"))
+    )
+    exact = knn_bruteforce(
+        e, e.filter(F.col("vec_id") < V18_QUERIES), k=V18_K
+    ).select("query_id", "neighbor_id")
+    cand = (
+        cells.join(
+            F.broadcast(qs),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("c_nrm", l2_norm("embedding"))
+        .withColumn(
+            "cosine", dot("q_vec", "embedding") / (F.col("q_nrm") * F.col("c_nrm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    annk = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= V18_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_ret = annk.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
+    hits = (
+        annk.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        qs.select("query_id")
+        .join(n_cand, "query_id", "left")
+        .join(n_ret, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(V18_K), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+QUERIES["v18_recall_report"] = q_recall_report
+ORACLES["v18_recall_report"] = f"""
+WITH c AS (
+  SELECT vec_id, embedding, CAST({_X12_CELL} AS BIGINT) AS cell,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, cell AS q_cell, nrm AS q_nrm
+      FROM c WHERE vec_id < {V18_QUERIES}),
+ex0 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DOT.format(a='q_vec', b='embedding')} / (q.q_nrm * c.nrm) AS cosine
+  FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id),
+exk AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM ex0) WHERE rnk <= {V18_K}),
+cand AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_DOT.format(a='q_vec', b='embedding')} / (q.q_nrm * c.nrm) AS cosine
+  FROM q JOIN c ON c.cell = q.q_cell AND c.vec_id <> q.query_id),
+annk AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM cand) WHERE rnk <= {V18_K}),
+nc AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
+nr AS (SELECT query_id, count(*) AS n_returned FROM annk GROUP BY query_id),
+h AS (SELECT a.query_id, count(*) AS n_hits
+      FROM annk a JOIN exk USING (query_id, neighbor_id) GROUP BY a.query_id)
+SELECT q.query_id,
+       coalesce(nc.n_candidates, 0) AS n_candidates,
+       coalesce(nr.n_returned, 0) AS n_returned,
+       round(coalesce(h.n_hits, 0) / {V18_K}.0, 6) AS recall_at_k
+FROM q LEFT JOIN nc USING (query_id) LEFT JOIN nr USING (query_id)
+       LEFT JOIN h USING (query_id)"""
+
+
+def q_recall_report_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v18_prod: recall telemetry over the PRODUCTION bucketing —
+    murmur RHP signatures at corpus-adaptive planes with one
+    multi-probe flip (the v4_prod configuration), measured against the
+    same exact leg. Bench-only: murmur hash() has no DuckDB twin;
+    recall semantics are certified by v18 and the production recall
+    floor is pinned in tests/test_llmops.py."""
+    from ..operators.similarity import knn_bruteforce, knn_lsh
+
+    e = _embs(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < V18_QUERIES)
+    exact = knn_bruteforce(e, qs, k=V18_K).select("query_id", "neighbor_id")
+    ann = knn_lsh(e, qs, k=V18_K, n_planes="auto", n_probes=1).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ann.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_ret = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(n_ret, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(V18_K), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+BENCH_ONLY["v18_prod"] = q_recall_report_prod
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t20: corpus distribution drift — per-language KL divergence of
     unigram token distributions between two snapshots (doc_id parity

@@ -2727,3 +2727,85 @@ def test_snapshot_churn_cert_prod_count_equal(spark, sf_dir):
         for r in BENCH_ONLY["dd17_prod"](spark, sf_dir).collect()
     }
     assert cert == prod
+
+
+def test_recall_report_planted_neighbor(spark):
+    """v18 on a planted fixture: each query vector has one planted
+    near-duplicate (cosine ~0.9999) in the corpus. RHP cells cannot
+    separate near-identical vectors often at 4 planes, so the report
+    must (a) be structurally sound — recall in [0,1], n_returned <=
+    k <= n_candidates cap — and (b) find the planted neighbor whenever
+    it shares the query's cell (recall > 0 for those queries), which
+    the fixture guarantees for at least half the queries."""
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        knn_bruteforce,
+        rhp_cell_portable,
+    )
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import V18_K, V18_QUERIES
+
+    import math
+    import random
+
+    rng = random.Random(19)
+    rows = []
+    vid = 0
+    for _ in range(V18_QUERIES):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((vid, v)); vid += 1                     # query (vec_id < 8)
+    n_q = vid
+    for qid in range(n_q):
+        twin = [x * 1.0001 for x in rows[qid][1]]
+        rows.append((vid, twin)); vid += 1                  # planted near-dup
+    for _ in range(100):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(64)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # reuse the registered query's kernel by pointing _embs at the frame
+    from nyc_taxi_etl_dashboard_spark.plans import llmops as L
+
+    orig = L._embs
+    L._embs = lambda spark, sf_dir: df
+    try:
+        rep = {r.query_id: r for r in L.q_recall_report(spark, "unused").collect()}
+    finally:
+        L._embs = orig
+
+    assert set(rep) == set(range(V18_QUERIES))
+    cells = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", rhp_cell_portable("embedding", n_planes=4).alias("cell")
+        ).collect()
+    }
+    found_when_colocated = 0
+    colocated = 0
+    for qid in range(n_q):
+        r = rep[qid]
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_returned <= V18_K
+        assert r.n_returned <= r.n_candidates
+        if cells[qid] == cells[n_q + qid]:
+            colocated += 1
+            if r.recall_at_k > 0:
+                found_when_colocated += 1
+    # a scaled twin always shares the cell (RHP is scale-invariant)
+    assert colocated == n_q
+    assert found_when_colocated == n_q
+
+
+def test_recall_report_prod_structure(spark, sf_dir):
+    """v18_prod (murmur signatures, auto planes, one probe): one row
+    per probe query, recall in [0,1], n_returned <= k. The production
+    recall floor itself is pinned by test_multiprobe_lsh_recall_floor
+    on the planted corpus; this pins the telemetry wrapper."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        BENCH_ONLY,
+        V18_K,
+        V18_QUERIES,
+    )
+
+    rows = {r.query_id: r for r in BENCH_ONLY["v18_prod"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(V18_QUERIES))
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_returned <= V18_K
