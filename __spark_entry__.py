@@ -126,7 +126,14 @@ PRIORITY_IN_WINDOW = [
         # the tail to make room: its period-decode + groupBy machinery
         # runs in-window inside a17's calendar rollup and the pipe_*
         # decode path.
-        "dd14_dup_spans",
+        # dd14 rotated to the tail in round 19 for x28 (below): dd15
+        # runs dd14's gaps-and-islands span detection verbatim
+        # in-window as its stage 1 (the dd8→x19 precedent); green r14.
+        # NEW in round 19: x28 — greedy non-splitting sequence packing
+        # (the attention-isolation regime x6/mm5's offset packing
+        # can't express), the registry's first applyInPandas operator
+        # with a full value oracle (DuckDB recursive CTE).
+        "x28_greedy_pack",
         # NEW in round 14 (second wave): dd15 span-level dedup — dd14's
         # detection made a cleaning stage (canonical-occurrence keep +
         # rebuild). a13 rotated to the tail: its payment groupBy-agg is
@@ -320,6 +327,10 @@ PRIORITY_TAIL = [
         # t21 rotated out in round 19 for v18 (see PRIORITY_IN_WINDOW):
         # gram explode + per-lang aggs evidenced in-window by t22/t23.
         "t21_ngram_diversity",
+        # dd14 rotated out in round 19 for x28 (see PRIORITY_IN_WINDOW):
+        # its span-detection kernel runs verbatim inside the in-window
+        # dd15.
+        "dd14_dup_spans",
         # x8 rotated out in round 8 when x9 moved ahead of it (x9
         # composes x8's water-filling math, so the machinery stays
         # evidenced in-window); sits at exactly index 50. The guard

@@ -197,10 +197,19 @@ CURATION = [
     "v17_index_maintenance",
     # round-19: the joint text+embedding curation chain (x16's text
     # stages + the v16 density gate as stage 4; x27_prod rides
-    # prod_paths with the percentile_approx gate). NOTE: curation_total
-    # grows by one entry this round — compare to the prior series minus
-    # x27 (the r6/r18 definition-change precedent).
+    # prod_paths with the percentile_approx gate), the dd17 exact
+    # snapshot-churn ledger (dd17_prod: xxhash64 content keys), and
+    # v18 ANN recall telemetry (v18_prod: production bucketing).
+    # NOTE: curation_total grows by THREE entries this round — compare
+    # to the prior series minus x27/dd17/v18 (the r6/r18
+    # definition-change precedent).
     "x27_joint_curation",
+    "dd17_snapshot_churn",
+    "v18_recall_report",
+    # round-19 second wave: greedy non-splitting packing (the
+    # applyInPandas recurrence; no prod twin — the Arrow kernel IS the
+    # production shape). curation_total grows by FOUR total this round.
+    "x28_greedy_pack",
 ]
 
 

@@ -130,3 +130,76 @@ def cosine_pandas_udf(dim: int = 64):
         return _cos
 
     return make
+
+
+def greedy_pack_schema(group_col: str = "source") -> "StructType":
+    """Output schema for :func:`greedy_pack` (group column name is
+    caller-chosen, everything else fixed)."""
+    from pyspark.sql.types import BooleanType, IntegerType, StringType
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField(group_col, StringType()),
+            StructField("n_tokens", IntegerType()),
+            StructField("eff_tokens", IntegerType()),
+            StructField("truncated", BooleanType()),
+            StructField("bin_id", LongType()),
+            StructField("bin_offset", LongType()),
+        ]
+    )
+
+
+def greedy_pack(
+    docs: DataFrame,
+    cap: int = 256,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """First-fit-SEQUENTIAL packing with NO document splitting: stream
+    each group's docs in ``order_col`` order into ``cap``-token bins; a
+    doc that does not fit the current bin's remainder CLOSES the bin
+    and starts the next (x6/mm5 pack by offset division, so documents
+    span bin boundaries — the concat-with-EOS regime; this is the
+    OTHER packing regime, where attention must not cross document
+    boundaries, so bins waste their tails). Docs longer than ``cap``
+    are truncated to ``cap`` and flagged.
+
+    Why applyInPandas: each doc's bin depends on the previous doc's
+    OUTPUT (the running bin fill resets on overflow) — a recurrence,
+    not a fixed window frame; the same boundary as :func:`grouped_ewm`.
+    Scale shape: one shuffle on the group key; each group must fit a
+    worker — packing runs per shard (the x15 layout), so group size is
+    bounded by construction.
+    """
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        bin_ids, offsets, effs, trunc = [], [], [], []
+        bin_id, fill = 0, 0
+        for n in pdf[tokens_col]:
+            eff = min(int(n), cap)
+            if fill + eff > cap:
+                bin_id += 1
+                fill = 0
+            bin_ids.append(bin_id)
+            offsets.append(fill)
+            effs.append(eff)
+            trunc.append(int(n) > cap)
+            fill += eff
+        return pd.DataFrame(
+            {
+                "doc_id": pdf[order_col],
+                group_col: pdf[group_col],
+                "n_tokens": pdf[tokens_col],
+                "eff_tokens": effs,
+                "truncated": trunc,
+                "bin_id": bin_ids,
+                "bin_offset": offsets,
+            }
+        )
+
+    return docs.groupBy(group_col).applyInPandas(
+        _pack, greedy_pack_schema(group_col)
+    )

