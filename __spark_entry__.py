@@ -331,6 +331,14 @@ PRIORITY_TAIL = [
         # its span-detection kernel runs verbatim inside the in-window
         # dd15.
         "dd14_dup_spans",
+        # v11 rotated out in round 19 for v19 (which enters by
+        # registration order): v19's FULL value-hash oracle certifies
+        # the ADC machinery in-window (encode argmin, reconstruction,
+        # ADC-as-dot, shortlist, rerank) strictly more strongly than
+        # v11's verdict scaffolding; v11's trained-fit verdict legs
+        # stay sweep-covered and its production ranking benched as
+        # v11_prod. Green r8-r14.
+        "v11_pq_adc",
         # x8 rotated out in round 8 when x9 moved ahead of it (x9
         # composes x8's water-filling math, so the machinery stays
         # evidenced in-window); sits at exactly index 50. The guard

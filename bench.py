@@ -208,8 +208,11 @@ CURATION = [
     "v18_recall_report",
     # round-19 second wave: greedy non-splitting packing (the
     # applyInPandas recurrence; no prod twin — the Arrow kernel IS the
-    # production shape). curation_total grows by FOUR total this round.
+    # production shape) and the v19 two-stage retrieval stack
+    # (v19_prod rides prod_paths with trained codebooks + Arrow LUT).
+    # curation_total grows by FIVE total this round.
     "x28_greedy_pack",
+    "v19_rerank_stack",
 ]
 
 

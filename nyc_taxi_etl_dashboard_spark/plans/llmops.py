@@ -5046,6 +5046,216 @@ def q_recall_report_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_ONLY["v18_prod"] = q_recall_report_prod
 
 
+#: v19 two-stage retrieval: ADC shortlist width and final top-k.
+V19_M, V19_KSUB, V19_DSUB = 8, 16, 8
+V19_SHORTLIST, V19_K = 20, 5
+
+
+def q_rerank_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v19: the TWO-STAGE retrieval stack — ADC shortlist, exact rerank
+    (the standard billion-scale recipe: quantized scores cut the corpus
+    to a shortlist a rerank can afford; v11 certifies the ADC estimate,
+    v12 the IVF composition, v19 certifies the HANDOFF — that the final
+    ranking is exact-scored and the shortlist cut is deterministic).
+
+    Certification shape — a FULL value-hash oracle, strictly stronger
+    than v11's verdict scaffolding: the codebook is the deterministic
+    stand-in fit (subvectors of the V19_KSUB lowest-vec_id vectors —
+    the kmeans init rule, the v17 precedent), and the ENCODE ITSELF
+    runs as sequential Catalyst HOF folds (per subspace: 16 in-order
+    squared-distance folds, first-min argmin via array_position), so
+    DuckDB reproduces every code, reconstruction, ADC score, shortlist
+    cut, and rerank rank bit-for-bit. ADC is scored as dot(q, recon) —
+    mathematically the m-lookup LUT sum, expressed as one sequential
+    64-fold so both engines agree to the last ulp. The production
+    shape (trained codebooks, numpy encode, Arrow LUT scoring) is
+    ``v19_prod``.
+
+    Scale shape: the corpus is scanned once to encode (map-side; the
+    codebook rides the plan as 1,024 literal doubles — the v11 cert
+    convention), queries broadcast, the shortlist window sorts slim
+    (query, adc) rows, and the rerank touches V19_SHORTLIST rows per
+    query."""
+    from ..operators.similarity import dot, l2_norm
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    rows16 = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .limit(V19_KSUB)
+        .collect()
+    )
+    cb = [
+        [list(r.v[s * V19_DSUB : (s + 1) * V19_DSUB]) for r in rows16]
+        for s in range(V19_M)
+    ]
+    mats = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in cb_s])
+        for cb_s in cb
+    ]
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    def _make_term(s, j):
+        # pyspark HOF callbacks must take exactly (acc, i) — bind the
+        # subspace and code indices via this factory, not default args
+        def term(acc, i):
+            diff = F.element_at(
+                F.col("c_vec"), (F.lit(s * V19_DSUB) + i + 1).cast("int")
+            ) - F.element_at(
+                F.element_at(mats[s], (j + 1).cast("int")), (i + 1).cast("int")
+            )
+            return acc + diff * diff
+
+        return term
+
+    def _make_d2(s):
+        def _d2(j):
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(V19_DSUB - 1)),
+                F.lit(0.0),
+                _make_term(s, j),
+            )
+
+        return _d2
+
+    for s in range(V19_M):
+        dists = F.transform(F.sequence(F.lit(0), F.lit(V19_KSUB - 1)), _make_d2(s))
+        c = c.withColumn(
+            f"__code_{s}", F.array_position(dists, F.array_min(dists)) - 1
+        )
+    recon = F.flatten(
+        F.array(
+            *[
+                F.element_at(mats[s], (F.col(f"__code_{s}") + 1).cast("int"))
+                for s in range(V19_M)
+            ]
+        )
+    )
+    c = c.select("neighbor_id", "c_vec", recon.alias("recon")).withColumn(
+        "c_nrm", l2_norm("c_vec")
+    )
+    q = (
+        e.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_vec"),
+        )
+        .withColumn("q_nrm", l2_norm("q_vec"))
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", dot("q_vec", "recon"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    short = pairs.withColumn("srk", F.row_number().over(ws)).filter(
+        F.col("srk") <= V19_SHORTLIST
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        short.withColumn(
+            "cosine", dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm"))
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= V19_K)
+        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "neighbor_id", "adc", "cosine")
+    )
+
+
+QUERIES["v19_rerank_stack"] = q_rerank_stack
+_V19_D2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range({dsub}), "
+    "i -> (c.v[s.s*{dsub} + i + 1] - cb.v[s.s*{dsub} + i + 1]) "
+    "* (c.v[s.s*{dsub} + i + 1] - cb.v[s.s*{dsub} + i + 1]))), (a, x) -> a + x)"
+).format(dsub=V19_DSUB)
+ORACLES["v19_rerank_stack"] = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+       FROM e ORDER BY vec_id LIMIT {V19_KSUB}),
+enc AS (
+  SELECT c.vec_id, s.s, cb.j, {_V19_D2} AS d2
+  FROM e c CROSS JOIN range({V19_M}) s(s) CROSS JOIN cb),
+codep AS (SELECT vec_id, s, j,
+                 row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rk
+          FROM enc),
+recon AS (
+  SELECT cd.vec_id,
+         flatten(list(cb.v[cd.s*{V19_DSUB}+1 : cd.s*{V19_DSUB}+{V19_DSUB}]
+                      ORDER BY cd.s)) AS recon
+  FROM codep cd JOIN cb ON cb.j = cd.j
+  WHERE cd.rk = 1 GROUP BY cd.vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             sqrt({_DOT.format(a='v', b='v')}) AS q_nrm
+      FROM e WHERE vec_id < 3),
+sc AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+              {_DOT.format(a='qv', b='recon')} AS adc
+       FROM recon r CROSS JOIN q WHERE r.vec_id <> q.query_id),
+short AS (SELECT query_id, neighbor_id, adc FROM (
+            SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc DESC, neighbor_id) AS srk
+            FROM sc) WHERE srk <= {V19_SHORTLIST}),
+rr AS (SELECT s.query_id, s.neighbor_id, s.adc,
+              {_DOT.format(a='qv', b='v')}
+                / (q.q_nrm * sqrt({_DOT.format(a='v', b='v')})) AS cosine
+       FROM short s JOIN e c ON c.vec_id = s.neighbor_id
+            JOIN q ON q.query_id = s.query_id)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk,
+       neighbor_id, adc, cosine
+FROM rr
+QUALIFY rnk <= {V19_K}"""
+
+
+def q_rerank_stack_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v19_prod: the production two-stage path — trained codebooks
+    (pq_fit), numpy encode, Arrow LUT shortlist (pq_adc_topk at
+    V19_SHORTLIST), then exact rerank of the shortlist only. Bench-only
+    (trained fit is never SQL-reproduced); the handoff semantics are
+    certified by v19 and the rerank-lifts-recall property is pinned in
+    tests/test_llmops.py."""
+    from ..operators.quantization import pq_adc_topk, pq_encode, pq_fit
+    from ..operators.similarity import dot, l2_norm
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir)
+    codebooks = pq_fit(e, m=V19_M, ksub=V19_KSUB)
+    codes = pq_encode(e, codebooks)
+    qs = e.filter(F.col("vec_id") < 3)
+    short = pq_adc_topk(codes, qs, codebooks, k=V19_SHORTLIST)
+    q = qs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    ).withColumn("q_nrm", l2_norm("q_vec"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    ).withColumn("c_nrm", l2_norm("c_vec"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        short.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine", dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm"))
+        )
+        .withColumn("rrnk", F.row_number().over(wr))
+        .filter(F.col("rrnk") <= V19_K)
+        .select("query_id", "neighbor_id", "adc_dot", "cosine", "rrnk")
+    )
+
+
+BENCH_ONLY["v19_prod"] = q_rerank_stack_prod
+
+
 #: x28 context budget (matches x6/mm5's 256-token window).
 X28_CAP = 256
 

@@ -61,6 +61,7 @@ SHOWCASE = [
     ("x27_joint_curation", "Joint text+embedding curation (round 19): dd13's MIN-agg dedup and the recomputed quality gate feed ONE co-partitioned doc→embedding equi-join; lang-grouped centroids join back broadcast — the cert percent_rank is the only global sort, absent from x27_prod."),
     ("dd17_snapshot_churn", "Exact snapshot churn ledger (round 19): ONE map-side-combinable groupBy on (source, content) with presence max-folds, then a per-source roll-up of five longs — no join, no window, no explode; dd17_prod shuffles an 8-byte hash, never the text."),
     ("v18_recall_report", "ANN recall telemetry (round 19): both legs broadcast-shaped around the bounded probe set — the exact leg is one corpus scan with a per-query top-k window, the bucket leg an equi-join on the portable RHP cell; the corpus is never self-joined."),
+    ("v19_rerank_stack", "Two-stage retrieval (round 19): map-side HOF encode against 1,024 plan-literal codebook doubles, broadcast queries, a slim (query, adc) shortlist window, and a rerank that touches 20 rows per query — the corpus is scanned once and never self-joined."),
 ]
 
 
