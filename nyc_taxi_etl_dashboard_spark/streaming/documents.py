@@ -678,6 +678,102 @@ def drift_monitor_sink(
     return sink, stats_box
 
 
+def churn_monitor_sink(state_path: str, alert_threshold: float = 0.9):
+    """The STREAMING form of dd17 (per-source exact snapshot churn): a
+    ``foreachBatch`` sink that scores every incoming batch's per-source
+    content novelty against everything ingested before it — the
+    continuous form of the source on-boarding ledger (a source whose
+    batches are ~all new content every time is a churn/spam signal; one
+    recurring ~100 % has gone stale and is re-delivering).
+
+    State model (the drift sink's pattern at content granularity): a
+    parquet table keyed ``(source, content_key, batch_id)`` — one slim
+    row per DISTINCT content per source per batch, where content_key is
+    xxhash64(text) (dd17_prod's slim shuffle; the text never enters
+    state). The reference is the union over all OTHER batches' rows, so
+    a REPLAYED batch excludes its own prior contribution, recomputes
+    the identical report, and re-merges the same key rows (exactly-once
+    by construction). Wire through :func:`compact_every` on long
+    streams.
+
+    Per-batch plan: one map-side distinct over (source, key), one
+    left join against the aggregated reference (both sides slim —
+    8-byte keys), one per-source count roll-up. Reports land in
+    ``stats_box["reports"]`` as ``(batch_id, source, n_contents,
+    n_new, n_recurring, churn, alert)`` with churn = n_new /
+    n_contents; the first batch (empty self-excluded reference) is the
+    bootstrap and reports nothing."""
+    from ..sources.writers import merge_parquet
+
+    stats_box: dict = {"batches": [], "reports": []}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_keys = (
+            batch_df.select("source", F.xxhash64("text").alias("content_key"))
+            .distinct()
+            .localCheckpoint()  # cut streaming lineage; consumed twice
+        )
+        if _warehouse_exists(spark, state_path):
+            reference = (
+                spark.read.parquet(state_path)
+                .filter(F.col("batch_id") != batch_id)  # replay safety
+                .select("source", "content_key")
+                .distinct()
+                .withColumn("__seen", F.lit(True))
+            )
+            scored = (
+                batch_keys.join(reference, ["source", "content_key"], "left")
+                .groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).alias("n_contents"),
+                    F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias(
+                        "n_new"
+                    ),
+                    F.sum(F.when(F.col("__seen").isNotNull(), 1).otherwise(0)).alias(
+                        "n_recurring"
+                    ),
+                )
+                .collect()
+            )
+            # every-source-all-new with an existing warehouse can still be
+            # a batch-0 replay (self-excluded reference empty): bootstrap
+            ref_empty = all(r.n_recurring == 0 for r in scored) and (
+                spark.read.parquet(state_path)
+                .filter(F.col("batch_id") != batch_id)
+                .limit(1)
+                .count()
+                == 0
+            )
+            if not ref_empty:
+                for r in sorted(scored, key=lambda r: r.source):
+                    churn = r.n_new / r.n_contents
+                    stats_box["reports"].append(
+                        (
+                            batch_id,
+                            r.source,
+                            r.n_contents,
+                            r.n_new,
+                            r.n_recurring,
+                            round(churn, 6),
+                            bool(churn > alert_threshold),
+                        )
+                    )
+        rows = batch_keys.withColumn("batch_id", F.lit(batch_id))
+        if batch_keys.count():
+            merge_parquet(
+                spark,
+                state_path,
+                rows,
+                ["source", "content_key", "batch_id"],
+                partition_by=["batch_id"],
+                stable_partition_keys=True,
+            )
+        stats_box["batches"].append((batch_id, batch_keys.count()))
+
+    return sink, stats_box
+
+
 def drift_gated_ingest_sink(
     corpus_path: str,
     state_path: str,

@@ -1599,3 +1599,50 @@ def test_curation_chain_zero_kept_batches_leave_state_readable(spark, tmp_path):
     sink(doc_rows([(40, "web", mk(40))]), 4)
     corpus = {r.doc_id for r in spark.read.parquet(paths["corpus"]).collect()}
     assert corpus == {10, 11, 12, 13, 20, 40}
+
+
+def test_churn_monitor_scores_novelty_and_replays_safely(spark, tmp_path):
+    """Streaming dd17: per-source content novelty vs history — batch 0
+    bootstraps silently, a recurring-content batch reports low churn,
+    an all-new batch alerts, and a replay excludes its own state rows
+    and reproduces the identical report."""
+    from nyc_taxi_etl_dashboard_spark.streaming.documents import (
+        DOCS_STREAM_SCHEMA,
+        churn_monitor_sink,
+    )
+
+    def doc_rows(rows):
+        return spark.createDataFrame(
+            [(i, text, "en", src, 10, None) for i, src, text in rows],
+            DOCS_STREAM_SCHEMA,
+        ).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+
+    state = str(tmp_path / "churn_state")
+    sink, stats = churn_monitor_sink(state, alert_threshold=0.9)
+
+    sink(doc_rows([(1, "srcA", "alpha beta"), (2, "srcA", "gamma delta")]), 0)
+    assert stats["reports"] == []  # bootstrap
+
+    # batch-0 replay: self-excluded reference empty -> still bootstrap
+    sink(doc_rows([(1, "srcA", "alpha beta"), (2, "srcA", "gamma delta")]), 0)
+    assert stats["reports"] == []
+
+    # half recurring, half new -> churn 0.5, no alert
+    sink(doc_rows([(10, "srcA", "alpha beta"), (11, "srcA", "epsilon zeta")]), 1)
+    assert stats["reports"][-1] == (1, "srcA", 2, 1, 1, 0.5, False)
+
+    # a brand-new source churning 100% -> alert
+    sink(doc_rows([(20, "srcB", "one two"), (21, "srcB", "three four")]), 2)
+    assert stats["reports"][-1] == (2, "srcB", 2, 2, 0, 1.0, True)
+
+    # replay batch 1: its own state rows are excluded -> identical report
+    n_before = len(stats["reports"])
+    sink(doc_rows([(10, "srcA", "alpha beta"), (11, "srcA", "epsilon zeta")]), 1)
+    assert stats["reports"][n_before:] == [(1, "srcA", 2, 1, 1, 0.5, False)]
+
+    # intra-batch duplicates count once (presence is per distinct content)
+    sink(doc_rows([(30, "srcA", "alpha beta"), (31, "srcA", "alpha beta")]), 3)
+    assert stats["reports"][-1] == (3, "srcA", 1, 0, 1, 0.0, False)
