@@ -4381,10 +4381,17 @@ def q_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         prototype_density_outliers,
     )
 
+    from ..operators import scoped_persist
+
     e = _embs(spark, sf_dir)
     pairs = embedding_dedup_pairs(e, threshold=0.45)
     cc = connected_components(pairs).select(F.col("id").alias("vec_id"), "cluster_id")
-    base = (
+    # base and gate are each consumed twice (filter arm + provenance
+    # arm); persist the boundaries so the CC join and the exact
+    # centroid agg compute once (round-19 interleaved A/B at sf0.1:
+    # median paired ratio 0.908 over 4 rounds, value-identical; the
+    # v11 scoped_persist precedent — caller/bench owns cache cleanup)
+    base = scoped_persist(
         e.select("vec_id", "label")
         .join(cc, "vec_id", "left")
         .select(
@@ -4397,11 +4404,13 @@ def q_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     surv = e.join(base.filter(F.col("kept_dedup")).select("vec_id"), "vec_id")
-    gate = prototype_density_outliers(surv, decile=0.1, exact=True).select(
-        "vec_id",
-        F.col("proto_cosine").alias("density_score"),
-        "pct",
-        "is_outlier",
+    gate = scoped_persist(
+        prototype_density_outliers(surv, decile=0.1, exact=True).select(
+            "vec_id",
+            F.col("proto_cosine").alias("density_score"),
+            "pct",
+            "is_outlier",
+        )
     )
     w = Window.partitionBy("label").orderBy(F.asc("density_score"), F.asc("vec_id"))
     ranked = (
