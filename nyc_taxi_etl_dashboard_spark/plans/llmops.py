@@ -4657,7 +4657,11 @@ def _x27_stages(spark: SparkSession, sf_dir: str):
             ).alias("passed_quality"),
         )
     )
-    surv = (
+    # surv feeds the gate twice (centroid agg + scoring join) and, in
+    # the prod form, the provenance join as well — persist the boundary
+    # so the doc→embedding equi-join executes once (self-review r19:
+    # the unpersisted plan scanned documents.parquet 20×)
+    surv = scoped_persist(
         quality.filter("passed_quality")
         .select("doc_id")
         .join(d.select("doc_id", "lang"), "doc_id")
@@ -5044,9 +5048,12 @@ def q_recall_report_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     n_ret = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
+    # row-driver is the probe set itself, NOT exact.select(query_id)
+    # .distinct() — that form re-executed the entire brute-force
+    # ground-truth leg a second time (self-review r19: two BNLJs, zero
+    # ReusedExchange in the plan)
     return (
-        exact.select("query_id")
-        .distinct()
+        qs.select(F.col("vec_id").alias("query_id"))
         .join(n_ret, "query_id", "left")
         .join(hits, "query_id", "left")
         .select(

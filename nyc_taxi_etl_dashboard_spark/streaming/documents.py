@@ -714,6 +714,7 @@ def churn_monitor_sink(state_path: str, alert_threshold: float = 0.9):
             .distinct()
             .localCheckpoint()  # cut streaming lineage; consumed twice
         )
+        n_keys = batch_keys.count()
         if _warehouse_exists(spark, state_path):
             reference = (
                 spark.read.parquet(state_path)
@@ -737,13 +738,12 @@ def churn_monitor_sink(state_path: str, alert_threshold: float = 0.9):
                 .collect()
             )
             # every-source-all-new with an existing warehouse can still be
-            # a batch-0 replay (self-excluded reference empty): bootstrap
-            ref_empty = all(r.n_recurring == 0 for r in scored) and (
-                spark.read.parquet(state_path)
-                .filter(F.col("batch_id") != batch_id)
-                .limit(1)
-                .count()
-                == 0
+            # a batch-0 replay (self-excluded reference empty): bootstrap.
+            # Probe the SAME reference frame, not a rebuilt state scan
+            # (self-review r19).
+            ref_empty = (
+                all(r.n_recurring == 0 for r in scored)
+                and reference.limit(1).count() == 0
             )
             if not ref_empty:
                 for r in sorted(scored, key=lambda r: r.source):
@@ -760,7 +760,7 @@ def churn_monitor_sink(state_path: str, alert_threshold: float = 0.9):
                         )
                     )
         rows = batch_keys.withColumn("batch_id", F.lit(batch_id))
-        if batch_keys.count():
+        if n_keys:
             merge_parquet(
                 spark,
                 state_path,
@@ -769,7 +769,7 @@ def churn_monitor_sink(state_path: str, alert_threshold: float = 0.9):
                 partition_by=["batch_id"],
                 stable_partition_keys=True,
             )
-        stats_box["batches"].append((batch_id, batch_keys.count()))
+        stats_box["batches"].append((batch_id, n_keys))
 
     return sink, stats_box
 

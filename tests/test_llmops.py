@@ -2741,7 +2741,11 @@ def test_recall_report_planted_neighbor(spark):
         knn_bruteforce,
         rhp_cell_portable,
     )
-    from nyc_taxi_etl_dashboard_spark.plans.llmops import V18_K, V18_QUERIES
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        V18_K,
+        V18_QUERIES,
+        X12_PLANES,
+    )
 
     import math
     import random
@@ -2774,7 +2778,8 @@ def test_recall_report_planted_neighbor(spark):
     cells = {
         r.vec_id: r.cell
         for r in df.select(
-            "vec_id", rhp_cell_portable("embedding", n_planes=4).alias("cell")
+            "vec_id",
+            rhp_cell_portable("embedding", n_planes=X12_PLANES).alias("cell"),
         ).collect()
     }
     found_when_colocated = 0
