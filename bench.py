@@ -470,9 +470,15 @@ def _adjudicate(
         ab = json.loads(line)["ab"]
         for q in to_ab:
             r = ab.get(q, {}).get("paired_ratio_med")
+            missing = ab.get(q, {}).get("missing_in")
             settled[q] = {
                 "verdict": (
-                    "unsettled_ab_missing"
+                    # the suspect postdates the base COMMIT (its reference
+                    # median came from the previous ARTIFACT) — no A/B is
+                    # possible; caught live in round 19 (v16_prod vs b25999b)
+                    f"unsettled_absent_at_base_{missing}"
+                    if r is None and missing
+                    else "unsettled_ab_missing"
                     if r is None
                     else "code_regression"
                     if r > AB_CODE_THRESHOLD
