@@ -212,7 +212,16 @@ PRIORITY_IN_WINDOW = [
         # cert runs v15's deterministic fixed-order centroid fold and
         # cosine verbatim, adding the global percent_rank gate (itself
         # evidenced by t12's percentile machinery); v15 green r13-r14.
-        "t20_distribution_drift",
+        # t20 rotated to the tail in round 19 for x29 (below): its
+        # fixed-order ln fold runs in-window inside x23's log-weight
+        # fold (the "t20 ln lesson" cited there), its map-side
+        # (lang, token) count agg inside t22/t23; green r13-r14, and
+        # its streaming twin (drift_monitor_sink) stays pytest-driven.
+        # NEW in round 19: x29 — packing-efficiency comparison
+        # (streaming next-fit vs first-fit-decreasing, both placements
+        # reproduced by recursive-CTE oracles; FFD leg carries the
+        # open-bin fill list as recursion state).
+        "x29_pack_efficiency",
         # NEW in round 15 (third wave): v16 — the budget-aware density
         # gate's LINEAR branch (VERDICT r14 item 2), certified through
         # the density_gate selector itself (budget=0, exact=True).
@@ -331,6 +340,9 @@ PRIORITY_TAIL = [
         # its span-detection kernel runs verbatim inside the in-window
         # dd15.
         "dd14_dup_spans",
+        # t20 rotated out in round 19 for x29 (see PRIORITY_IN_WINDOW):
+        # ln-fold machinery in-window via x23, count aggs via t22/t23.
+        "t20_distribution_drift",
         # v11 rotated out in round 19 for v19 (which enters by
         # registration order): v19's FULL value-hash oracle certifies
         # the ADC machinery in-window (encode argmin, reconstruction,

@@ -213,6 +213,10 @@ CURATION = [
     # curation_total grows by FIVE total this round.
     "x28_greedy_pack",
     "v19_rerank_stack",
+    # round-19 third wave: the packing-efficiency comparison (both
+    # placements in one query; no prod twin — the Arrow kernels ARE
+    # the production shapes). curation_total: SIX new entries total.
+    "x29_pack_efficiency",
 ]
 
 

@@ -156,6 +156,7 @@ def greedy_pack(
     group_col: str = "source",
     order_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    ffd: bool = False,
 ) -> DataFrame:
     """First-fit-SEQUENTIAL packing with NO document splitting: stream
     each group's docs in ``order_col`` order into ``cap``-token bins; a
@@ -172,22 +173,57 @@ def greedy_pack(
     Scale shape: one shuffle on the group key; each group must fit a
     worker — packing runs per shard (the x15 layout), so group size is
     bounded by construction.
+
+    ``ffd=True`` switches to first-fit-DECREASING (the classic
+    waste-bound packer, 11/9·OPT): docs sort (tokens DESC, order_col),
+    ALL bins stay open, each doc lands in the FIRST bin with room,
+    else opens a new one. Note next-fit-decreasing (sorting alone,
+    keeping the close-on-overflow rule) is NOT offered: measured on
+    both the corpus fixture and a bimodal planted one it LOSES to
+    streaming next-fit (sorted big docs each nearly fill a bin, then
+    the close rule forbids back-filling them) — reopening bins is
+    where the waste reduction actually comes from. FFD trades away
+    streaming order (a shard must materialize before packing) and
+    keeps O(open-bins) state per group; x29 measures the waste
+    differential per source so the tradeoff is a number, not prose.
     """
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
+        if ffd:
+            pdf = pdf.sort_values(
+                [tokens_col, order_col], ascending=[False, True]
+            )
+        else:
+            pdf = pdf.sort_values(order_col)
         bin_ids, offsets, effs, trunc = [], [], [], []
-        bin_id, fill = 0, 0
-        for n in pdf[tokens_col]:
-            eff = min(int(n), cap)
-            if fill + eff > cap:
-                bin_id += 1
-                fill = 0
-            bin_ids.append(bin_id)
-            offsets.append(fill)
-            effs.append(eff)
-            trunc.append(int(n) > cap)
-            fill += eff
+        if ffd:
+            fills: list[int] = []
+            for n in pdf[tokens_col]:
+                eff = min(int(n), cap)
+                for b, f in enumerate(fills):
+                    if f + eff <= cap:
+                        idx = b
+                        break
+                else:
+                    idx = len(fills)
+                    fills.append(0)
+                bin_ids.append(idx)
+                offsets.append(fills[idx])
+                effs.append(eff)
+                trunc.append(int(n) > cap)
+                fills[idx] += eff
+        else:
+            bin_id, fill = 0, 0
+            for n in pdf[tokens_col]:
+                eff = min(int(n), cap)
+                if fill + eff > cap:
+                    bin_id += 1
+                    fill = 0
+                bin_ids.append(bin_id)
+                offsets.append(fill)
+                effs.append(eff)
+                trunc.append(int(n) > cap)
+                fill += eff
         return pd.DataFrame(
             {
                 "doc_id": pdf[order_col],

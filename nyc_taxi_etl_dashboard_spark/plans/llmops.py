@@ -5346,6 +5346,124 @@ SELECT doc_id, source, n_tokens,
 FROM p"""
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x29: packing-efficiency comparison — the round-20 agenda's
+    "measured waste-reduction row" as a certified query instead of
+    prose: pack every source BOTH ways (x28's streaming-order
+    next-fit and first-fit-DECREASING, the classic 11/9·OPT packer
+    that trades streaming order for density) and report, per source,
+    the bins each uses against the ideal (ceil(total_eff / cap)), the
+    tail-waste fraction of each, and the bins saved by FFD. A pipeline
+    owner reads one row to decide whether their length distribution
+    justifies giving up streaming order. (Next-fit-decreasing —
+    sorting WITHOUT reopening bins — was evaluated and rejected: it
+    LOSES to streaming next-fit on both the fixture and a bimodal
+    planted corpus; see the greedy_pack docstring.)
+
+    Execution shape: two applyInPandas packing passes over the same
+    slim (doc_id, source, n_tokens) frame (each a recurrence — the x28
+    boundary), then two per-source aggregates and one broadcast-sized
+    join on source. All-integer until the two waste ratios. The DuckDB
+    oracle reproduces both placements with recursive CTEs — the FFD
+    leg carries the OPEN-BIN FILL LIST as recursion state (indexed
+    list_transform updates the first fitting bin; the sort key is
+    (n_tokens DESC, doc_id), raw tokens not eff, matching the kernel's
+    tie-break exactly)."""
+    from ..operators.pandas_ops import greedy_pack
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.array_size(F.split("text", " ")).alias("n_tokens"),
+    )
+    stream = greedy_pack(d, cap=X28_CAP)
+    packed_ffd = greedy_pack(d, cap=X28_CAP, ffd=True)
+    agg_s = stream.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("eff_tokens").alias("total_eff"),
+        (F.max("bin_id") + 1).alias("bins_stream"),
+    )
+    agg_n = packed_ffd.groupBy("source").agg(
+        (F.max("bin_id") + 1).alias("bins_ffd")
+    )
+    cap = F.lit(X28_CAP)
+    return (
+        agg_s.join(agg_n, "source")
+        .withColumn(
+            "ideal_bins", F.expr(f"(total_eff + {X28_CAP - 1}) div {X28_CAP}")
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_eff",
+            "ideal_bins",
+            "bins_stream",
+            "bins_ffd",
+            F.round(1 - F.col("total_eff") / (F.col("bins_stream") * cap), 6).alias(
+                "waste_stream"
+            ),
+            F.round(1 - F.col("total_eff") / (F.col("bins_ffd") * cap), 6).alias(
+                "waste_ffd"
+            ),
+            (F.col("bins_stream") - F.col("bins_ffd")).alias("bins_saved"),
+        )
+    )
+
+
+QUERIES["x29_pack_efficiency"] = q_pack_efficiency
+#: first fitting open bin, 1-based; 0 = none fits (open a new bin)
+_X29_FIT = (
+    "list_position(list_transform(p.fills, f -> f + t.eff <= {cap}), true)"
+).format(cap=X28_CAP)
+ORACLES["x29_pack_efficiency"] = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         least(CAST(len(string_split(text, ' ')) AS INTEGER), {X28_CAP}) AS eff
+  FROM documents),
+ts AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                      AS BIGINT) AS rn FROM base),
+tf AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                                         ORDER BY n_tokens DESC, doc_id)
+                      AS BIGINT) AS rn FROM base),
+ps AS (
+  SELECT doc_id, source, eff, rn,
+         CAST(0 AS BIGINT) AS bin_id, CAST(eff AS BIGINT) AS fill
+  FROM ts WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.eff, t.rn,
+         CASE WHEN p.fill + t.eff > {X28_CAP} THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + t.eff > {X28_CAP} THEN CAST(t.eff AS BIGINT)
+              ELSE p.fill + t.eff END
+  FROM ps p JOIN ts t ON t.source = p.source AND t.rn = p.rn + 1),
+pf AS (
+  SELECT doc_id, source, eff, rn,
+         CAST(0 AS BIGINT) AS bin_id,
+         [CAST(eff AS BIGINT)] AS fills
+  FROM tf WHERE rn = 1
+  UNION ALL
+  SELECT t.doc_id, t.source, t.eff, t.rn,
+         CAST(CASE WHEN {_X29_FIT} = 0 THEN len(p.fills)
+                   ELSE {_X29_FIT} - 1 END AS BIGINT),
+         CASE WHEN {_X29_FIT} = 0
+              THEN list_append(p.fills, CAST(t.eff AS BIGINT))
+              ELSE list_transform(p.fills, (f, i) ->
+                     CASE WHEN i = {_X29_FIT} THEN f + t.eff ELSE f END)
+         END
+  FROM pf p JOIN tf t ON t.source = p.source AND t.rn = p.rn + 1),
+ags AS (SELECT source, count(*) AS n_docs, sum(eff) AS total_eff,
+               max(bin_id) + 1 AS bins_stream
+        FROM ps GROUP BY source),
+agf AS (SELECT source, max(bin_id) + 1 AS bins_ffd FROM pf GROUP BY source)
+SELECT ags.source, n_docs, total_eff,
+       (total_eff + {X28_CAP - 1}) // {X28_CAP} AS ideal_bins,
+       bins_stream, bins_ffd,
+       round(1 - total_eff * 1.0 / (bins_stream * {X28_CAP}), 6) AS waste_stream,
+       round(1 - total_eff * 1.0 / (bins_ffd * {X28_CAP}), 6) AS waste_ffd,
+       bins_stream - bins_ffd AS bins_saved
+FROM ags JOIN agf USING (source)"""
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t20: corpus distribution drift — per-language KL divergence of
     unigram token distributions between two snapshots (doc_id parity

@@ -62,6 +62,7 @@ SHOWCASE = [
     ("dd17_snapshot_churn", "Exact snapshot churn ledger (round 19): ONE map-side-combinable groupBy on (source, content) with presence max-folds, then a per-source roll-up of five longs — no join, no window, no explode; dd17_prod shuffles an 8-byte hash, never the text."),
     ("v18_recall_report", "ANN recall telemetry (round 19): both legs broadcast-shaped around the bounded probe set — the exact leg is one corpus scan with a per-query top-k window, the bucket leg an equi-join on the portable RHP cell; the corpus is never self-joined."),
     ("v19_rerank_stack", "Two-stage retrieval (round 19): map-side HOF encode against 1,024 plan-literal codebook doubles, broadcast queries, a slim (query, adc) shortlist window, and a rerank that touches 20 rows per query — the corpus is scanned once and never self-joined."),
+    ("x29_pack_efficiency", "Packing-efficiency comparison (round 19): two grouped-applyInPandas recurrences over one slim (doc_id, source, n_tokens) frame, two per-source aggregates, one join on |sources| rows — no corpus-scale join or window anywhere."),
 ]
 
 
