@@ -5300,9 +5300,10 @@ def q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary) — grouped by ``source``, Arrow-batched, sequential only
     WITHIN a group. The DuckDB oracle reproduces the recurrence with a
     recursive CTE (all sources advance in parallel per iteration), so
-    the whole placement is hash-certified — the first applyInPandas
-    operator in the registry with a full value oracle (mm2-mm5
-    certify mapInPandas; e8 covers grouped EWM via pytest).
+    the whole placement is hash-certified — the x1_grouped_ewm
+    certification pattern (the registry's first recursive-CTE-certified
+    applyInPandas op) applied to INTEGER state, where the compare is
+    exact with no float-semantics replication needed at all.
 
     Scale shape: one shuffle on the group key; each group must fit a
     worker — packing runs per shard (the x15 layout), so group size is
