@@ -714,3 +714,45 @@ def test_joint_curation_prod_plan_shape(spark, sf_dir):
     assert "PythonUDF" not in plan
     assert len(_re.findall(r"Exchange SinglePartition", plan)) <= 1
     assert "percent_rank" not in plan  # cert-only gate form must not leak
+
+
+def test_greedy_pack_plan_shape(spark, sf_dir):
+    """x28: ONE grouped-pandas stage (FlatMapGroupsInPandas), the doc
+    scan pruned to the three packing columns (column pruning reaches
+    through applyInPandas), no SortMergeJoin and no global sort."""
+    import re as _re
+
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import QUERIES
+
+    plan = (
+        QUERIES["x28_greedy_pack"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(_re.findall(r"FlatMapGroupsInPandas", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "n_chars" not in plan and "lang" not in plan  # pruned scan
+
+
+def test_pack_efficiency_plan_shape(spark, sf_dir):
+    """x29: exactly TWO grouped-pandas stages (one per packing mode),
+    the per-source aggregates joined broadcast (never a SortMergeJoin
+    on the |sources|-row frames), scans pruned to the packing columns,
+    no global sort."""
+    import re as _re
+
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import QUERIES
+
+    plan = (
+        QUERIES["x29_pack_efficiency"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(_re.findall(r"FlatMapGroupsInPandas", plan)) == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "n_chars" not in plan  # pruned scan
