@@ -150,3 +150,32 @@ def poly_fingerprint(tokens: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * F.lit(POLY_BASE) + x) % F.lit(POLY_MOD),
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-independent quantization (SURVEY §8 float-parity rule)
+# --------------------------------------------------------------------------
+
+
+def tie_safe_round(col: Column, scale: int, dec: str = "decimal(28,12)") -> Column:
+    """N-dp quantization of a raw double that is identical across
+    engines. ``round(double, N)`` diverges between Spark and DuckDB
+    exactly when the value's shortest decimal expansion terminates at
+    digit N+1 with a 5: Spark rounds HALF_UP on the shortest decimal
+    representation (BigDecimal.valueOf), DuckDB scaled-multiplies the
+    binary value and rounds half-even. That shape is reachable by (a)
+    ratios of integers whose reduced denominator is 2,5-smooth (count
+    ratios, averages over 2^a·5^b-sized groups, percent_rank), and (b)
+    sums of money PRODUCTS (this corpus's fare/tip/total carry 4-6
+    exact decimal digits — price×discount×tax) rounded to 2. The fix
+    is the star.py money precedent: recover the exact decimal first
+    (the double is within a half-ulp of it at these magnitudes), round
+    in decimal — where both engines round half-away-from-zero — then
+    hand back a double. Oracle legs mirror it verbatim:
+    ``CAST(round(CAST(x AS DECIMAL(p,s)), N) AS DOUBLE)``.
+
+    ``dec`` defaults to decimal(28,12): 12 fractional digits recover
+    any expansion these plans emit (ties beyond digit 12 would need a
+    denominator > 10^12), 16 integral digits keep ANSI mode from
+    overflowing on 100×-scale money sums."""
+    return F.round(col.cast(dec), scale).cast("double")

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import tie_safe_round
 from ..sources import read_table
 
 
@@ -156,7 +157,7 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         F.col("d").cast("string").alias("d"),
         "rev",
-        F.round(F.avg("rev").over(w), 4).alias("rev_ma7"),
+        tie_safe_round(F.avg("rev").over(w), 4).alias("rev_ma7"),
     )
 
 
@@ -266,7 +267,7 @@ WITH daily AS (
   SELECT CAST(l_shipdate AS DATE) AS d, round(sum(l_extendedprice), 2) AS rev
   FROM lineitem GROUP BY 1)
 SELECT CAST(d AS VARCHAR) AS d, rev,
-       round(avg(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rev_ma7
+       CAST(round(CAST(avg(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(28,12)), 4) AS DOUBLE) AS rev_ma7
 FROM daily""",
     "w4_rank_variants": """
 WITH per_supp AS (
@@ -497,7 +498,7 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "m",
         F.col("rev").cast("double").alias("rev"),
-        F.round(
+        tie_safe_round(
             (F.col("rev") - prev).cast("double") / prev.cast("double") * 100, 4
         ).alias("growth_pct"),
     )
@@ -530,8 +531,8 @@ WITH monthly AS (
          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
   FROM lineitem GROUP BY 1)
 SELECT m, CAST(rev AS DOUBLE) AS rev,
-       round(CAST(rev - lag(rev) OVER (ORDER BY m) AS DOUBLE)
-               / CAST(lag(rev) OVER (ORDER BY m) AS DOUBLE) * 100, 4) AS growth_pct
+       CAST(round(CAST(CAST(rev - lag(rev) OVER (ORDER BY m) AS DOUBLE)
+               / CAST(lag(rev) OVER (ORDER BY m) AS DOUBLE) * 100 AS DECIMAL(28,12)), 4) AS DOUBLE) AS growth_pct
 FROM monthly""",
         "a22_pivot_status_flag": """
 SELECT o_orderstatus,

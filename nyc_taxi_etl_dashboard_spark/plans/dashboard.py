@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import tie_safe_round
 from .oracle_common import VALID_CTE
 from .pipeline import transform
 
@@ -37,7 +38,7 @@ def q_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tip_amount isn't in the extracted columns (doc inconsistency noted in
     SURVEY §2.4), so the engine sums the two available amount columns."""
     return _valid(spark, sf_dir).agg(
-        F.round(F.sum("fare_amount") + F.sum("total_amount"), 2).alias("total_revenue")
+        tie_safe_round(F.sum("fare_amount") + F.sum("total_amount"), 2, dec="decimal(28,6)").alias("total_revenue")
     )
 
 
@@ -50,8 +51,8 @@ def q_total_revenue_tip(spark: SparkSession, sf_dir: str) -> DataFrame:
     loads one, extract.py:7-19 — the doc inconsistency a7/a12 work
     around with available-column analogs)."""
     return _valid(spark, sf_dir).agg(
-        F.round(F.sum("fare_amount") + F.sum("tip_amount"), 2).alias("total_revenue"),
-        F.round(F.avg(F.col("tip_amount") / F.col("fare_amount")), 4).alias(
+        tie_safe_round(F.sum("fare_amount") + F.sum("tip_amount"), 2, dec="decimal(28,6)").alias("total_revenue"),
+        tie_safe_round(F.avg(F.col("tip_amount") / F.col("fare_amount")), 4).alias(
             "tipping_rate"
         ),
     )
@@ -59,7 +60,7 @@ def q_total_revenue_tip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_avg_fare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: ``Average Fare = AVERAGE(fare_amount)`` (README.md:52-55)."""
-    return _valid(spark, sf_dir).agg(F.round(F.avg("fare_amount"), 4).alias("avg_fare"))
+    return _valid(spark, sf_dir).agg(tie_safe_round(F.avg("fare_amount"), 4).alias("avg_fare"))
 
 
 def q_trips_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,7 +81,7 @@ def q_daily_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("pickup_ts").alias("d"))
         .agg(F.sum("total_amount").alias("rev"))
     )
-    return daily.agg(F.round(F.avg("rev"), 2).alias("daily_avg_revenue"))
+    return daily.agg(tie_safe_round(F.avg("rev"), 2).alias("daily_avg_revenue"))
 
 
 def q_median_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,12 +96,12 @@ def q_kpi_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     (share of multi-passenger trips), tipping rate (total/fare uplift),
     average commercial speed."""
     return _valid(spark, sf_dir).agg(
-        F.round(
+        tie_safe_round(
             F.lit(100.0) * F.avg(F.when(F.col("passenger_count") >= 3, 1.0).otherwise(0.0)),
             4,
         ).alias("utilization_pct"),
-        F.round(F.avg(F.col("total_amount") / F.col("fare_amount")), 4).alias("tipping_rate"),
-        F.round(F.avg("avg_speed"), 4).alias("avg_commercial_speed"),
+        tie_safe_round(F.avg(F.col("total_amount") / F.col("fare_amount")), 4).alias("tipping_rate"),
+        tie_safe_round(F.avg("avg_speed"), 4).alias("avg_commercial_speed"),
     )
 
 
@@ -109,7 +110,7 @@ def q_revenue_by_payment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _valid(spark, sf_dir)
         .groupBy("payment_label")
-        .agg(F.round(F.sum("total_amount"), 2).alias("revenue"))
+        .agg(tie_safe_round(F.sum("total_amount"), 2, dec="decimal(28,6)").alias("revenue"))
         .orderBy(F.desc("revenue"))
     )
 
@@ -126,7 +127,7 @@ def q_passengers_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "time_period",
         "passengers",
-        F.round(F.lit(100.0) * F.col("passengers") / F.sum("passengers").over(total), 4).alias(
+        tie_safe_round(F.lit(100.0) * F.col("passengers") / F.sum("passengers").over(total), 4).alias(
             "pct_of_total"
         ),
     )
@@ -147,7 +148,7 @@ def q_revenue_by_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _valid(spark, sf_dir)
         .groupBy("pu_location_id")
-        .agg(F.round(F.sum("total_amount"), 2).alias("revenue"))
+        .agg(tie_safe_round(F.sum("total_amount"), 2, dec="decimal(28,6)").alias("revenue"))
     )
 
 
@@ -162,7 +163,7 @@ def q_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.quarter("pickup_ts").alias("q"),
             F.month("pickup_ts").alias("m"),
         )
-        .agg(F.round(F.sum("total_amount"), 2).alias("revenue"))
+        .agg(tie_safe_round(F.sum("total_amount"), 2, dec="decimal(28,6)").alias("revenue"))
     )
 
 
@@ -173,7 +174,7 @@ def q_top3_locations_per_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         _valid(spark, sf_dir)
         .groupBy("time_period", "pu_location_id")
-        .agg(F.round(F.sum("total_amount"), 2).alias("revenue"))
+        .agg(tie_safe_round(F.sum("total_amount"), 2, dec="decimal(28,6)").alias("revenue"))
     )
     w = Window.partitionBy("time_period").orderBy(
         F.desc("revenue"), F.asc("pu_location_id")
@@ -220,45 +221,45 @@ _V = f"WITH {VALID_CTE}"
 
 ORACLES = {
     "a6_total_trips": f"{_V} SELECT count(*) AS total_trips FROM valid",
-    "a7_total_revenue": f"{_V} SELECT round(sum(fare_amount) + sum(total_amount), 2) AS total_revenue FROM valid",
+    "a7_total_revenue": f"{_V} SELECT CAST(round(CAST(sum(fare_amount) + sum(total_amount) AS DECIMAL(28,6)), 2) AS DOUBLE) AS total_revenue FROM valid",
     "a7b_total_revenue_tip": f"""{_V}
-SELECT round(sum(fare_amount) + sum(tip_amount), 2) AS total_revenue,
-       round(avg(tip_amount / fare_amount), 4) AS tipping_rate
+SELECT CAST(round(CAST(sum(fare_amount) + sum(tip_amount) AS DECIMAL(28,6)), 2) AS DOUBLE) AS total_revenue,
+       CAST(round(CAST(avg(tip_amount / fare_amount) AS DECIMAL(28,12)), 4) AS DOUBLE) AS tipping_rate
 FROM valid""",
-    "a8_avg_fare": f"{_V} SELECT round(avg(fare_amount), 4) AS avg_fare FROM valid",
+    "a8_avg_fare": f"{_V} SELECT CAST(round(CAST(avg(fare_amount) AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_fare FROM valid",
     "a9_trips_per_day": f"""{_V}
 SELECT CAST(CAST(pickup_ts AS DATE) AS VARCHAR) AS pickup_date, count(*) AS n_trips
 FROM valid GROUP BY 1""",
     "a10_daily_avg_revenue": f"""{_V},
 daily AS (SELECT CAST(pickup_ts AS DATE) AS d, sum(total_amount) AS rev FROM valid GROUP BY 1)
-SELECT round(avg(rev), 2) AS daily_avg_revenue FROM daily""",
+SELECT CAST(round(CAST(avg(rev) AS DECIMAL(28,12)), 2) AS DOUBLE) AS daily_avg_revenue FROM daily""",
     "a11_median_distance": f"{_V} SELECT round(median(trip_distance), 4) AS median_distance FROM valid",
     "a12_kpi_ratios": f"""{_V}
-SELECT round(100.0 * avg(CASE WHEN passenger_count >= 3 THEN 1.0 ELSE 0.0 END), 4) AS utilization_pct,
-       round(avg(total_amount / fare_amount), 4) AS tipping_rate,
-       round(avg(avg_speed), 4) AS avg_commercial_speed
+SELECT CAST(round(CAST(100.0 * avg(CASE WHEN passenger_count >= 3 THEN 1.0 ELSE 0.0 END) AS DECIMAL(28,12)), 4) AS DOUBLE) AS utilization_pct,
+       CAST(round(CAST(avg(total_amount / fare_amount) AS DECIMAL(28,12)), 4) AS DOUBLE) AS tipping_rate,
+       CAST(round(CAST(avg(avg_speed) AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_commercial_speed
 FROM valid""",
     "a13_revenue_by_payment": f"""{_V}
-SELECT payment_label, round(sum(total_amount), 2) AS revenue
+SELECT payment_label, CAST(round(CAST(sum(total_amount) AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue
 FROM valid GROUP BY payment_label ORDER BY revenue DESC""",
     "a14_passengers_by_period": f"""{_V},
 grouped AS (SELECT time_period, CAST(sum(passenger_count) AS BIGINT) AS passengers FROM valid GROUP BY time_period)
 SELECT time_period, passengers,
-       round(100.0 * passengers / sum(passengers) OVER (), 4) AS pct_of_total
+       CAST(round(CAST(100.0 * passengers / sum(passengers) OVER () AS DECIMAL(28,12)), 4) AS DOUBLE) AS pct_of_total
 FROM grouped""",
     "a15_fare_histogram": f"""{_V}
 SELECT CAST(floor(fare_amount / 5000.0) AS BIGINT) AS bin, count(*) AS n
 FROM valid GROUP BY 1""",
     "a16_revenue_by_location": f"""{_V}
-SELECT pu_location_id, round(sum(total_amount), 2) AS revenue
+SELECT pu_location_id, CAST(round(CAST(sum(total_amount) AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue
 FROM valid GROUP BY pu_location_id""",
     "a17_calendar_rollup": f"""{_V}
 SELECT CAST(year(pickup_ts) AS INTEGER) AS y, CAST(quarter(pickup_ts) AS INTEGER) AS q, CAST(month(pickup_ts) AS INTEGER) AS m,
-       round(sum(total_amount), 2) AS revenue
+       CAST(round(CAST(sum(total_amount) AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue
 FROM valid GROUP BY ROLLUP (y, q, m)""",
     "w1_top3_locations_per_period": f"""{_V},
 revenue AS (
-  SELECT time_period, pu_location_id, round(sum(total_amount), 2) AS revenue
+  SELECT time_period, pu_location_id, CAST(round(CAST(sum(total_amount) AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue
   FROM valid GROUP BY time_period, pu_location_id)
 SELECT time_period, pu_location_id, revenue, rnk FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY time_period
@@ -281,14 +282,14 @@ def q_sliced_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v.filter((F.year("pickup_ts") == 1997) & (F.col("time_period") == "Matin"))
         .groupBy(F.to_date("pickup_ts").cast("string").alias("pickup_date"))
-        .agg(F.count(F.lit(1)).alias("n_trips"), F.round(F.sum("total_amount"), 2).alias("revenue"))
+        .agg(F.count(F.lit(1)).alias("n_trips"), tie_safe_round(F.sum("total_amount"), 2, dec="decimal(28,6)").alias("revenue"))
     )
 
 
 QUERIES["p9_sliced_trips"] = q_sliced_trips
 ORACLES["p9_sliced_trips"] = f"""{_V}
 SELECT CAST(CAST(pickup_ts AS DATE) AS VARCHAR) AS pickup_date,
-       count(*) AS n_trips, round(sum(total_amount), 2) AS revenue
+       count(*) AS n_trips, CAST(round(CAST(sum(total_amount) AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue
 FROM valid
 WHERE year(pickup_ts) = 1997 AND time_period = 'Matin'
 GROUP BY 1"""
@@ -311,11 +312,11 @@ def q_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"revenue": ("total_amount", "sum")},
     )
     return out.select(
-        "payment_label", F.round("revenue", 2).alias("revenue")
+        "payment_label", tie_safe_round(F.col("revenue"), 2, dec="decimal(28,6)").alias("revenue")
     ).orderBy(F.desc("revenue"))
 
 
 QUERIES["a27_salted_revenue"] = q_salted_revenue
 ORACLES["a27_salted_revenue"] = f"""{_V}
-SELECT payment_label, round(sum(total_amount), 2) AS revenue
+SELECT payment_label, CAST(round(CAST(sum(total_amount) AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue
 FROM valid GROUP BY payment_label ORDER BY revenue DESC"""

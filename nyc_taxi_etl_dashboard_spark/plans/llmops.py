@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import POLY_BASE, POLY_MOD, poly_fingerprint, token_value
+from ..functions import POLY_BASE, POLY_MOD, poly_fingerprint, tie_safe_round, token_value
 from ..operators import multimodal, scale_out, scoped_persist
 from ..operators.dedup import (
     MINHASH_PRIME,
@@ -57,8 +57,8 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg(F.array_size(tokens("text"))), 4).alias("avg_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        tie_safe_round(F.avg(F.array_size(tokens("text"))), 4).alias("avg_tokens"),
+        tie_safe_round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
 
@@ -395,8 +395,8 @@ _DOT = (
 ORACLES = {
     "t1_lang_profile": """
 SELECT lang, count(*) AS n_docs,
-       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-       round(avg(n_chars), 4) AS avg_chars,
+       CAST(round(CAST(avg(len(string_split(text, ' '))) AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_tokens,
+       CAST(round(CAST(avg(n_chars) AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_chars,
        count(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang""",
     "t2_quality_features": """
@@ -1358,7 +1358,7 @@ def water_fill_plan(counts: DataFrame, mix: dict[str, float]) -> DataFrame:
         counts.crossJoin(F.broadcast(max_corpus))
         .withColumn("sample_rate", F.when(
             F.col("target_share") > 0,
-            F.round(F.least(F.lit(1.0), F.col("target_share") * F.col("max_corpus") / F.col("n_docs")), 6),
+            tie_safe_round(F.least(F.lit(1.0), F.col("target_share") * F.col("max_corpus") / F.col("n_docs")), 6),
         ).otherwise(F.lit(0.0)))
         .withColumn("planned_docs", F.floor(F.col("target_share") * F.col("max_corpus")))
     )
@@ -1369,10 +1369,10 @@ def water_fill_plan(counts: DataFrame, mix: dict[str, float]) -> DataFrame:
         "lang",
         "n_docs",
         "target_share",
-        F.round("max_corpus", 6).alias("max_corpus"),
+        tie_safe_round(F.col("max_corpus"), 6).alias("max_corpus"),
         "sample_rate",
         "planned_docs",
-        F.round(
+        tie_safe_round(
             F.col("planned_docs") / F.sum("planned_docs").over(total), 6
         ).alias("achieved_share"),
     )
@@ -1642,13 +1642,13 @@ m AS (SELECT min(n_docs / target_share) AS max_corpus FROM w WHERE target_share 
 p AS (
   SELECT lang, n_docs, target_share, max_corpus,
          CASE WHEN target_share > 0
-              THEN round(least(1.0, target_share * max_corpus / n_docs), 6)
+              THEN CAST(round(CAST(least(1.0, target_share * max_corpus / n_docs) AS DECIMAL(28,12)), 6) AS DOUBLE)
               ELSE 0.0 END AS sample_rate,
          CAST(floor(target_share * max_corpus) AS BIGINT) AS planned_docs
   FROM w CROSS JOIN m)
-SELECT lang, n_docs, target_share, round(max_corpus, 6) AS max_corpus,
+SELECT lang, n_docs, target_share, CAST(round(CAST(max_corpus AS DECIMAL(28,12)), 6) AS DOUBLE) AS max_corpus,
        sample_rate, planned_docs,
-       round(planned_docs / sum(planned_docs) OVER (), 6) AS achieved_share
+       CAST(round(CAST(planned_docs / sum(planned_docs) OVER () AS DECIMAL(28,12)), 6) AS DOUBLE) AS achieved_share
 FROM p"""
 _STRATA_CASE = "CASE lang " + " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items()
@@ -1778,7 +1778,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = t.withColumn("__ord", F.struct((-F.col("priority")).alias("np"), "doc_id"))
     return capped_keep_first(
         ranked, "lang", "__ord", F.lit(X13_PER_STRATUM)
-    ).select("doc_id", "lang", "w", F.round("priority", 6).alias("priority"))
+    ).select("doc_id", "lang", "w", tie_safe_round(F.col("priority"), 6).alias("priority"))
 
 
 QUERIES["x13_weighted_sample"] = q_weighted_sample
@@ -1792,7 +1792,7 @@ k AS (SELECT doc_id, lang, w, CAST(w AS DOUBLE) * 1000004.0 / h AS priority FROM
 r AS (SELECT doc_id, lang, w, priority,
              row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
       FROM k)
-SELECT doc_id, lang, w, round(priority, 6) AS priority FROM r WHERE rn <= {X13_PER_STRATUM}"""
+SELECT doc_id, lang, w, CAST(round(CAST(priority AS DECIMAL(28,12)), 6) AS DOUBLE) AS priority FROM r WHERE rn <= {X13_PER_STRATUM}"""
 
 
 #: x15 config: shard count for the shuffle-shard layout (8 at fixture
@@ -2254,7 +2254,7 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_bloom_hit", F.coalesce("n_bloom_hit", F.lit(0)))
         .withColumn(
             "ov",
-            F.round(
+            tie_safe_round(
                 F.when(
                     F.col("n_sh") > 0, F.col("n_bloom_hit") / F.col("n_sh")
                 ).otherwise(F.lit(0.0)),
@@ -2337,9 +2337,9 @@ hits AS (
   FROM trh GROUP BY doc_id),
 ovr AS (
   SELECT d1.doc_id, d1.lang, d1.source, d1.text,
-         round(CASE WHEN len(d1.shingle) > 0
+         CAST(round(CAST(CASE WHEN len(d1.shingle) > 0
                     THEN coalesce(h.nb, 0) * 1.0 / len(d1.shingle)
-                    ELSE 0.0 END, 6) AS ov
+                    ELSE 0.0 END AS DECIMAL(28,12)), 6) AS DOUBLE) AS ov
   FROM d1 LEFT JOIN hits h ON d1.doc_id = h.doc_id),
 clean AS (
   SELECT doc_id, lang, source, text FROM (
@@ -2521,7 +2521,7 @@ def q_lm_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy("avg_logprob")
     return (
         scores.join(d, "doc_id")
-        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .withColumn("pct_rank", tie_safe_round(F.percent_rank().over(w), 6))
         .select(
             "doc_id",
             "lang",
@@ -2549,7 +2549,7 @@ def lm_thresholds_exact(scores_with_lang: DataFrame) -> DataFrame:
     w = Window.partitionBy("lang").orderBy("avg_logprob")
     return (
         scores_with_lang.withColumn(
-            "pr", F.round(F.percent_rank().over(w), 6)
+            "pr", tie_safe_round(F.percent_rank().over(w), 6)
         )
         .filter(F.col("pr") >= 0.1)
         .groupBy("lang")
@@ -2666,7 +2666,7 @@ s AS (
   GROUP BY t.doc_id),
 r AS (
   SELECT s.doc_id, d.lang, s.avg_logprob,
-         round(percent_rank() OVER (PARTITION BY d.lang ORDER BY s.avg_logprob), 6) AS pct_rank
+         CAST(round(CAST(percent_rank() OVER (PARTITION BY d.lang ORDER BY s.avg_logprob) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct_rank
   FROM s JOIN documents d USING (doc_id))
 SELECT doc_id, lang, avg_logprob, pct_rank, pct_rank >= 0.1 AS keep FROM r"""
 ORACLES["t10_unigram_logprob"] = """
@@ -3245,7 +3245,7 @@ lmj AS (SELECT lms.doc_id, d.lang, lms.avg_logprob
 lmthr AS (
   SELECT lang, min(avg_logprob) AS thr FROM (
     SELECT lang, avg_logprob,
-           round(percent_rank() OVER (PARTITION BY lang ORDER BY avg_logprob), 6) AS pr
+           CAST(round(CAST(percent_rank() OVER (PARTITION BY lang ORDER BY avg_logprob) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pr
     FROM lmj)
   WHERE pr >= 0.1 GROUP BY lang),
 lmkeep AS (SELECT lmj.doc_id FROM lmj JOIN lmthr USING (lang)
@@ -4833,11 +4833,20 @@ def _snapshot_churn(d: DataFrame, key) -> DataFrame:
         pres.groupBy("source")
         .agg(n_a, n_b, retained, added, removed)
         .withColumn(
+            # SURVEY §8 float-parity rule: 6dp quantization of a raw
+            # double ratio is engine-dependent at representational ties
+            # (Spark BigDecimal HALF_UP vs DuckDB scaled-multiply), so
+            # bridge through decimal(18,12) before rounding — the
+            # star.py money-rounding precedent. The oracle leg mirrors
+            # the same CAST/round/CAST chain.
             "churn",
             F.round(
-                (F.col("added") + F.col("removed")) / (F.col("n_a") + F.col("n_b")),
+                (
+                    (F.col("added") + F.col("removed"))
+                    / (F.col("n_a") + F.col("n_b"))
+                ).cast("decimal(18,12)"),
                 6,
-            ),
+            ).cast("double"),
         )
     )
 
@@ -4876,9 +4885,9 @@ SELECT source,
        sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS retained,
        sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS added,
        sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS removed,
-       round((sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
+       CAST(round(CAST((sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
             + sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)) * 1.0
-           / (sum(in_a) + sum(in_b)), 6) AS churn
+           / (sum(in_a) + sum(in_b)) AS DECIMAL(18,12)), 6) AS DOUBLE) AS churn
 FROM pres GROUP BY source"""
 
 
@@ -5400,21 +5409,37 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ideal_bins",
             "bins_stream",
             "bins_ffd",
-            F.round(1 - F.col("total_eff") / (F.col("bins_stream") * cap), 6).alias(
-                "waste_stream"
-            ),
-            F.round(1 - F.col("total_eff") / (F.col("bins_ffd") * cap), 6).alias(
-                "waste_ffd"
-            ),
+            # decimal-bridged 6dp quantization (SURVEY §8 float-parity
+            # rule; the star.py precedent) — raw-double round(x, 6) of
+            # an integer ratio is engine-dependent at ties.
+            F.round(
+                (1 - F.col("total_eff") / (F.col("bins_stream") * cap)).cast(
+                    "decimal(18,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("waste_stream"),
+            F.round(
+                (1 - F.col("total_eff") / (F.col("bins_ffd") * cap)).cast(
+                    "decimal(18,12)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("waste_ffd"),
             (F.col("bins_stream") - F.col("bins_ffd")).alias("bins_saved"),
         )
     )
 
 
 QUERIES["x29_pack_efficiency"] = q_pack_efficiency
-#: first fitting open bin, 1-based; 0 = none fits (open a new bin)
+#: first fitting open bin, 1-based; 0 = none fits (open a new bin).
+#: coalesce: duckdb 1.0.0 returns 0 on no-match but other versions
+#: return NULL — pin the branch to be version-independent.
 _X29_FIT = (
-    "list_position(list_transform(p.fills, f -> f + t.eff <= {cap}), true)"
+    "coalesce(list_position("
+    "list_transform(p.fills, f -> f + t.eff <= {cap}), true), 0)"
 ).format(cap=X28_CAP)
 ORACLES["x29_pack_efficiency"] = f"""
 WITH RECURSIVE base AS (
@@ -5459,8 +5484,10 @@ agf AS (SELECT source, max(bin_id) + 1 AS bins_ffd FROM pf GROUP BY source)
 SELECT ags.source, n_docs, total_eff,
        (total_eff + {X28_CAP - 1}) // {X28_CAP} AS ideal_bins,
        bins_stream, bins_ffd,
-       round(1 - total_eff * 1.0 / (bins_stream * {X28_CAP}), 6) AS waste_stream,
-       round(1 - total_eff * 1.0 / (bins_ffd * {X28_CAP}), 6) AS waste_ffd,
+       CAST(round(CAST(1 - total_eff * 1.0 / (bins_stream * {X28_CAP})
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS waste_stream,
+       CAST(round(CAST(1 - total_eff * 1.0 / (bins_ffd * {X28_CAP})
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS waste_ffd,
        bins_stream - bins_ffd AS bins_saved
 FROM ags JOIN agf USING (source)"""
 
@@ -6038,11 +6065,11 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             "distinct_tokens",
-            F.round(F.col("distinct_tokens") / F.col("n_tokens"), 6).alias("ttr"),
-            F.round(F.col("distinct_bigrams") / F.col("n_bigrams"), 6).alias(
+            tie_safe_round(F.col("distinct_tokens") / F.col("n_tokens"), 6).alias("ttr"),
+            tie_safe_round(F.col("distinct_bigrams") / F.col("n_bigrams"), 6).alias(
                 "bigram_ttr"
             ),
-            F.round(F.col("distinct_trigrams") / F.col("n_trigrams"), 6).alias(
+            tie_safe_round(F.col("distinct_trigrams") / F.col("n_trigrams"), 6).alias(
                 "trigram_ttr"
             ),
             "entropy",
@@ -6086,9 +6113,9 @@ ent AS (SELECT lang, round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         FROM e),
 nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
 SELECT nd.lang, nd.n_docs, ttr.n_tokens, ttr.distinct_tokens,
-       round(ttr.distinct_tokens * 1.0 / ttr.n_tokens, 6) AS ttr,
-       round(ttr.distinct_bigrams * 1.0 / ttr.n_bigrams, 6) AS bigram_ttr,
-       round(ttr.distinct_trigrams * 1.0 / ttr.n_trigrams, 6) AS trigram_ttr,
+       CAST(round(CAST(ttr.distinct_tokens * 1.0 / ttr.n_tokens AS DECIMAL(28,12)), 6) AS DOUBLE) AS ttr,
+       CAST(round(CAST(ttr.distinct_bigrams * 1.0 / ttr.n_bigrams AS DECIMAL(28,12)), 6) AS DOUBLE) AS bigram_ttr,
+       CAST(round(CAST(ttr.distinct_trigrams * 1.0 / ttr.n_trigrams AS DECIMAL(28,12)), 6) AS DOUBLE) AS trigram_ttr,
        ent.entropy
 FROM nd JOIN ttr USING (lang) JOIN ent USING (lang)"""
 
@@ -6281,7 +6308,7 @@ def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # containing empty text)
         F.when(
             F.array_size(toks) > 0,
-            F.round(F.length("text") / F.array_size(toks), 6),
+            tie_safe_round(F.length("text") / F.array_size(toks), 6),
         ).alias("chars_per_pretoken"),
     )
 
@@ -6299,7 +6326,7 @@ SELECT doc_id,
             AND NOT regexp_matches(x, '^ ?[0-9]+$')
             AND NOT regexp_matches(x, '^ +$'))) AS INTEGER) AS n_punct,
        CASE WHEN len(toks) > 0
-            THEN round(n_chars * 1.0 / len(toks), 6) END AS chars_per_pretoken
+            THEN CAST(round(CAST(n_chars * 1.0 / len(toks) AS DECIMAL(28,12)), 6) AS DOUBLE) END AS chars_per_pretoken
 FROM t"""
 
 

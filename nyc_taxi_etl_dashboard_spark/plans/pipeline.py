@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import decode_map, minutes_between
+from ..functions import decode_map, minutes_between, tie_safe_round
 from ..operators.classify import Rule, split_valid_anomalies
 from ..sources import read_table
 
@@ -212,12 +212,15 @@ def q_report_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_processed"),
         F.count(F.when(is_valid, 1)).alias("valid_count"),
         F.count(F.when(~is_valid, 1)).alias("anomaly_count"),
-        F.round(
+        # tie_safe_round (SURVEY §8): count ratios and money averages
+        # can terminate at digit N+1 with a 5 (2,5-smooth denominators)
+        # and fare sums carry 4 exact digits — bridge through decimal.
+        tie_safe_round(
             F.lit(100.0) * F.count(F.when(~is_valid, 1)) / F.count(F.lit(1)), 4
         ).alias("anomaly_rate_pct"),
-        F.round(F.avg(v("trip_duration")), 4).alias("avg_duration_min"),
-        F.round(F.avg(v("avg_speed")), 4).alias("avg_speed_val"),
-        F.round(F.sum(v("fare_amount")), 2).alias("total_fare"),
+        tie_safe_round(F.avg(v("trip_duration")), 4).alias("avg_duration_min"),
+        tie_safe_round(F.avg(v("avg_speed")), 4).alias("avg_speed_val"),
+        tie_safe_round(F.sum(v("fare_amount")), 2).alias("total_fare"),
     )
 
 
@@ -314,9 +317,9 @@ ORDER BY n DESC, rejection_reason""",
 SELECT count(*) AS total_processed,
        count(*) FILTER (WHERE rejection_reason IS NULL) AS valid_count,
        count(*) FILTER (WHERE rejection_reason IS NOT NULL) AS anomaly_count,
-       round(100.0 * (count(*) FILTER (WHERE rejection_reason IS NOT NULL)) / count(*), 4) AS anomaly_rate_pct,
-       round(avg(trip_duration) FILTER (WHERE rejection_reason IS NULL), 4) AS avg_duration_min,
-       round(avg(avg_speed) FILTER (WHERE rejection_reason IS NULL), 4) AS avg_speed_val,
-       round(sum(fare_amount) FILTER (WHERE rejection_reason IS NULL), 2) AS total_fare
+       CAST(round(CAST(100.0 * (count(*) FILTER (WHERE rejection_reason IS NOT NULL)) / count(*) AS DECIMAL(28,12)), 4) AS DOUBLE) AS anomaly_rate_pct,
+       CAST(round(CAST(avg(trip_duration) FILTER (WHERE rejection_reason IS NULL) AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_duration_min,
+       CAST(round(CAST(avg(avg_speed) FILTER (WHERE rejection_reason IS NULL) AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_speed_val,
+       CAST(round(CAST(sum(fare_amount) FILTER (WHERE rejection_reason IS NULL) AS DECIMAL(28,12)), 2) AS DOUBLE) AS total_fare
 FROM classified""",
 }

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import tie_safe_round
 from ..operators.star import build_dim, resolve_fact, union_distinct_dim, upsert_anti_join
 from ..sources import read_table
 from .oracle_common import VALID_CTE
@@ -183,9 +184,11 @@ def q_star_flatten_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            tie_safe_round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+                dec="decimal(28,6)",
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -249,7 +252,7 @@ WHERE location_id NOT IN (
   SELECT DISTINCT pu_location_id FROM valid WHERE pu_location_id % 2 = 0)""",
     "j1_star_flatten_revenue": """
 SELECT r_name AS region_name,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       CAST(round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
