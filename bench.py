@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 HEADLINE = [
@@ -235,17 +236,30 @@ CURATION = [
 # ratio. The artifact carries "suspects"/"settled" so a future dispute is
 # answered inside the artifact that raised it.
 
-#: suspect rule: now > RATIO x prev AND the absolute delta clears a floor
-#: (a 0.2 s query doubling is noise; a 5 s query doubling is a finding)
+#: suspect rule: normalized-now > RATIO x normalized-prev (when both
+#: artifacts carry CPU calibrations — VERDICT r15 item 4: flagging on
+#: raw seconds manufactured 8 suspects on a 2-3.7x-slower box, >=5 of
+#: them box), raw inflation as corroboration, AND the absolute raw
+#: delta clears a floor (a 0.2 s query doubling is noise; a 5 s query
+#: doubling is a finding)
 SUSPECT_RATIO = 2.0
 SUSPECT_ABS_FLOOR = 0.75
+#: raw corroboration for a normalized-flagged suspect: a query whose
+#: raw time barely moved is not a regression even if the box sped up
+#: around it (normalization alone would flag IO-bound queries every
+#: time the CPU probe got faster)
+RAW_CORROBORATION_RATIO = 1.3
 #: paired A/B ratio above which a suspect is ruled a CODE regression
 #: (PERF_AB_r14 measured same-code paired ratios <= 1.10; 1.25 adds margin)
 AB_CODE_THRESHOLD = 1.25
 #: write-probe inflation that corroborates a wave without burning an A/B
 PROBE_WAVE_RATIO = 2.0
-#: at most this many suspects ride the auto-A/B (largest deltas first)
-AB_MAX_QUERIES = 4
+#: hard sanity cap on the auto-A/B batch (VERDICT r15 item 3: the old
+#: cap of 4 silently dropped real suspects; suspects share one
+#: interleaved session, so batching them is cheap — the cap only
+#: guards a pathological every-query-flagged run, and any truncation
+#: is still loudly recorded per query)
+AB_MAX_QUERIES = 12
 
 #: phase -> the write-axis probes that bracket it (start/mid/end), so a
 #: suspect is compared against the probe readings taken nearest to WHEN
@@ -284,18 +298,49 @@ def find_suspects(
     ratio: float = SUSPECT_RATIO,
     abs_floor: float = SUSPECT_ABS_FLOOR,
     prev_floor: float = 0.05,
+    cal_now: float | None = None,
+    cal_prev: float | None = None,
 ) -> dict[str, dict]:
     """Queries whose current median exceeds ``ratio`` x their
     previous-artifact value AND whose absolute inflation clears
-    ``abs_floor`` seconds. Pure so tests can pin the rule."""
+    ``abs_floor`` seconds. Pure so tests can pin the rule.
+
+    When BOTH runs carry a CPU calibration (``cal_now``/``cal_prev``,
+    each the median of that run's start/mid/end fixed-work probes),
+    the ratio test runs on CALIBRATION-NORMALIZED values
+    (``v/cal_now`` vs ``p/cal_prev``) so a uniformly slower box stops
+    manufacturing suspects; the raw ratio is kept as corroboration —
+    a normalized-flagged query must also have inflated
+    ``RAW_CORROBORATION_RATIO``x in raw seconds (an IO-bound query
+    holding flat while the CPU probe sped up is not a regression).
+    Without calibrations the raw rule applies unchanged."""
     out: dict[str, dict] = {}
+    use_norm = bool(cal_now and cal_prev) and cal_now > 0 and cal_prev > 0
+    scale = (cal_prev / cal_now) if use_norm else 1.0
+    raw_bar = RAW_CORROBORATION_RATIO if use_norm else ratio
     for q, v in now.items():
         p = prev.get(q)
         if p is None or p <= prev_floor:
             continue
-        if v > ratio * p and (v - p) > abs_floor:
+        norm_ratio = (v / p) * scale
+        if norm_ratio > ratio and v > raw_bar * p and (v - p) > abs_floor:
             out[q] = {"prev": p, "now": v, "ratio": round(v / p, 2)}
+            if use_norm:
+                out[q]["norm_ratio"] = round(norm_ratio, 2)
     return out
+
+
+def cal_median(art: dict) -> float | None:
+    """A run's CPU-speed estimate: the median of its start/mid/end
+    fixed-work calibrations (robust to one probe catching a wave —
+    r15's start probe read 2.143 s on a box whose mid/end read
+    0.63/0.41). None when the artifact carries no calibration."""
+    vals = [
+        art.get(k)
+        for k in ("calibration_sec", "calibration_sec_mid", "calibration_sec_end")
+        if art.get(k)
+    ]
+    return statistics.median(vals) if vals else None
 
 
 def probe_corroboration(
@@ -382,11 +427,73 @@ def _ab_base_commit(repo_dir: str) -> str | None:
         return None
 
 
+def _run_ab(repo_dir: str, base: str, queries: list[str], ab_rounds: int) -> dict:
+    """One interleaved A/B subprocess (tools/ab_interleaved.py) for a
+    batch of queries against ``base``; returns the parsed ``ab`` dict.
+    Raises on subprocess failure — callers record unsettled_ab_error."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [
+            _sys.executable,  # the bench's own interpreter, never bare "python"
+            os.path.join(repo_dir, "tools", "ab_interleaved.py"),
+            base,
+            str(ab_rounds),
+            ",".join(queries),
+        ],
+        capture_output=True,
+        text=True,
+        # scale with the batch: every suspect adds rounds x 2 timed
+        # runs to the one interleaved session
+        timeout=int(os.environ.get("SPARK_GRAFT_AB_TIMEOUT", "0"))
+        or 1800 + 300 * max(0, len(queries) - 4),
+        cwd=repo_dir,
+    )
+    line = next(
+        (ln for ln in reversed(proc.stdout.strip().splitlines()) if ln.startswith("{")),
+        None,
+    )
+    if proc.returncode != 0 or line is None:
+        raise RuntimeError(f"ab rc={proc.returncode}: {proc.stderr[-300:]}")
+    return json.loads(line)["ab"]
+
+
+def _base_with_query(repo_dir: str, q: str, default_base: str) -> str | None:
+    """A base commit that CONTAINS ``q`` for the A/B (VERDICT r15 item
+    3): the default base is the previous round-artifact commit, which
+    can predate a query the previous ARTIFACT nonetheless referenced
+    (v16_prod/v17 in rounds 19/15). If the default base lacks the
+    query, fall back to the commit that introduced its registry name —
+    head-vs-introduction still answers 'did my changes since it was
+    written slow it down' (the 4582f01 precedent, PERF_AB_r15)."""
+    import subprocess
+
+    try:
+        hit = subprocess.run(
+            ["git", "-C", repo_dir, "grep", "-l", "-F", q, default_base, "--",
+             "nyc_taxi_etl_dashboard_spark", "__spark_entry__.py"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if hit.returncode == 0 and hit.stdout.strip():
+            return default_base
+        intro = subprocess.run(
+            ["git", "-C", repo_dir, "log", "--reverse", "--format=%h", "-S", q,
+             "--", "nyc_taxi_etl_dashboard_spark", "__spark_entry__.py"],
+            capture_output=True, text=True, timeout=60,
+        )
+        lines = intro.stdout.strip().splitlines()
+        return lines[0] if lines else None
+    except Exception:
+        return None
+
+
 def _adjudicate(
     repo_dir: str,
     now_by_phase: dict[str, dict[str, float]],
     probes_now: dict[str, float],
     prods_first: bool = False,
+    cal_now: float | None = None,
 ) -> tuple[dict, dict, dict]:
     """Returns (suspects, settled, meta) for the artifact. Runs AFTER all
     measurements (and after spark.stop(), so the A/B subprocess is the
@@ -409,7 +516,11 @@ def _adjudicate(
     }
     probes_prev = {k: ref.get(k) for k in PROBE_KEYS}
     probe_map = phase_probe_map(prods_first)
-    suspects = find_suspects(now_all, prev)
+    # normalized-first flagging (VERDICT r15 item 4): both sides' CPU
+    # speed as the median of their three fixed-work probes
+    cal_prev = cal_median(ref)
+    meta["cal_now"], meta["cal_prev"] = cal_now, cal_prev
+    suspects = find_suspects(now_all, prev, cal_now=cal_now, cal_prev=cal_prev)
     settled: dict[str, dict] = {}
     to_ab: list[str] = []
     for q, info in suspects.items():
@@ -444,42 +555,24 @@ def _adjudicate(
         return suspects, settled, meta
     meta["ab_base"] = base
     ab_rounds = int(os.environ.get("SPARK_GRAFT_AB_ROUNDS", "3"))
-    import subprocess
-    import sys as _sys
 
     try:
-        proc = subprocess.run(
-            [
-                _sys.executable,  # the bench's own interpreter, never bare "python"
-                os.path.join(repo_dir, "tools", "ab_interleaved.py"),
-                base,
-                str(ab_rounds),
-                ",".join(to_ab),
-            ],
-            capture_output=True,
-            text=True,
-            timeout=int(os.environ.get("SPARK_GRAFT_AB_TIMEOUT", "1800")),
-            cwd=repo_dir,
-        )
-        line = next(
-            (
-                ln
-                for ln in reversed(proc.stdout.strip().splitlines())
-                if ln.startswith("{")
-            ),
-            None,
-        )
-        if proc.returncode != 0 or line is None:
-            raise RuntimeError(f"ab rc={proc.returncode}: {proc.stderr[-300:]}")
-        ab = json.loads(line)["ab"]
+        ab = _run_ab(repo_dir, base, to_ab, ab_rounds)
+        retry: dict[str, list[str]] = {}
         for q in to_ab:
             r = ab.get(q, {}).get("paired_ratio_med")
             missing = ab.get(q, {}).get("missing_in")
+            if r is None and missing in ("base", "both"):
+                # the suspect postdates the base COMMIT (its reference
+                # median came from the previous ARTIFACT — v16_prod in
+                # round 19): re-A/B against a base that HAS the query
+                # instead of leaving it unsettled (VERDICT r15 item 3)
+                nb = _base_with_query(repo_dir, q, base)
+                if nb and nb != base:
+                    retry.setdefault(nb, []).append(q)
+                    continue
             settled[q] = {
                 "verdict": (
-                    # the suspect postdates the base COMMIT (its reference
-                    # median came from the previous ARTIFACT) — no A/B is
-                    # possible; caught live in round 19 (v16_prod vs b25999b)
                     f"unsettled_absent_at_base_{missing}"
                     if r is None and missing
                     else "unsettled_ab_missing"
@@ -490,9 +583,29 @@ def _adjudicate(
                 ),
                 "paired_ratio_med": r,
             }
+        for nb, qs in retry.items():
+            meta.setdefault("ab_retry_bases", {})[nb] = qs
+            rb = _run_ab(repo_dir, nb, qs, ab_rounds)
+            for q in qs:
+                r = rb.get(q, {}).get("paired_ratio_med")
+                missing = rb.get(q, {}).get("missing_in")
+                settled[q] = {
+                    "verdict": (
+                        f"unsettled_absent_at_base_{missing}"
+                        if r is None and missing
+                        else "unsettled_ab_missing"
+                        if r is None
+                        else "code_regression"
+                        if r > AB_CODE_THRESHOLD
+                        else "wave_ab_exonerated"
+                    ),
+                    "paired_ratio_med": r,
+                    "ab_base": nb,
+                }
     except Exception as exc:  # noqa: BLE001 - adjudication must not kill bench
         for q in to_ab:
-            settled[q] = {"verdict": "unsettled_ab_error", "error": str(exc)[:200]}
+            if q not in settled:
+                settled[q] = {"verdict": "unsettled_ab_error", "error": str(exc)[:200]}
     return suspects, settled, meta
 
 
@@ -922,7 +1035,11 @@ def main() -> None:
     probes_now = {k: summary[k] for k in PROBE_KEYS}
     spark.stop()
     suspects, settled, adj_meta = _adjudicate(
-        repo_dir, now_by_phase, probes_now, prods_first=prods_first
+        repo_dir,
+        now_by_phase,
+        probes_now,
+        prods_first=prods_first,
+        cal_now=cal_median(summary),
     )
     summary["suspects"] = suspects
     summary["settled"] = settled
@@ -944,8 +1061,34 @@ def main() -> None:
     with open(local_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
-    # stdout stays ONE compact line (the driver keeps a 2,000-char tail)
-    print(json.dumps(summary))
+    # stdout stays ONE line, but the driver keeps only a 2,000-char TAIL:
+    # r15's line outgrew it (suspects/settled on a noisy box) and the
+    # recorded artifact lost metric/value/queries. Emit diagnostics
+    # first and the driver-critical keys last so truncation can only
+    # ever eat diagnostics.
+    tail_critical = (
+        "pipe_transform_io_norm",
+        "pipe_transform_io_norm_min",
+        "value_norm",
+        "value_min_norm",
+        "curation_norm",
+        "pipe_transform_rps",
+        "pipe_transform_rps_min",
+        "pipe_transform_bronze_rps",
+        "pipe_transform_bronze_rps_min",
+        "curation_total",
+        "prod_paths",
+        "metric",
+        "value",
+        "value_min",
+        "unit",
+        "runs_per_query",
+        "sf",
+        "queries",
+    )
+    emit = {k: v for k, v in summary.items() if k not in tail_critical}
+    emit.update({k: summary[k] for k in tail_critical if k in summary})
+    print(json.dumps(emit))
 
 
 if __name__ == "__main__":

@@ -745,8 +745,15 @@ def churn_monitor_sink(state_path: str, alert_threshold: float = 0.9):
                 all(r.n_recurring == 0 for r in scored)
                 and reference.limit(1).count() == 0
             )
+            # replay idempotence extends to the in-memory telemetry:
+            # the parquet state merge is already replay-safe, but a
+            # recomputed report must not append a duplicate
+            # (batch_id, source) tuple (ADVICE r15)
+            reported = {(b, src) for (b, src, *_rest) in stats_box["reports"]}
             if not ref_empty:
                 for r in sorted(scored, key=lambda r: r.source):
+                    if (batch_id, r.source) in reported:
+                        continue
                     churn = r.n_new / r.n_contents
                     stats_box["reports"].append(
                         (

@@ -163,3 +163,73 @@ def test_phase_probe_map_moves_prod_bracket_with_run_order():
     assert bench.phase_probe_map(True)["prod"] == ("io_write_calibration_sec",)
     # other phases unchanged either way
     assert bench.phase_probe_map(True)["curation"] == bench.PHASE_PROBES["curation"]
+
+
+def test_find_suspects_normalized_rule_absorbs_slow_box():
+    """VERDICT r15 item 4: flag on calibration-normalized ratios first.
+    A box running uniformly 2.5x slower must not manufacture suspects;
+    a query that doubled while the calibration held flat must still
+    flag (with the normalized ratio recorded); a query holding flat in
+    raw seconds must not flag just because the CPU probe sped up
+    (raw corroboration)."""
+    prev = {"boxed": 4.0, "regressed": 4.0, "io_bound": 4.0}
+    # box wave: everything (and the calibration) inflated ~2.5x
+    now = {"boxed": 10.0, "regressed": 4.1, "io_bound": 4.0}
+    got = bench.find_suspects(now, prev, cal_now=1.5, cal_prev=0.6)
+    assert got == {}  # 2.5x raw, but 1.0x normalized -> box, not code
+    # same raw numbers WITHOUT calibrations -> the raw rule flags it
+    assert set(bench.find_suspects(now, prev)) == {"boxed"}
+    # true regression on a steady box: flags, with both ratios recorded
+    got = bench.find_suspects({"regressed": 9.0}, prev, cal_now=0.6, cal_prev=0.6)
+    assert set(got) == {"regressed"}
+    assert got["regressed"]["ratio"] == 2.25
+    assert got["regressed"]["norm_ratio"] == 2.25
+    # CPU probe sped up 3x while an IO-bound query held flat: the
+    # normalized ratio alone clears 2x, but raw corroboration vetoes
+    got = bench.find_suspects({"io_bound": 4.2}, prev, cal_now=0.2, cal_prev=0.6)
+    assert got == {}
+
+
+def test_cal_median_is_robust_to_one_probe_wave():
+    # r15's real shape: start probe caught a wave, mid/end were clean
+    art = {"calibration_sec": 2.143, "calibration_sec_mid": 0.63,
+           "calibration_sec_end": 0.409}
+    assert bench.cal_median(art) == 0.63
+    assert bench.cal_median({"calibration_sec": 0.5}) == 0.5
+    assert bench.cal_median({}) is None
+
+
+def test_adjudicate_batches_all_suspects_no_truncation(tmp_path, monkeypatch):
+    """VERDICT r15 item 3: the auto-A/B batches every suspect into the
+    one interleaved session — a doctored reference flagging 6 suspects
+    must yield 6 explicit verdicts with ZERO truncated (the old cap of
+    4 silently dropped v15/t20)."""
+    queries = {f"q{i}": 2.0 for i in range(6)}
+    (tmp_path / "BENCH_local.json").write_text(
+        json.dumps({"sf": 0.1, "queries": queries, "io_write_calibration_sec": 0.4})
+    )
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ADJUDICATE", "1")
+    now = {q: 9.0 for q in queries}  # all suspects, probes flat -> all ride the A/B
+    suspects, settled, _ = bench._adjudicate(
+        str(tmp_path), {"headline": now}, {"io_write_calibration_sec": 0.4}
+    )
+    assert len(suspects) == 6
+    assert set(settled) == set(suspects)
+    assert not [q for q, v in settled.items()
+                if v["verdict"] == "unsettled_truncated_by_ab_cap"]
+    # no git repo at tmp_path -> every verdict is the explicit no-base one
+    assert {v["verdict"] for v in settled.values()} == {"unsettled_no_base_commit"}
+
+
+def test_base_with_query_falls_back_to_introducing_commit():
+    """The v17 shape: the previous-artifact commit predates the query.
+    _base_with_query must return the commit that introduced the
+    query's registry name instead (the 4582f01 precedent)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # b25999b is the r14 artifact commit; dd17 postdates it
+    got = bench._base_with_query(repo, "dd17_snapshot_churn", "b25999b")
+    assert got == "bcba6f1"  # the commit that added dd17
+    # a query the default base DOES contain keeps the default base
+    got = bench._base_with_query(repo, "pipe_valid_rows", "b25999b")
+    assert got == "b25999b"

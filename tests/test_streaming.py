@@ -1638,10 +1638,14 @@ def test_churn_monitor_scores_novelty_and_replays_safely(spark, tmp_path):
     sink(doc_rows([(20, "srcB", "one two"), (21, "srcB", "three four")]), 2)
     assert stats["reports"][-1] == (2, "srcB", 2, 2, 0, 1.0, True)
 
-    # replay batch 1: its own state rows are excluded -> identical report
+    # replay batch 1: its own state rows are excluded so the recompute
+    # is value-identical, and the in-memory telemetry is exactly-once —
+    # the already-present (batch_id, source) tuple is NOT re-appended
+    # (ADVICE r15)
     n_before = len(stats["reports"])
     sink(doc_rows([(10, "srcA", "alpha beta"), (11, "srcA", "epsilon zeta")]), 1)
-    assert stats["reports"][n_before:] == [(1, "srcA", 2, 1, 1, 0.5, False)]
+    assert stats["reports"][n_before:] == []
+    assert stats["reports"].count((1, "srcA", 2, 1, 1, 0.5, False)) == 1
 
     # intra-batch duplicates count once (presence is per distinct content)
     sink(doc_rows([(30, "srcA", "alpha beta"), (31, "srcA", "alpha beta")]), 3)

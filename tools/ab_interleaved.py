@@ -120,7 +120,7 @@ def main() -> None:
     # added after b25999b, was flagged and the whole A/B sys.exit-ed).
     # Skip such queries per-variant and report them as missing instead
     # of killing the run for the queries both variants do have.
-    missing_in: dict[str, str] = {}
+    missing_in: dict[str, set[str]] = {}
 
     def one_pass(variant: str, vdir: str) -> None:
         qs, bench_only, dual_sink_write, clear_nparts_memo = _use(vdir)
@@ -138,7 +138,7 @@ def main() -> None:
             else:
                 fn = qs.get(q) or bench_only.get(q)
                 if fn is None:
-                    missing_in[q] = variant
+                    missing_in.setdefault(q, set()).add(variant)
                     continue
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -162,9 +162,12 @@ def main() -> None:
     report: dict = {}
     for q, r in results.items():
         if q in missing_in or not (r["head"] and r["base"]):
+            # per-variant misses: a query absent in BOTH variants must
+            # say "both", not whichever pass happened to run last
+            miss = missing_in.get(q, {"head", "base"})
             report[q] = {
                 "paired_ratio_med": None,
-                "missing_in": missing_in.get(q, "both"),
+                "missing_in": "both" if len(miss) > 1 else next(iter(miss)),
             }
             continue
         ratios = sorted(h / b for h, b in zip(r["head"], r["base"]))
