@@ -261,10 +261,14 @@ PRIORITY_IN_WINDOW = [
         # explode + per-language agg machinery is evidenced in-window
         # by t22's pre-tokenizer census and t23's trigram profiles;
         # green r14.
-        # NEW in round 19: v18 — ANN recall telemetry (bucket-only
-        # recall@k vs exact brute force over the portable RHP cell,
-        # fully hash-certified), the index-quality twin of v17.
-        "v18_recall_report",
+        # v18 rotated to the tail in round 20 for v20 (below): v20's
+        # retrieval leg runs v18's certified kernel VERBATIM in-window
+        # (the dd8->x19 subsumption precedent); green r15.
+        # NEW in round 20: v20 — the vector-store operations dashboard
+        # (VERDICT r15 item 5): dd17 churn + v17 refit verdicts + v18
+        # recall@k composed per source with store-wide KPI columns;
+        # oracle = the join of the three certified oracles.
+        "v20_store_health",
         "x24_curriculum_schedule",
         # NEW in round 15 (second wave): t22 BPE-style pre-tokenizer
         # census (the subword budget t5's whitespace census
@@ -325,6 +329,10 @@ PRIORITY_IN_WINDOW = [
 #: and semantically unchanged since. The membership test allows these
 #: (and overflow-prefixed names) past index 49 and nothing else.
 PRIORITY_TAIL = [
+        # v18 rotated out in round 20 for v20 (see PRIORITY_IN_WINDOW):
+        # its bucket-vs-exact recall kernel runs verbatim in-window as
+        # v20's retrieval leg; green r15.
+        "v18_recall_report",
         # x16 rotated out in round 19 for x27 (see PRIORITY_IN_WINDOW):
         # its line-dedup + recomputed-quality-gate stages run verbatim
         # in-window inside x27, its shard+pos layout inside x21/x21b.

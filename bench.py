@@ -218,6 +218,13 @@ CURATION = [
     # placements in one query; no prod twin — the Arrow kernels ARE
     # the production shapes). curation_total: SIX new entries total.
     "x29_pack_efficiency",
+    # round-20: the vector-store operations dashboard (VERDICT r15
+    # item 5) — dd17 churn + v17 refit verdicts + v18 recall composed;
+    # v20_prod rides prod_paths over the three prod kernels.
+    # curation_total grows by ONE entry this round (the r6/r18/r19
+    # definition-change precedent: compare to the prior series minus
+    # v20).
+    "v20_store_health",
 ]
 
 

@@ -2163,4314 +2163,21 @@ SELECT doc_id,
 FROM c"""
 
 
-#: x14 config: weighted-sample width before the diversity cap, and the
-#: text-locality cell = low 4 bits of the dd5 SimHash (16 cells, cap 8
-#: — both sized so every stage bites on the sf0.01 fixture).
-X14_PER_LANG = 40
-X14_CELL_BITS = 4
-X14_CELL_CAP = 8
-
-
-def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x14: the ROUND-8 composed curation pipeline — third end-to-end
-    composition contract next to x7 (decontamination arm) and x11
-    (domain-balance + classifier arm), chaining the round-8 second wave
-    in production order:
-
-    1. skew-safe per-source quota (x10's ``capped_keep_first``),
-    2. BLOOM decontamination (t15's map-side probe; eval set = the raw
-       corpus's src0 slice, built BEFORE the quota so benchmark
-       membership is never silently thinned; drop the TOP CONTAMINATION
-       DECILE by percent_rank — t12's relative-gate shape — plus the
-       eval slice itself),
-    3. weighted priority sampling per language (x13's DLT ``w/u`` key,
-       width ``X14_PER_LANG``),
-    4. text-locality diversity cap (x12's shape with dd5's portable
-       SimHash low bits as the cell — documents need no embedding row,
-       so the stage covers the whole corpus at any sf).
-
-    Every stage is map-only or slim-window; corpus-wide shuffles are the
-    quota/sample/cap windows (each on slim projections) and the per-doc
-    bloom-hit aggregation. Stage boundaries pinned by pytest.
-
-    Plan-shape note: ``capped_keep_first`` evaluates its input three
-    times (count + under + over branches), so composing three of them
-    UNPERSISTED would replicate the whole upstream subtree ~8× (a
-    14,000-node plan re-running the bloom probe per branch — measured
-    14.4 s at sf0.1). Stages 2 and 3 therefore persist their outputs:
-    each quota kernel reads a materialized slim input, the plan stays
-    linear, and wall-time dropped ~7× (the same persist-at-the-
-    classification-point rule pipe_transform_full follows)."""
-    from ..operators import bloom
-    from ..operators.dedup import simhash32
-    from ..operators.skew import capped_keep_first
-
-    d = _docs(spark, sf_dir)
-    # eval side and probe side are DISJOINT doc sets (src0 vs the rest),
-    # so each is shingled AFTER its filter — never the whole corpus
-    # (an earlier draft persisted a whole-corpus shingle table "for
-    # sharing"; the persist forced materializing shingles no consumer
-    # needed — filters must reach the tokenizer, the same
-    # push-down-before-the-expensive-projection rule as scans)
-    ev = (
-        with_shingles(
-            d.filter(F.col("source") == "src0").select("doc_id", "text")
-        )
-        .select(F.explode("shingle").alias("sh"))
-        # no distinct: bitmap OR is idempotent, and skipping the
-        # dedup shuffle halves the build (measured 4.1 -> 1.9 s cold)
-    )
-    words = bloom.bloom_build_agg(ev, "sh")
-    # stage 1: quota
-    quota_keep = capped_keep_first(
-        d.select("doc_id", "source"), "source", "doc_id", _quota_expr()
-    ).select("doc_id")
-    # survivors shingled once, persisted: consumed by the probe spine,
-    # the probe itself, and the stage-3 payload join
-    d1 = scoped_persist(
-        with_shingles(
-            d.filter(F.col("source") != "src0")
-            .join(quota_keep, "doc_id")
-            .select("doc_id", "lang", "source", "text")
-        )
-    )
-    # stage 2: bloom probe on the survivors (the shared probe kernel)
-    sh1 = d1.select("doc_id", "shingle")
-    spine = sh1.select("doc_id", F.array_size("shingle").alias("n_sh"))
-    hits = bloom.doc_hit_counts(sh1, words)
-    # the gate is PERCENTILE-based (drop the top contamination decile —
-    # t12's percent_rank shape): a fixed overlap threshold is
-    # scale-brittle on this fixture (the eval slice's shingle coverage
-    # grows with sf — at sf0.1 a 0.1 cutoff deleted 99.6% of the
-    # corpus), while the relative gate bites ~10% at every scale.
-    # Overlap pre-rounded to 6 so rank ties are cross-engine identical;
-    # the window sorts slim (doc_id, ov) rows only — at 100 TB swap for
-    # an approx-quantile threshold broadcast into the same filter (the
-    # t12 note).
-    from pyspark.sql import Window
-
-    clean = (
-        spine.join(hits, "doc_id", "left")
-        .withColumn("n_bloom_hit", F.coalesce("n_bloom_hit", F.lit(0)))
-        .withColumn(
-            "ov",
-            tie_safe_round(
-                F.when(
-                    F.col("n_sh") > 0, F.col("n_bloom_hit") / F.col("n_sh")
-                ).otherwise(F.lit(0.0)),
-                6,
-            ),
-        )
-        .withColumn("pct", F.percent_rank().over(Window.orderBy("ov")))
-        .filter(F.col("pct") < 0.9)
-        .select("doc_id")
-    )
-    # survivors MATERIALIZED once (slim metadata + text payload in
-    # CACHE, never in a window shuffle): the quota kernels window slim
-    # projections only, per capped_keep_first's own contract ("the
-    # windows should never carry document bodies"), and no stage
-    # re-runs the probe or the scan
-    d2 = scoped_persist(
-        d1.join(clean, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "text",
-            F.array_size(F.split("text", " ")).cast("bigint").alias("w"),
-            (_prio(F.col("doc_id")) + F.lit(1)).alias("h"),
-        )
-    )
-    # stage 3: weighted per-language priority sample over SLIM rows;
-    # text joins back only for the <= 5·X14_PER_LANG winners
-    ranked = (
-        d2.select("doc_id", "lang", "w", "h")
-        .withColumn(
-            "priority", F.col("w").cast("double") * F.lit(1000004.0) / F.col("h")
-        )
-        .withColumn("__ord", F.struct((-F.col("priority")).alias("np"), "doc_id"))
-    )
-    ranked = scoped_persist(ranked)  # the kernel reads its input 3x
-    ids3 = capped_keep_first(ranked, "lang", "__ord", F.lit(X14_PER_LANG)).select(
-        "doc_id"
-    )
-    # stage 4: text-locality diversity cap — SimHash computed for the
-    # sampled winners only (not every decon survivor), then a slim
-    # per-cell cap
-    cells = (
-        d2.join(F.broadcast(ids3), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            simhash32("text")
-            .bitwiseAND(F.lit((1 << X14_CELL_BITS) - 1))
-            .alias("cell"),
-            _prio(F.col("doc_id")).alias("prio"),
-        )
-        .withColumn("__ord2", F.struct("prio", "doc_id"))
-    )
-    cells = scoped_persist(cells)  # ditto — ≤ 5·X14_PER_LANG slim rows
-    return capped_keep_first(
-        cells, "cell", "__ord2", F.lit(X14_CELL_CAP)
-    ).select("doc_id", "lang", "source", "cell")
-
-
-QUERIES["x14_curation_pipeline_v3"] = q_curation_pipeline_v3
-ORACLES["x14_curation_pipeline_v3"] = f"""
-WITH {_SHINGLES_CTE},
-s AS (SELECT sh.doc_id, d.source, d.lang, sh.text, sh.shingle
-      FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
-ev AS (SELECT DISTINCT unnest(shingle) AS s FROM s WHERE source = 'src0'),
-evh AS (SELECT {_H_SQL.format(v='s')} AS H FROM ev),
-B AS ({_BLOOM_POS_UNION}),
-q AS (SELECT doc_id FROM (
-        SELECT doc_id, source,
-               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        FROM documents) WHERE rn <= {_QUOTA_CASE}),
-d1 AS (SELECT s.* FROM s JOIN q ON s.doc_id = q.doc_id WHERE s.source <> 'src0'),
-tr AS (SELECT doc_id, unnest(shingle) AS sg FROM d1),
-trh AS (SELECT doc_id, {_H_SQL.format(v='sg')} AS H FROM tr),
-hits AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN {_BLOOM_ALL_SET} THEN 1 ELSE 0 END) AS BIGINT) AS nb
-  FROM trh GROUP BY doc_id),
-ovr AS (
-  SELECT d1.doc_id, d1.lang, d1.source, d1.text,
-         CAST(round(CAST(CASE WHEN len(d1.shingle) > 0
-                    THEN coalesce(h.nb, 0) * 1.0 / len(d1.shingle)
-                    ELSE 0.0 END AS DECIMAL(28,12)), 6) AS DOUBLE) AS ov
-  FROM d1 LEFT JOIN hits h ON d1.doc_id = h.doc_id),
-clean AS (
-  SELECT doc_id, lang, source, text FROM (
-    SELECT *, percent_rank() OVER (ORDER BY ov) AS pct FROM ovr)
-  WHERE pct < 0.9),
-k AS (SELECT doc_id, lang, source, text,
-             CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000004.0
-               / ({_PRIO_SQL.format(v="doc_id")} + 1) AS priority
-      FROM clean),
-d3 AS (SELECT doc_id, lang, source, text FROM (
-         SELECT *, row_number() OVER (PARTITION BY lang
-                     ORDER BY priority DESC, doc_id) AS rn
-         FROM k) WHERE rn <= {X14_PER_LANG}),
-cells AS (
-  SELECT doc_id, lang, source, string_split(text, ' ') AS t,
-         {_PRIO_SQL.format(v="doc_id")} AS prio
-  FROM d3),
-cc AS (
-  SELECT doc_id, lang, source, prio,
-         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32),
-           b -> CASE WHEN {_SIMHASH_PER_BIT} > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
-           (acc, x) -> acc + x) & {(1 << X14_CELL_BITS) - 1} AS cell
-  FROM cells),
-rc AS (SELECT doc_id, lang, source, cell,
-              row_number() OVER (PARTITION BY cell ORDER BY prio, doc_id) AS rn
-       FROM cc)
-SELECT doc_id, lang, source, cell FROM rc WHERE rn <= {X14_CELL_CAP}"""
-
-
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: stream documents (per source, doc_id order) into
-    fixed 256-token context windows; a document's bin is its start
-    offset's window — the packing pass that turns a curated corpus into
-    training sequences.
-
-    Scale shape: ONE window partitioned by ``source`` (the natural
-    packing unit — corpora pack within a shard, never globally), running
-    cumsum then integer division; no global sort, no single-partition
-    window. All-integer arithmetic keeps the oracle comparison
-    float-free."""
-    d = _docs(spark, sf_dir)
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        d.select(
-            "doc_id", "source", F.array_size(F.split("text", " ")).alias("n_tokens")
-        )
-        .withColumn(
-            "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
-        )
-        .withColumn("bin_id", F.expr("start_offset div 256"))
-    )
-
-
-QUERIES["x6_pack_sequences"] = q_pack_sequences
-ORACLES["x6_pack_sequences"] = """
-WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
-           FROM documents),
-s AS (SELECT doc_id, source, n_tokens,
-             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
-      FROM t)
-SELECT doc_id, source, n_tokens, start_offset, start_offset // 256 AS bin_id FROM s"""
-
-
-def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition gates (Gopher-style): top-bigram
-    occupancy + duplicate-bigram fraction — the filter that catches
-    boilerplate/spam pages exact-dedup misses. Pure codegen'd HOFs."""
-    from ..operators.text import repetition_features
-
-    d = _docs(spark, sf_dir)
-    r = repetition_features("text")
-    return d.select(
-        "doc_id",
-        r.getField("n_bigrams").alias("n_bigrams"),
-        r.getField("top_bigram_frac").alias("top_bigram_frac"),
-        r.getField("dup_bigram_frac").alias("dup_bigram_frac"),
-    )
-
-
-QUERIES["t9_repetition"] = q_repetition
-ORACLES["t9_repetition"] = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-b AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
-        list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
-      ELSE [] END AS bg FROM t),
-c AS (SELECT doc_id, bg,
-        list_transform(list_distinct(bg), d -> len(list_filter(bg, x -> x = d))) AS cnts
-      FROM b)
-SELECT doc_id, CAST(len(bg) AS INTEGER) AS n_bigrams,
-       CASE WHEN len(bg) > 0 THEN list_max(cnts) * 1.0 / len(bg) ELSE 0.0 END AS top_bigram_frac,
-       CASE WHEN len(bg) > 0 THEN
-         list_reduce(list_prepend(0, list_transform(cnts, c -> CASE WHEN c >= 2 THEN c ELSE 0 END)), (a, x) -> a + x) * 1.0 / len(bg)
-       ELSE 0.0 END AS dup_bigram_frac
-FROM c"""
-
-
-def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS (not just pairs): MinHash-LSH pairs at
-    jaccard>=0.8 -> connected components -> (doc_id, cluster_id) with
-    cluster_id = min doc id of the component. The canonical dedup
-    decision is then 'keep doc_id == cluster_id'. Oracle: recursive-CTE
-    transitive closure over the exhaustive pair list (tiny at fixture
-    scale; the Spark path never materializes closure — it propagates
-    labels in O(diameter) rounds)."""
-    from ..operators.dedup import connected_components, minhash_lsh_pairs
-
-    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
-    return connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    )
-
-
-QUERIES["dd8_dup_clusters"] = q_dup_clusters
-ORACLES["dd8_dup_clusters"] = f"""
-WITH RECURSIVE {_SHINGLES_CTE},
-p AS ({_JACCARD_PAIRS.format(thr=0.8)}),
-e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-reach AS (
-  SELECT src, dst FROM e
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src
-)
-SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src"""
-
-
-def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-model quality scoring, unigram form (the CCNet/KenLM
-    perplexity-filter shape with the corpus itself as the LM): per-doc
-    mean log p(token), p = corpus term frequency / corpus size. Low
-    scores = rare-token soup (lorem noise, code dumps); high = stopword
-    paste — pipelines keep the middle band.
-
-    Scale shape: ONE wordcount aggregation builds the LM, the corpus
-    total is a 1-row scalar (driver-side by design, like the run
-    report), scoring is an equi-join tokens⋈freq + per-doc avg. The
-    token join is skewed by construction (stopwords) — AQE skew-join
-    splits the hot partitions; broadcasting the top-k head of the freq
-    table is the manual alternative."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    total = toks.count()
-    return (
-        toks.join(freq, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.avg(F.log(F.col("tf") / F.lit(float(total)))), 6).alias(
-                "avg_logprob"
-            )
-        )
-    )
-
-
-def q_lm_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t12: the data-driven LM quality gate on top of t10's scores —
-    drop the bottom decile PER LANGUAGE (a global cutoff would mostly
-    delete whichever language the unigram LM likes least; per-stratum
-    percentile is the CCNet shape). Exact threshold via percent_rank
-    over the (lang, score) window; scores are pre-rounded to 6 so the
-    rank order (and every tie) is identical across engines.
-
-    Scale shape: the window partitions by lang — a bounded-cardinality
-    shuffle of slim (doc_id, lang, score) rows, NOT documents. At
-    100 TB, swap the exact window for per-lang approx-quantile
-    thresholds broadcast into the same keep-filter; the emitted
-    contract (score, pct_rank, keep) is unchanged."""
-    scores = q_unigram_logprob(spark, sf_dir)
-    d = _docs(spark, sf_dir).select("doc_id", "lang")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("lang").orderBy("avg_logprob")
-    return (
-        scores.join(d, "doc_id")
-        .withColumn("pct_rank", tie_safe_round(F.percent_rank().over(w), 6))
-        .select(
-            "doc_id",
-            "lang",
-            "avg_logprob",
-            "pct_rank",
-            (F.col("pct_rank") >= 0.1).alias("keep"),
-        )
-    )
-
-
-QUERIES["t10_unigram_logprob"] = q_unigram_logprob
-QUERIES["t12_lm_percentile_gate"] = q_lm_percentile_gate
-
-
-def lm_thresholds_exact(scores_with_lang: DataFrame) -> DataFrame:
-    """Per-language exact decile cut as a ``(lang, thr)`` table: the
-    smallest score whose (6dp-rounded) percent_rank clears 0.1 —
-    exactly t12's keep semantics re-expressed as a threshold, so
-    ``score >= thr`` reproduces the window gate bit-for-bit. Pays a
-    per-language full sort: the CERTIFICATION shape. A language with
-    every row below the cut (singletons: percent_rank 0) yields no
-    row, matching t12's keep=false."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("lang").orderBy("avg_logprob")
-    return (
-        scores_with_lang.withColumn(
-            "pr", tie_safe_round(F.percent_rank().over(w), 6)
-        )
-        .filter(F.col("pr") >= 0.1)
-        .groupBy("lang")
-        .agg(F.min("avg_logprob").alias("thr"))
-    )
-
-
-def lm_thresholds_sketch(scores_with_lang: DataFrame, acc: int = 1000) -> DataFrame:
-    """t13's production form of :func:`lm_thresholds_exact`: per-language
-    decile thresholds from a GK-class one-pass mergeable sketch
-    (``percentile_approx``) — fixed memory, no per-stratum sort, works
-    at thousands of strata. The threshold lands within rank
-    0.1·n ± n/acc (certified group-by-group by the registered t13
-    query's bound verdict)."""
-    return scores_with_lang.groupBy("lang").agg(
-        F.percentile_approx("avg_logprob", F.lit(0.1), F.lit(acc)).alias("thr")
-    )
-
-
-def lm_gate(scores_with_lang: DataFrame, thresholds: DataFrame) -> DataFrame:
-    """Keep-side of the per-language LM quality gate: broadcast the
-    (lang, thr) table into a map-side ``score >= thr`` filter — no
-    window, no sort, one pass over the score table, identical code for
-    exact and sketch thresholds. Returns the surviving doc_ids."""
-    return (
-        scores_with_lang.join(F.broadcast(thresholds), "lang")
-        .filter(F.col("avg_logprob") >= F.col("thr"))
-        .select("doc_id")
-    )
-
-
-def q_lm_gate_at_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t13: t12's 100 TB form — per-language decile thresholds from a
-    GK-class quantile sketch (``percentile_approx``, one pass, mergeable,
-    fixed memory) instead of an exact per-stratum sort. Certification is
-    the a25 bound-verdict reshape EXTENDED TO GROUPS: sketch estimates
-    are engine-specific, so the hash-checked output is each language's
-    row count, its EXACT decile score (sorted-rank definition, tie-broken
-    by doc_id), and a verdict proven in-engine — the approx threshold's
-    exact rank lands inside the sketch's guaranteed window
-    q·n ± n/accuracy — that the oracle asserts literally. Unlike a25,
-    the 5-row estimate table stays IN-PLAN (broadcast join, no driver
-    round-trip), so the same code runs with thousands of strata."""
-    from pyspark.sql import Window
-
-    acc = 1000
-    scores = q_unigram_logprob(spark, sf_dir).join(
-        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
-    )
-    est = scores.groupBy("lang").agg(
-        F.percentile_approx("avg_logprob", F.lit(0.1), F.lit(acc)).alias("thr"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-    w = Window.partitionBy("lang").orderBy("avg_logprob", "doc_id")
-    ranked = scores.withColumn("r", F.row_number().over(w)).join(
-        F.broadcast(est), "lang"
-    )
-    exact_p10 = ranked.filter(
-        F.col("r") == F.greatest(F.lit(1), F.ceil(F.col("n_docs") * 0.1))
-    ).select("lang", F.col("avg_logprob").alias("exact_p10"))
-    # tie-robust verdict (ADVICE r6): the sketch threshold is a data
-    # value, so a tie mass sitting exactly AT it occupies the rank
-    # interval [count(< thr)+1, count(<= thr)]; requiring the upper tie
-    # rank alone to land in the GK window can spuriously fail even when
-    # percentile_approx met its guarantee. The verdict therefore checks
-    # the tie interval INTERSECTS the guaranteed window
-    # q·n ± n/accuracy (±1 slack for the rank-definition off-by-one).
-    thr_rank = ranked.groupBy("lang").agg(
-        F.sum((F.col("avg_logprob") < F.col("thr")).cast("long")).alias("rk_below"),
-        F.sum((F.col("avg_logprob") <= F.col("thr")).cast("long")).alias("rk_at_or_below"),
-        F.first("n_docs").alias("n_docs"),
-    )
-    verdict = thr_rank.select(
-        "lang",
-        "n_docs",
-        (
-            (F.col("rk_at_or_below") >= 0.1 * F.col("n_docs") - F.col("n_docs") / acc - 1)
-            & (F.col("rk_below") + 1 <= 0.1 * F.col("n_docs") + F.col("n_docs") / acc + 1)
-        ).alias("thr_rank_in_window"),
-    )
-    return verdict.join(exact_p10, "lang").select(
-        "lang", "n_docs", "exact_p10", "thr_rank_in_window"
-    )
-
-
-QUERIES["t13_lm_gate_at_scale"] = q_lm_gate_at_scale
-ORACLES["t13_lm_gate_at_scale"] = """
-WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
-tot AS (SELECT count(*) AS n FROM toks),
-s AS (
-  SELECT t.doc_id, round(avg(ln(f.tf / (tot.n * 1.0))), 6) AS avg_logprob
-  FROM toks t JOIN freq f USING (token) CROSS JOIN tot
-  GROUP BY t.doc_id),
-j AS (SELECT s.doc_id, d.lang, s.avg_logprob FROM s JOIN documents d USING (doc_id)),
-n AS (SELECT lang, count(*) AS n_docs FROM j GROUP BY lang),
-rk AS (
-  SELECT lang, doc_id, avg_logprob,
-         row_number() OVER (PARTITION BY lang ORDER BY avg_logprob, doc_id) AS r
-  FROM j),
-p10 AS (
-  SELECT rk.lang, avg_logprob AS exact_p10
-  FROM rk JOIN n USING (lang)
-  WHERE r = greatest(1, ceil(n_docs * 0.1)))
-SELECT n.lang, n.n_docs, p10.exact_p10, TRUE AS thr_rank_in_window
-FROM n JOIN p10 USING (lang)"""
-ORACLES["t12_lm_percentile_gate"] = """
-WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
-tot AS (SELECT count(*) AS n FROM toks),
-s AS (
-  SELECT t.doc_id, round(avg(ln(f.tf / (tot.n * 1.0))), 6) AS avg_logprob
-  FROM toks t JOIN freq f USING (token) CROSS JOIN tot
-  GROUP BY t.doc_id),
-r AS (
-  SELECT s.doc_id, d.lang, s.avg_logprob,
-         CAST(round(CAST(percent_rank() OVER (PARTITION BY d.lang ORDER BY s.avg_logprob) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct_rank
-  FROM s JOIN documents d USING (doc_id))
-SELECT doc_id, lang, avg_logprob, pct_rank, pct_rank >= 0.1 AS keep FROM r"""
-ORACLES["t10_unigram_logprob"] = """
-WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
-tot AS (SELECT count(*) AS n FROM toks)
-SELECT t.doc_id, round(avg(ln(f.tf / (tot.n * 1.0))), 6) AS avg_logprob
-FROM toks t JOIN freq f USING (token) CROSS JOIN tot
-GROUP BY t.doc_id"""
-
-
-def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd12: asymmetric n-gram CONTAINMENT pairs — the subset-duplicate
-    detector (quote inclusion, boilerplate wrappers, article+excerpt)
-    that Jaccard structurally misses: containment(short→long) ≈ 1 while
-    jaccard ≈ |short|/|long|. Same inverted-index kernel as dd2, both
-    directional containments emitted, pair kept when either ≥ 0.6.
-    Certification disables the stop-shingle df-cap (the oracle is the
-    exhaustive pairwise intersect); production keeps the cap — dd2's
-    documented recall tradeoff applies unchanged."""
-    from ..operators.dedup import containment_pairs
-
-    return containment_pairs(
-        _docs(spark, sf_dir), threshold=0.6, max_shingle_freq=None
-    )
-
-
-QUERIES["dd12_containment_pairs"] = q_containment_pairs
-
-
-def q_containment_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd12_prod: the capped production shape — identical output on this
-    fixture (the auto cap resolves to the same floor of 100 at bench
-    scales), ~2.9 s vs the cert's ~8.1 s at sf0.1 (cert/prod benched
-    both ways per the r7 standing policy; the df-cap keeps the inverted
-    index sub-quadratic on stop-shingles at corpus scale).
-
-    Cap policy is ``"auto"`` since round 10 (VERDICT r8 item 2): the
-    fixed cap of 100 silently emptied the index at 100× — every
-    shingle's df exceeded it on the replica fixture, 0 pairs, recall 0.
-    The corpus-relative cap (max(100, ceil(0.005·N))) restores the
-    planted subset pairs while resolving to the identical fixed cap at
-    sf0.1 and below. ``collapse_exact=True`` adds the exact-dedup
-    collapse pre-pass: with the recall-correct cap, a fully-replicated
-    corpus otherwise generates Σ df² ≈ 2.5 B candidate rows (measured:
-    shuffle spill exceeded local disk at 100×) — verbatim dups are
-    dd1's finding, so the index runs over distinct-text
-    representatives (see operators/dedup.py:containment_pairs). On the
-    replica-free bench fixtures both knobs are output-neutral
-    (re-verified at sf0.01)."""
-    from ..operators.dedup import containment_pairs
-
-    return containment_pairs(
-        _docs(spark, sf_dir),
-        threshold=0.6,
-        max_shingle_freq="auto",
-        collapse_exact=True,
-    )
-
-
-BENCH_ONLY["dd12_prod"] = q_containment_pairs_prod
-ORACLES["dd12_containment_pairs"] = f"""
-WITH {_SHINGLES_CTE}
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(a.shingle), 6) AS c_a_in_b,
-       round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(b.shingle), 6) AS c_b_in_a
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(a.shingle), 6) >= 0.6
-   OR round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(b.shingle), 6) >= 0.6"""
-
-
-def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t17: language-model quality scoring, BIGRAM form — t10's shape
-    one order up: per-doc mean log p(w2|w1) with add-one smoothing over
-    the unigram vocabulary, the corpus as its own LM. Catches
-    word-salad documents whose unigram profile looks normal (every
-    token common, transitions nonsense) — the failure mode t10 cannot
-    see.
-
-    Scale shape: ONE bigram-count aggregation builds the LM (history
-    counts derive from the same bigram stream — no second corpus
-    pass), |V| is a 1-row scalar, scoring is two equi-joins on bigram /
-    history + a per-doc avg. Same skew note as t10 (stopword-headed
-    histories are hot; AQE splits them)."""
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("t"))
-    # the size(t) >= 2 guard matters (ADVICE r8): Spark's sequence()
-    # auto-steps DOWNWARD when start > stop, so a 1-token doc would
-    # build sequence(0, -1) = [0, -1] and emit out-of-range lookups
-    # whose NULL bigrams only vanished by accident of concat-null +
-    # inner-join propagation; the DuckDB oracle's range(len-1) is empty
-    # instead. Short docs now never enter the descending-sequence path.
-    bg = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "IF(size(t) >= 2, "
-                "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])), "
-                "cast(array() as array<string>))"
-            )
-        ).alias("bg"),
-    )
-    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
-    c1 = (
-        bg.select(F.split("bg", " ")[0].alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("n1"))
-    )
-    vocab = d.select(F.explode("t").alias("tok")).distinct().count()
-    return (
-        bg.join(c12, "bg")
-        .withColumn("w1", F.split("bg", " ")[0])
-        .join(c1, "w1")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.avg(
-                    F.log(
-                        (F.col("n12") + F.lit(1.0))
-                        / (F.col("n1") + F.lit(float(vocab)))
-                    )
-                ),
-                6,
-            ).alias("avg_bigram_logprob"),
-        )
-    )
-
-
-QUERIES["t17_bigram_logprob"] = q_bigram_logprob
-ORACLES["t17_bigram_logprob"] = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS bg FROM t),
-c12 AS (SELECT bg, count(*) AS n12 FROM bg GROUP BY bg),
-c1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS n1 FROM bg GROUP BY 1),
-v AS (SELECT count(DISTINCT tok) AS nv FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
-sc AS (
-  SELECT b.doc_id, ln((c12.n12 + 1.0) / (c1.n1 + v.nv)) AS lp
-  FROM bg b JOIN c12 USING (bg)
-  JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1
-  CROSS JOIN v)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg(lp), 6) AS avg_bigram_logprob
-FROM sc GROUP BY doc_id"""
-
-
-def q_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v13: kNN-DENSITY outlier gate over the embedding table — each
-    vector's mean cosine to its 5 exact nearest neighbors, low-density
-    tail (bottom decile by percent_rank, t12's relative-gate shape)
-    flagged as outliers. The OOD-pruning stage of embedding-based
-    curation: mislabeled / corrupted / out-of-distribution samples sit
-    in sparse regions regardless of any fixed similarity threshold.
-
-    Certification runs the exact brute-force kNN (v2's certified
-    kernel) and the exact percent_rank gate; the production kernel —
-    exact kNN within trained k-means cells + percentile-sketch gate —
-    is ``v13_prod`` below (same cert/production split as the ANN
-    family)."""
-    from ..operators.similarity import knn_density_outliers
-
-    return knn_density_outliers(_embs(spark, sf_dir), k=5, decile=0.1, exact=True)
-
-
-QUERIES["v13_knn_outliers"] = q_knn_outliers
-ORACLES["v13_knn_outliers"] = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-scored AS (
-  SELECT query_id, neighbor_id,
-         {_DOT.format(a='qv', b='cv')}
-           / (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine
-  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
-top AS (SELECT query_id, cosine FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-  FROM scored) WHERE rnk <= 5),
-m AS (SELECT query_id, round(avg(cosine), 6) AS mean_knn_cos FROM top GROUP BY query_id),
-r AS (SELECT query_id AS vec_id, mean_knn_cos,
-             round(percent_rank() OVER (ORDER BY mean_knn_cos), 6) AS pct
-      FROM m)
-SELECT vec_id, mean_knn_cos, pct, pct <= 0.1 AS is_outlier FROM r"""
-
-
-def q_knn_outliers_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v13_prod (VERDICT r8 item 1): the scale shape — exact kNN within
-    trained k-means coarse cells (bounded-sample Lloyd fit, Arrow-kernel
-    assignment, nprobe-bounded candidate blocks) and a
-    ``percentile_approx`` decile threshold instead of the global
-    ``percent_rank`` sort. Per-cell work bounds the quadratic; the gate
-    is one aggregation plus a broadcast scalar.
-
-    Cell count is CORPUS-ADAPTIVE (round 14): the previous fixed
-    4-of-8-cells config kept per-query candidates at ~half the corpus —
-    quadratic at any scale; the 10× bench caught it at 127 s while
-    every other prod path sat ≤ 12 s (the v8_prod lesson repeating, one
-    operator over). ``n_cells="auto"`` (≈ sqrt(n), auto_n_cells) bounds
-    the fold total at n^1.5 with a fixed probe count — measured in
-    SCALE100X.md round-17. The round-8 measured negative still stands
-    as the REGIME statement: on structure-free fixtures a small probe
-    fraction scrambles decile membership, so the recall floor and
-    outlier-set agreement are pytest-pinned on a planted-CLUSTER
-    fixture (tests/test_llmops.py), where real structure lets the
-    kernel run at low probe fractions — cells help exactly where the
-    embedding space has density structure, which is the only regime
-    where a density gate is meaningful at all."""
-    from ..operators.similarity import knn_density_outliers
-
-    return knn_density_outliers(
-        _embs(spark, sf_dir), k=5, decile=0.1, n_cells="auto", n_probes=4
-    )
-
-
-BENCH_ONLY["v13_prod"] = q_knn_outliers_prod
-
-
-def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub + audit counts (the compliance stage every production
-    corpus pipeline runs before training). The synthetic corpus carries
-    no PII, so the query first INJECTS deterministic email/IPv4/phone
-    spans keyed off doc_id (the mm1 attach-payload pattern — documented
-    synthetic, reproduced verbatim by the oracle), then scrubs them with
-    ``redact_pii`` and reports per-category match counts from
-    ``pii_counts``. The oracle re-runs injection + scrub + counts in
-    DuckDB's RE2 engine, certifying the patterns behave identically
-    across regex engines — the property that lets a Go/Rust scanner
-    validate a Spark-scrubbed corpus. Map-only, zero shuffle."""
-    d = _docs(spark, sf_dir)
-    injected = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.concat(
-                    F.lit(" contact u"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@example.com"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 5 == 0,
-                F.concat(
-                    F.lit(" from 10.0."),
-                    (F.col("doc_id") % 256).cast("string"),
-                    F.lit(".7"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(
-                    F.lit(" call 555-"),
-                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-                ),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    counts = pii_counts("text")
-    return injected.select(
-        "doc_id",
-        redact_pii("text").alias("redacted"),
-        *[col.alias(name) for name, col in counts.items()],
-    )
-
-
-QUERIES["t11_pii_redaction"] = q_pii_redaction
-
-_PII_INJECT_SQL = """
-SELECT doc_id,
-       text ||
-       CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
-       CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END ||
-       CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
-FROM documents"""
-
-# scrub = nested regexp_replace in PII_PATTERNS order; counts on the
-# unredacted text — both generated from the SAME pattern table the
-# engine uses, so the two sides cannot drift
-_PII_SCRUB_SQL = "text"
-for _cat, _pat, _ph in PII_PATTERNS:
-    _PII_SCRUB_SQL = f"regexp_replace({_PII_SCRUB_SQL}, '{_pat}', '{_ph}', 'g')"
-_PII_COUNT_SQL = ", ".join(
-    f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{cat}"
-    for cat, pat, _ in PII_PATTERNS
-)
-ORACLES["t11_pii_redaction"] = f"""
-WITH inj AS ({_PII_INJECT_SQL})
-SELECT doc_id, {_PII_SCRUB_SQL} AS redacted, {_PII_COUNT_SQL}
-FROM inj"""
-
-
-def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over binary payloads (video→frames shape): one row
-    per 32-byte offset, 'decoded' to the frame byte + a 16-byte window
-    hash (deterministic fake — no codecs in the container; the Spark
-    plumbing, batch-side expansion included, is real). The SQL oracle
-    reproduces the fake decode exactly, pinning the mapInPandas
-    expansion semantics the way x4 pins the UDTF's."""
-    d = multimodal.attach_binary_payload(_docs(spark, sf_dir))
-    return multimodal.sample_frames(d, every_n_bytes=32)
-
-
-def q_resized_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mm3: resize plumbing (see :func:`..operators.multimodal.
-    resize_media`) — nearest-neighbor byte stride standing in for the
-    codec; the oracle reproduces the exact index map and hash, so the
-    batch-side resize is hash-certified like mm2's expansion."""
-    d = multimodal.attach_binary_payload(_docs(spark, sf_dir))
-    return multimodal.resize_media(d)
-
-
-QUERIES["mm3_resized_media"] = q_resized_media
-# NB (mm1/mm2/mm3): the operators stride UTF-8 payload BYTES; these
-# oracles index text CHARACTERS. Valid only while the documents fixture
-# is pure ASCII — pinned at every fixture scale by
-# tests/test_llmops.py::test_documents_fixture_is_ascii_for_multimodal_oracles.
-ORACLES["mm3_resized_media"] = """
-WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
-SELECT doc_id, CAST(n AS INTEGER) AS orig_len, 16 AS target_px,
-       CAST(ascii(text[1:1]) AS INTEGER) AS first_px,
-       list_reduce(list_prepend(CAST(0 AS BIGINT),
-         list_transform(range(16),
-           i -> CAST(ascii(text[CAST((i*n)//16 + 1 AS INTEGER) : CAST((i*n)//16 + 1 AS INTEGER)]) AS BIGINT))),
-         (acc, x) -> (acc * 131 + x) % 1000000007) AS resized_hash
-FROM t WHERE n > 0"""
-
-
-QUERIES["mm2_frame_samples"] = q_frame_samples
-ORACLES["mm2_frame_samples"] = """
-WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
-f AS (SELECT doc_id, text, n,
-             unnest(range(CAST(ceil(n / 32.0) AS BIGINT))) AS i
-      FROM t WHERE n > 0)
-SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 32 AS INTEGER) AS offset,
-       CAST(ascii(text[CAST(i*32+1 AS INTEGER) : CAST(i*32+1 AS INTEGER)]) AS INTEGER) AS frame_byte,
-       list_reduce(list_prepend(CAST(0 AS BIGINT),
-         list_transform(range(least(16, n - i*32)),
-           j -> CAST(ascii(text[CAST(i*32+j+1 AS INTEGER) : CAST(i*32+j+1 AS INTEGER)]) AS BIGINT))),
-         (acc, x) -> (acc * 131 + x) % 1000000007) AS frame_hash
-FROM f"""
-
-
-def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mm4: audio windowing — fixed 64-sample windows over the binary
-    payload → integer energy/silence/peak features per window (the
-    VAD-style frame-feature pass of an audio-curation pipeline),
-    completing the modality family next to mm1 (features), mm2 (video
-    frame sampling), and mm3 (image resize). Decode honesty matches
-    the rest of the family: bytes stand in for PCM samples, the
-    mapInPandas batch shape and vectorized numpy window math are real
-    (:func:`..operators.multimodal.audio_window_energy`). All features
-    are INTEGERS, so the oracle comparison is exact — no float-order
-    caveats. Same ASCII-fixture pin as mm1-mm3 (see NB above)."""
-    d = multimodal.attach_binary_payload(_docs(spark, sf_dir))
-    return multimodal.audio_window_energy(d, window=64)
-
-
-QUERIES["mm4_audio_windows"] = q_audio_windows
-ORACLES["mm4_audio_windows"] = """
-WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
-wi AS (SELECT doc_id, text, n,
-              unnest(range(CAST(ceil(n / 64.0) AS BIGINT))) AS i
-       FROM t WHERE n > 0),
-win AS (SELECT doc_id, i,
-               text[CAST(i*64+1 AS INTEGER) : CAST(least(i*64+64, n) AS INTEGER)] AS w
-        FROM wi)
-SELECT doc_id, CAST(i AS INTEGER) AS win_idx,
-       CAST(length(w) AS INTEGER) AS n_samples,
-       list_reduce(list_prepend(CAST(0 AS BIGINT),
-         list_transform(range(length(w)),
-           j -> CAST(ascii(w[CAST(j+1 AS INTEGER):CAST(j+1 AS INTEGER)]) AS BIGINT))),
-         (a, x) -> a + x * x) AS sum_sq,
-       CAST(len(list_filter(range(length(w)),
-         j -> w[CAST(j+1 AS INTEGER):CAST(j+1 AS INTEGER)] = ' ')) AS INTEGER) AS n_silence,
-       CAST(list_max(list_transform(range(length(w)),
-         j -> ascii(w[CAST(j+1 AS INTEGER):CAST(j+1 AS INTEGER)]))) AS INTEGER) AS peak
-FROM win"""
-
-
-def q_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash Jaccard ESTIMATION: score pairs from 8-word signatures
-    alone (agreement fraction ≈ Jaccard) — at 100 TB candidate pairs are
-    scored from sketches without re-reading documents; the exact verify
-    runs only above a sketch-score floor. Output joins the estimate with
-    ground truth so the estimator's error is itself oracle-checked."""
-    from ..operators.dedup import jaccard_pairs, minhash_signature
-
-    d = _docs(spark, sf_dir)
-    pairs = jaccard_pairs(d, threshold=0.5)
-    sigs = with_shingles(d.select("doc_id", "text")).withColumn(
-        "sig", minhash_signature(8)
-    )
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t))
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (agree / F.lit(8)).alias("jaccard_est"),
-            "jaccard",
-            F.abs(agree / F.lit(8) - F.col("jaccard")).alias("abs_err"),
-        )
-    )
-
-
-def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd11: CROSS-RUN incremental dedup — the operation every recurring
-    training-data refresh needs (VERDICT r6 stretch): dedup a NEW
-    increment (``doc_id % 4 == 0``) against the EXISTING corpus
-    (``doc_id % 4 != 0``) using only the corpus's persisted MinHash
-    signature table — the historical text is never re-read, re-shingled,
-    or re-paired with itself. Candidates come from a banded (4 x 2)
-    signature equi-join keyed on the raw hash slices (engine-portable,
-    no Spark-specific band hash); each candidate is scored by signature
-    agreement (the dd9 estimator) and the per-increment-doc verdict
-    (n_corpus_matches / best_est / is_dup) is exact given the
-    signatures, so the whole operator hash-certifies with no verdict
-    scaffolding. The warehouse round-trip (write signatures, dedup two
-    successive increments against the growing table via merge_parquet)
-    is pinned in tests/test_incremental.py."""
-    from ..operators.dedup import incremental_dedup, minhash_signature_table
-
-    d = _docs(spark, sf_dir)
-    base = minhash_signature_table(d.filter(F.col("doc_id") % 4 != 0))
-    inc = minhash_signature_table(d.filter(F.col("doc_id") % 4 == 0))
-    return incremental_dedup(inc, base)
-
-
-QUERIES["dd11_incremental_dedup"] = q_incremental_dedup
-_DD11_AGREE = " + ".join(
-    f"CASE WHEN i.h{n} = b.h{n} THEN 1 ELSE 0 END" for n in range(8)
-)
-ORACLES["dd11_incremental_dedup"] = f"""
-WITH {_SHINGLES_CTE},
-sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh),
-base AS (SELECT * FROM sig WHERE doc_id % 4 <> 0),
-inc AS (SELECT * FROM sig WHERE doc_id % 4 = 0),
-cand AS (
-  SELECT i.doc_id AS inc_id, b.doc_id AS cor_id, {_DD11_AGREE} AS agree
-  FROM inc i JOIN base b ON i.doc_id <> b.doc_id AND (
-       (i.h0 = b.h0 AND i.h1 = b.h1) OR (i.h2 = b.h2 AND i.h3 = b.h3)
-    OR (i.h4 = b.h4 AND i.h5 = b.h5) OR (i.h6 = b.h6 AND i.h7 = b.h7))),
-m AS (
-  SELECT inc_id, count(*) AS n_corpus_matches,
-         max(round(agree / 8.0, 6)) AS best_est
-  FROM cand WHERE round(agree / 8.0, 6) >= 0.5 GROUP BY inc_id)
-SELECT i.doc_id, coalesce(m.n_corpus_matches, 0) AS n_corpus_matches,
-       m.best_est, coalesce(m.n_corpus_matches, 0) > 0 AS is_dup
-FROM inc i LEFT JOIN m ON i.doc_id = m.inc_id"""
-
-
-QUERIES["dd9_jaccard_estimate"] = q_jaccard_estimate
-ORACLES["dd9_jaccard_estimate"] = f"""
-WITH {_SHINGLES_CTE},
-p AS ({_JACCARD_PAIRS.format(thr=0.5)}),
-sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh),
-j AS (
-  SELECT p.id_a, p.id_b, p.jaccard,
-         (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END + CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END
-        + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END
-        + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END + CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END
-        + CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END + CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) AS agree
-  FROM p JOIN sig a ON p.id_a = a.doc_id JOIN sig b ON p.id_b = b.doc_id)
-SELECT id_a, id_b, agree / 8.0 AS jaccard_est, jaccard,
-       abs(agree / 8.0 - jaccard) AS abs_err
-FROM j"""
-
-
-def q_corpus_pipeline(
-    spark: SparkSession, sf_dir: str, sketch_gate: bool = False
-) -> DataFrame:
-    """THE end-to-end training-corpus pipeline, composed from the
-    independently-oracle-checked stages: quality gate (t7 rules) →
-    per-language LM decile gate (t10 scores + t12/t13 cut) → exact
-    dedup keep-first on fingerprint (t3/dd1) → benchmark
-    decontamination at ≥10% eval-shingle overlap (t8; eval slice
-    excluded from the corpus) → 256-token sequence packing per source
-    shard (x6). Returns the packed training sequences. One query pins
-    the COMPOSITION — stage boundaries (who feeds whom, which slice
-    each stage sees) are where pipelines rot.
-
-    The LM gate's CANONICAL production form is the t13 sketch path
-    (``sketch_gate=True``, benched as ``x7_prod``): per-language
-    ``percentile_approx`` thresholds broadcast into a map-side filter —
-    no per-stratum sort anywhere in the curation stack (VERDICT r6
-    item 4). The registered query runs ``sketch_gate=False``, swapping
-    in :func:`lm_thresholds_exact` — same gate code, deterministic
-    thresholds — because a sketch cut is engine-specific and would
-    un-certify every downstream stage; t13's bound verdict is what
-    certifies the sketch itself. The LM is fit corpus-wide (t10) and
-    the cut applied to quality survivors."""
-    from ..operators.dedup import dedup_keep_first
-
-    d = _docs(spark, sf_dir)
-    feats = quality_features("text")
-    quality = d.filter(
-        (feats["n_tokens"] >= GATE_MIN_TOKENS)
-        & (feats["distinct_ratio"] >= GATE_MIN_DISTINCT_RATIO)
-        & (feats["stopword_ratio"] > 0)
-    )
-    scores = q_unigram_logprob(spark, sf_dir).join(
-        d.select("doc_id", "lang"), "doc_id"
-    )
-    thresholds = (
-        lm_thresholds_sketch(scores) if sketch_gate else lm_thresholds_exact(scores)
-    )
-    quality = quality.join(lm_gate(scores, thresholds), "doc_id")
-    fp = quality.withColumn("fp", poly_fingerprint(tokens("text")))
-    kept = dedup_keep_first(fp, ["fp"], ["doc_id"])
-    # contamination is judged against the RAW eval slice (a filtered
-    # benchmark would under-report overlap), and the eval slice itself
-    # never enters the training corpus
-    eval_sh = (
-        with_shingles(d.filter(F.col("source") == "src0").select("doc_id", "text"))
-        .select(F.explode("shingle").alias("sh"))
-        .distinct()
-    )
-    train = with_shingles(
-        kept.filter(F.col("source") != "src0").select("doc_id", "source", "text")
-    ).select("doc_id", "source", F.array_size("shingle").alias("n_sh"), "shingle")
-    hits = (
-        train.select("doc_id", F.explode("shingle").alias("sh"))
-        .join(F.broadcast(eval_sh), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    clean = (
-        train.join(hits, "doc_id", "left")
-        .filter(
-            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh") < 0.1
-        )
-        .select("doc_id", "source")
-    )
-    from pyspark.sql import Window
-
-    survivors = clean.join(
-        d.select("doc_id", F.array_size(F.split("text", " ")).alias("n_tokens")),
-        "doc_id",
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        survivors.withColumn(
-            "start_offset",
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
-        )
-        .withColumn("bin_id", F.expr("start_offset div 256"))
-        .select("doc_id", "source", "n_tokens", "start_offset", "bin_id")
-    )
-
-
-QUERIES["x7_corpus_pipeline"] = q_corpus_pipeline
-BENCH_ONLY["x7_prod"] = lambda spark, sf_dir: q_corpus_pipeline(
-    spark, sf_dir, sketch_gate=True
-)
-ORACLES["x7_corpus_pipeline"] = f"""
-WITH toks0 AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS toks FROM documents),
-q0 AS (
-  SELECT doc_id, text, source, toks FROM toks0
-  WHERE len(toks) >= {GATE_MIN_TOKENS}
-    AND len(list_distinct(toks)) * 1.0 / len(toks) >= {GATE_MIN_DISTINCT_RATIO}
-    AND len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) > 0),
-lmtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-lmfreq AS (SELECT token, count(*) AS tf FROM lmtoks GROUP BY token),
-lmtot AS (SELECT count(*) AS n FROM lmtoks),
-lms AS (
-  SELECT t.doc_id, round(avg(ln(f.tf / (lmtot.n * 1.0))), 6) AS avg_logprob
-  FROM lmtoks t JOIN lmfreq f USING (token) CROSS JOIN lmtot
-  GROUP BY t.doc_id),
-lmj AS (SELECT lms.doc_id, d.lang, lms.avg_logprob
-        FROM lms JOIN documents d USING (doc_id)),
-lmthr AS (
-  SELECT lang, min(avg_logprob) AS thr FROM (
-    SELECT lang, avg_logprob,
-           CAST(round(CAST(percent_rank() OVER (PARTITION BY lang ORDER BY avg_logprob) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pr
-    FROM lmj)
-  WHERE pr >= 0.1 GROUP BY lang),
-lmkeep AS (SELECT lmj.doc_id FROM lmj JOIN lmthr USING (lang)
-           WHERE avg_logprob >= thr),
-quality AS (SELECT q0.* FROM q0 JOIN lmkeep USING (doc_id)),
-fp AS (SELECT doc_id, text, source, toks, {_FP_SQL} AS fp FROM quality),
-kept AS (
-  SELECT doc_id, text, source, toks FROM (
-    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp)
-  WHERE rn = 1),
-raw_sh AS (
-  SELECT doc_id, source, list_distinct(
-    CASE WHEN len(t) >= 3 THEN
-      list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
-    ELSE [] END) AS shingle
-  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
-ev AS (SELECT DISTINCT unnest(shingle) AS s FROM raw_sh WHERE source = 'src0'),
-train AS (
-  SELECT k.doc_id, k.source, len(r.shingle) AS n_sh, r.shingle
-  FROM kept k JOIN raw_sh r ON k.doc_id = r.doc_id
-  WHERE k.source <> 'src0'),
-hits AS (
-  SELECT doc_id, count(*) AS n_hit
-  FROM (SELECT doc_id, unnest(shingle) AS s FROM train)
-  WHERE s IN (SELECT s FROM ev) GROUP BY doc_id),
-clean AS (
-  SELECT t.doc_id, t.source FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
-  WHERE coalesce(h.n_hit, 0) * 1.0 / t.n_sh < 0.1),
-surv AS (
-  SELECT c.doc_id, c.source, CAST(len(t0.toks) AS INTEGER) AS n_tokens
-  FROM clean c JOIN toks0 t0 ON c.doc_id = t0.doc_id),
-packed AS (
-  SELECT doc_id, source, n_tokens,
-         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
-  FROM surv)
-SELECT doc_id, source, n_tokens, start_offset, start_offset // 256 AS bin_id FROM packed"""
-
-
-def _sq_dequantized(e: DataFrame) -> DataFrame:
-    """``(vec_id, v, dv)`` — the scalar-quantization kernel both v8
-    forms share: one global [min,max] stats pass, per-value linear
-    quantization to 0..255 (floor, not round — Spark and DuckDB round()
-    disagree at ties), dequantized twin alongside the original. Stats
-    ride a broadcast 1-row cross join (no driver collect in the plan)."""
-    stats = e.agg(
-        F.min(F.expr("array_min(v)")).alias("mn"),
-        F.max(F.expr("array_max(v)")).alias("mx"),
-    )
-    return e.crossJoin(F.broadcast(stats)).select(
-        "vec_id",
-        "v",
-        F.expr(
-            "transform(transform(v, x -> floor((x - mn) / (mx - mn) * 255)), "
-            "q -> mn + q * (mx - mn) / 255)"
-        ).alias("dv"),
-    )
-
-
-def _sq_scored_pairs(deq: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Score ``(id_a, id_b)`` pairs on the dequantized vs exact vectors
-    — the cert query and the prod twin run THIS same select, so the
-    loss columns are kernel-identical by construction."""
-    from ..operators.similarity import cosine
-
-    a = deq.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("dv").alias("da")
-    )
-    b = deq.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("dv").alias("db")
-    )
-    est, exact = cosine("da", "db"), cosine("va", "vb")
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            est.alias("cos_sq"),
-            exact.alias("cosine"),
-            F.abs(est - exact).alias("abs_err"),
-        )
-    )
-
-
-def q_sq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar quantization (int8-style) for embedding compression:
-    cosine computed on DEQUANTIZED vectors — the 4x-memory compression
-    every large vector store applies before ANN. Estimate, exact cosine,
-    and abs error are all oracle-checked, so the compression loss itself
-    is pinned, not assumed. CERTIFICATION SHAPE: all pairs of a 20-vector
-    slice, so the oracle covers every pair the fixture can produce; the
-    blocked production shape is v8_prod (BENCH_ONLY), which scores only
-    RHP candidate pairs — VERDICT r12 item 3."""
-    e = _embs(spark, sf_dir).filter(F.col("vec_id") < 20).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a_ids = e.select(F.col("vec_id").alias("id_a"))
-    b_ids = e.select(F.col("vec_id").alias("id_b"))
-    pairs = a_ids.crossJoin(b_ids).filter(F.col("id_a") < F.col("id_b"))
-    return _sq_scored_pairs(_sq_dequantized(e), pairs)
-
-
-def q_sq_cosine_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v8's production twin (VERDICT r12 item 3): the same SQ
-    compression-loss audit, but scored ONLY over the RHP-bucketed
-    candidate pairs of the FULL embeddings table — the shape a 100 TB
-    store actually runs, where the loss audit rides the same candidate
-    stream the semantic-dedup/ANN path already generates
-    (operators/similarity.py:embedding_candidate_pairs: signature
-    equi-join + multi-probe, id-pairs shuffle, never vectors, no
-    all-pairs anywhere — ``test_sq_prod_twin`` pins plan + equality
-    with the cert kernel on the candidate subset)."""
-    from ..operators.similarity import embedding_candidate_pairs
-
-    raw = _embs(spark, sf_dir)
-    e = raw.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    # n_planes="auto" (round 14): the round-17 scale run caught the
-    # fixed-16-plane form superlinear on the 10x->100x leg (3.9 s ->
-    # 124 s, leg alpha 1.50) — bucket occupancy, and with it candidate
-    # volume per vector, grows linearly under a fixed plane count. The
-    # corpus-adaptive count (auto_n_planes: ceil(log2 n)+4, cap 30) is
-    # the library's documented answer and what v10_prod's path uses; at
-    # the fixture scales the twin test runs (n <= 2000) auto resolves
-    # to the same 16 planes, so the pinned values are unchanged.
-    pairs = embedding_candidate_pairs(raw, n_planes="auto", probe_radius=1, dim=64)
-    return _sq_scored_pairs(_sq_dequantized(e), pairs)
-
-
-QUERIES["v8_sq_cosine"] = q_sq_cosine
-BENCH_ONLY["v8_prod"] = q_sq_cosine_prod
-_DEQ = (
-    "list_transform(list_transform({v}, x -> floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255)), "
-    "q -> mn + q * (mx - mn) / 255)"
-)
-ORACLES["v8_sq_cosine"] = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings WHERE vec_id < 20),
-s AS (SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM e),
-d AS (SELECT vec_id, v, {_DEQ.format(v='v')} AS dv FROM e CROSS JOIN s),
-p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb, a.dv AS da, b.dv AS db
-      FROM d a JOIN d b ON a.vec_id < b.vec_id)
-SELECT id_a, id_b,
-       {_DOT.format(a='da', b='db')} / (sqrt({_DOT.format(a='da', b='da')}) * sqrt({_DOT.format(a='db', b='db')})) AS cos_sq,
-       {_DOT.format(a='va', b='vb')} / (sqrt({_DOT.format(a='va', b='va')}) * sqrt({_DOT.format(a='vb', b='vb')})) AS cosine,
-       abs({_DOT.format(a='da', b='db')} / (sqrt({_DOT.format(a='da', b='da')}) * sqrt({_DOT.format(a='db', b='db')}))
-         - {_DOT.format(a='va', b='vb')} / (sqrt({_DOT.format(a='va', b='va')}) * sqrt({_DOT.format(a='vb', b='vb')}))) AS abs_err
-FROM p"""
-
-
-def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v11: product quantization + asymmetric-distance (ADC) scoring —
-    the 100 TB embedding-store compression tier above v8's 4× scalar
-    quantization (m=8 subspaces × ksub codes ⇒ dim·4/m bytes per stored
-    vector; see :mod:`..operators.quantization`). Certification follows
-    the v4/v5/v7 precedent — the per-subspace k-means fit is never
-    reproduced in SQL; instead each (query, corpus) pair emits the
-    SQL-reproducible exact cosine plus two verdicts proven in-engine
-    and asserted literally by the oracle:
-
-    - ``adc_matches_reconstruction``: the ADC lookup-table sum equals
-      dot(q, v̂) against the decoded reconstruction to 1e-9 (the LUT
-      factorization property that makes ADC scoring m lookups instead
-      of a dim-length fold — floating-point reassociation across the
-      m-subspace split is the only difference, hence the tolerance);
-    - ``err_within_bound``: |q·v − q·v̂| ≤ |q|·|v − v̂| + 1e-9, the
-      Cauchy-Schwarz bound tying the estimate's error to the
-      reconstruction residual the codebook controls.
-
-    The corpus side (codes, reconstruction, residual norm) is persisted
-    before the pair join so per-VECTOR folds stay per-vector under
-    CollapseProject inlining (the §8 trap). Recall and error floors —
-    including exactness at ksub ≥ |corpus| — are pytest-pinned; the
-    production ranking path is benched as ``v11_prod``."""
-    from ..operators.quantization import (
-        pq_adc_dot,
-        pq_encode,
-        pq_fit,
-        pq_lut,
-        pq_reconstruct,
-    )
-
-    e = _embs(spark, sf_dir)
-    codebooks = pq_fit(e, m=8, ksub=16)
-    codes = pq_encode(e, codebooks).withColumnRenamed("id", "neighbor_id")
-    c = (
-        e.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").cast("array<double>").alias("c_vec"),
-        )
-        .join(codes, "neighbor_id")
-        .withColumn("recon", pq_reconstruct("code", codebooks))
-        .withColumn("c_nrm", l2_norm("c_vec"))
-        .withColumn(
-            "resid", l2_norm(F.zip_with("c_vec", "recon", lambda a, b: a - b))
-        )
-    )
-    c = scoped_persist(c)
-    q = (
-        e.filter(F.col("vec_id") < 3)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").cast("array<double>").alias("q_vec"),
-        )
-        .withColumn("q_nrm", l2_norm("q_vec"))
-        .withColumn("lut", pq_lut("q_vec", codebooks))
-    )
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc", pq_adc_dot("lut", "code", 8))
-        .withColumn("recon_dot", dot("q_vec", "recon"))
-        .withColumn("exact_dot", dot("q_vec", "c_vec"))
-    )
-    return pairs.select(
-        "query_id",
-        "neighbor_id",
-        (F.col("exact_dot") / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
-        (F.abs(F.col("adc") - F.col("recon_dot")) <= 1e-9).alias(
-            "adc_matches_reconstruction"
-        ),
-        (
-            F.abs(F.col("exact_dot") - F.col("recon_dot"))
-            <= F.col("q_nrm") * F.col("resid") + 1e-9
-        ).alias("err_within_bound"),
-    )
-
-
-QUERIES["v11_pq_adc"] = q_pq_adc
-ORACLES["v11_pq_adc"] = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
-p AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v AS cv
-      FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id)
-SELECT query_id, neighbor_id,
-       {_DOT.format(a='qv', b='cv')} / (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine,
-       TRUE AS adc_matches_reconstruction,
-       TRUE AS err_within_bound
-FROM p"""
-
-
-def q_pq_adc_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v11_prod: the PRODUCTION ADC path — encode the corpus once to
-    (id, code) rows (the stored 100 TB form), build each query's m×ksub
-    lookup table once, rank by the m-lookup ADC estimate. No exact legs,
-    no verdict joins (those are v11, the certification shape).
-    Bench-only; recall floor pinned in pytest."""
-    from ..operators.quantization import pq_adc_topk, pq_encode, pq_fit
-
-    e = _embs(spark, sf_dir)
-    codebooks = pq_fit(e, m=8, ksub=16)
-    codes = pq_encode(e, codebooks)
-    qs = e.filter(F.col("vec_id") < 3)
-    return pq_adc_topk(codes, qs, codebooks, k=5)
-
-
-BENCH_ONLY["v11_prod"] = q_pq_adc_prod
-
-
-def q_ivfadc_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v12_prod: IVFADC — the coarse-cells + residual-PQ + ADC
-    composition (Jégou et al.'s billion-scale index), built entirely
-    from the certified v7 and v11 operators: k-means cells, residual
-    PQ codes, per-query LUT + centroid-offset scoring over probed cells
-    only. Bench-only: the probe-all/no-residual degeneracy is pinned
-    exactly equal to flat ADC in pytest (the v7 precedent), and the
-    residual path carries a recall floor — registering a third
-    quantizer certification would duplicate v11's verdict machinery for
-    no new evidence.
-
-    Cell count is corpus-adaptive (round 14, the v8/v13 sweep): under
-    fixed 8 cells each query ADC-scored a quarter of the corpus —
-    linear per query; ``"auto"`` (≈ sqrt(n)) bounds probed candidates
-    at 2·sqrt(n) per query, the billion-scale IVFADC sizing."""
-    from ..operators.quantization import ivfadc_topk
-
-    e = _embs(spark, sf_dir)
-    qs = e.filter(F.col("vec_id") < 3)
-    return ivfadc_topk(e, qs, k=5, n_cells="auto", n_probes=2, m=8, ksub=16)
-
-
-BENCH_ONLY["v12_prod"] = q_ivfadc_prod
-
-
-def q_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-canonical fuzzy dedup: quality gate → LSH pairs →
-    connected components → keep each component's MINIMUM id (plus all
-    singletons). This is the transitively-correct form of dd6's
-    pair-drop heuristic: with pairs (a,b),(m,b) where m<a<b, pair-drop
-    keeps BOTH a and m (a is never a pair maximum) while the component
-    {m,a,b} should keep only m — components close over transitivity,
-    pair lists don't. Oracle: recursive-CTE closure over the exhaustive
-    quality-gated pair set."""
-    from ..operators.dedup import connected_components, minhash_lsh_pairs
-
-    d = _docs(spark, sf_dir)
-    quality = d.filter(F.array_size(F.split("text", " ")) >= 20).select(
-        "doc_id", "text"
-    )
-    pairs = minhash_lsh_pairs(quality, threshold=0.8)
-    comp = connected_components(pairs)
-    dropped = comp.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias("doc_id")
-    )
-    return quality.join(dropped, "doc_id", "left_anti").select("doc_id")
-
-
-QUERIES["dd10_cluster_curation"] = q_cluster_curation
-ORACLES["dd10_cluster_curation"] = """
-WITH RECURSIVE q AS (
-  SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 20),
-toksq AS (SELECT doc_id, string_split(text, ' ') AS t FROM q),
-shq AS (
-  SELECT doc_id, list_distinct(
-    CASE WHEN len(t) >= 3 THEN
-      list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
-    ELSE [] END) AS shingle
-  FROM toksq),
-p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM shq a JOIN shq b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.shingle, b.shingle)) * 1.0
-          / (len(a.shingle) + len(b.shingle) - len(list_intersect(a.shingle, b.shingle))) >= 0.8),
-e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-reach AS (
-  SELECT src, dst FROM e
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src),
-cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
-dropped AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
-SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dropped)"""
-
-
-def q_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document chunking via Python UDTF (one row per 16-token segment —
-    the context-window chunking pass). The oracle reproduces the
-    segmentation in pure SQL, pinning the UDTF's semantics exactly."""
-    from ..operators.udtf_ops import segment_documents
-
-    return segment_documents(spark, _docs(spark, sf_dir), seg_tokens=16)
-
-
-QUERIES["x4_segment_documents"] = q_segment_documents
-ORACLES["x4_segment_documents"] = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-seg AS (SELECT doc_id, toks,
-               unnest(range(CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS i
-        FROM t)
-SELECT doc_id, CAST(i AS INTEGER) AS seg_id,
-       array_to_string(toks[i*16+1 : i*16+16], ' ') AS segment,
-       CAST(len(toks[i*16+1 : i*16+16]) AS INTEGER) AS n_tokens
-FROM seg"""
-
-
-def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd13: SEGMENT-level exact dedup — the C4/RefinedWeb "line dedup"
-    stage, removing boilerplate segments (nav bars, license headers,
-    repeated paragraphs) from otherwise-unique documents while keeping
-    exactly one global occurrence of each segment. A granularity none
-    of the doc-level operators (dd1-dd12) covers: dd1 drops whole
-    duplicate documents, dd12 finds whole contained documents — dd13
-    cleans INSIDE documents.
-
-    Scale shape (see operators/dedup.py:line_dedup): the canonical
-    occurrence per segment is a map-side-combinable MIN aggregation —
-    a boilerplate segment in millions of docs contributes one partial
-    row per task, never a hot sort group — then one equi-join on
-    segment and one per-doc rebuild agg."""
-    from ..operators.dedup import line_dedup
-
-    return line_dedup(_docs(spark, sf_dir), seg_tokens=8)
-
-
-QUERIES["dd13_line_dedup"] = q_line_dedup
-ORACLES["dd13_line_dedup"] = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-ix AS (SELECT doc_id, tok,
-              unnest(range(CAST(ceil(len(tok) / 8.0) AS BIGINT))) AS i
-       FROM t),
-segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
-                array_to_string(tok[i*8+1 : i*8+8], ' ') AS seg,
-                doc_id * 1000000 + i AS occ_key
-         FROM ix),
-canon AS (SELECT seg, min(occ_key) AS canon_key FROM segs GROUP BY seg),
-kept AS (SELECT doc_id, seg_idx, seg, occ_key = canon_key AS is_kept
-         FROM segs JOIN canon USING (seg)),
-agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
-               CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               coalesce(string_agg(CASE WHEN is_kept THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text
-        FROM kept GROUP BY doc_id)
-SELECT d.doc_id, coalesce(agg.n_segs, 0) AS n_segs,
-       coalesce(agg.n_kept, 0) AS n_kept,
-       coalesce(agg.clean_text, '') AS clean_text
-FROM documents d LEFT JOIN agg USING (doc_id)"""
-
-
-#: dd14 config: 4-token windows, spans of >= 6 tokens reported — small
-#: enough that the fixture's planted duplicate passages surface, large
-#: enough that incidental 4-gram matches alone never qualify
-DD14_K = 4
-DD14_MIN_SPAN = 6
-
-
-def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd14: MAXIMAL duplicated-span detection — the exact-substring
-    dedup stage of Lee et al. (suffix-array dedup), relationally: every
-    maximal token run whose every 4-token window occurs in MORE THAN
-    ONE document, reported per document with its offset, length and
-    text. Complements dd13 (fixed-segment dedup): dd13 removes aligned
-    boilerplate segments; dd14 FINDS boilerplate at any offset — the
-    memorization-prone licenses/headers/templates that segmentation
-    straddles — for redaction, dup-mass quality scoring, or span-level
-    cleaning.
-
-    Scale shape (operators/dedup.py:duplicated_spans): one
-    map-side-combinable shingle-keyed window count (the dd2 df-cap
-    pattern: the count rides the agg's own shuffle key), one
-    per-document gaps-and-islands window (bounded by doc length), no
-    pairs and no suffix array. Oracle: the identical window-count +
-    islands CTE chain."""
-    from ..operators.dedup import duplicated_spans
-
-    return duplicated_spans(
-        _docs(spark, sf_dir), k=DD14_K, min_span_tokens=DD14_MIN_SPAN
-    )
-
-
-QUERIES["dd14_dup_spans"] = q_dup_spans
-ORACLES["dd14_dup_spans"] = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-ix AS (SELECT doc_id, tok,
-              unnest(range(GREATEST(len(tok) - {DD14_K} + 1, 0))) AS p
-       FROM t),
-s AS (SELECT doc_id, CAST(p AS INTEGER) AS pos,
-             array_to_string(tok[p+1 : p+{DD14_K}], ' ') AS sh
-      FROM ix),
-dup AS (SELECT sh FROM s GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
-m AS (SELECT doc_id, pos FROM s JOIN dup USING (sh)),
-isl AS (SELECT doc_id, pos,
-               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        FROM m),
-sp AS (SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
-              CAST(max(pos) - min(pos) + {DD14_K} AS INTEGER) AS span_len
-       FROM isl GROUP BY doc_id, island
-       HAVING max(pos) - min(pos) + {DD14_K} >= {DD14_MIN_SPAN})
-SELECT sp.doc_id, sp.span_start, sp.span_len,
-       array_to_string(t.tok[sp.span_start + 1 : sp.span_start + sp.span_len], ' ') AS span_text
-FROM sp JOIN t USING (doc_id)"""
-
-
-def q_span_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd15: span-level DEDUP — dd14's detection made a cleaning stage
-    (the full Lee-et-al semantic): each duplicated span keeps ONE
-    canonical occurrence corpus-wide (lowest (doc_id, span_start) —
-    dd13's first-occurrence rule at span granularity), every other
-    occurrence is removed and the document rebuilt from surviving
-    tokens. Output keeps every doc with its duplicated-token mass
-    (``n_removed`` — the quality signal span cleaning yields for free).
-
-    Scale shape (operators/dedup.py:span_redact): dd14's cost + one
-    slim canonical MIN agg over spans + a doc-keyed range anti-join
-    (tokens × removed ranges of the same doc) + the per-doc rebuild
-    agg. Oracle: identical CTE chain."""
-    from ..operators.dedup import span_redact
-
-    return span_redact(
-        _docs(spark, sf_dir), k=DD14_K, min_span_tokens=DD14_MIN_SPAN
-    )
-
-
-QUERIES["dd15_span_redact"] = q_span_redact
-ORACLES["dd15_span_redact"] = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-ix AS (SELECT doc_id, tok,
-              unnest(range(GREATEST(len(tok) - {DD14_K} + 1, 0))) AS p
-       FROM t),
-s AS (SELECT doc_id, CAST(p AS INTEGER) AS pos,
-             array_to_string(tok[p+1 : p+{DD14_K}], ' ') AS sh
-      FROM ix),
-dup AS (SELECT sh FROM s GROUP BY sh HAVING count(DISTINCT doc_id) > 1),
-m AS (SELECT doc_id, pos FROM s JOIN dup USING (sh)),
-isl AS (SELECT doc_id, pos,
-               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        FROM m),
-sp AS (SELECT doc_id, min(pos) AS span_start,
-              max(pos) - min(pos) + {DD14_K} AS span_len
-       FROM isl GROUP BY doc_id, island
-       HAVING max(pos) - min(pos) + {DD14_K} >= {DD14_MIN_SPAN}),
-spt AS (SELECT sp.doc_id, sp.span_start, sp.span_len,
-               array_to_string(t.tok[sp.span_start + 1 : sp.span_start + sp.span_len], ' ') AS span_text
-        FROM sp JOIN t USING (doc_id)),
-ranked AS (SELECT *, row_number() OVER (PARTITION BY span_text
-                   ORDER BY doc_id, span_start) AS rk
-           FROM spt),
-removed AS (SELECT doc_id, span_start AS rm_start,
-                   span_start + span_len AS rm_end
-            FROM ranked WHERE rk > 1),
-ptok AS (SELECT doc_id, tok, CAST(unnest(range(len(tok))) AS INTEGER) AS pos
-         FROM t),
-kept AS (SELECT p.doc_id, p.pos, p.tok[p.pos + 1] AS tkn
-         FROM ptok p
-         WHERE NOT EXISTS (SELECT 1 FROM removed r
-                           WHERE r.doc_id = p.doc_id
-                             AND p.pos >= r.rm_start AND p.pos < r.rm_end)),
-agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
-               string_agg(tkn, ' ' ORDER BY pos) AS clean_text
-        FROM kept GROUP BY doc_id)
-SELECT t.doc_id, CAST(len(t.tok) AS INTEGER) AS n_tokens,
-       CAST(len(t.tok) - coalesce(agg.n_kept, 0) AS INTEGER) AS n_removed,
-       coalesce(agg.clean_text, '') AS clean_text
-FROM t LEFT JOIN agg USING (doc_id)"""
-
-
 # --------------------------------------------------------------------------
-# Round-13 wave: temperature mixing, contamination audit, filtered ANN,
-# modality-aware packing
-# --------------------------------------------------------------------------
-
-#: x20 temperature-scaled mixing: exponent α = 0.5 (temperature T = 1/α
-#: = 2, the multilingual-LM rebalancing shape). α is pinned at 0.5 ON
-#: PURPOSE: pow(n, 0.5) == sqrt(n), and IEEE-754 requires sqrt to be
-#: correctly rounded — so the per-language weights are bit-identical
-#: across engines with NO rounding step, unlike a generic pow() (libm
-#: pow is not correctly rounded and Java's Math.pow only promises
-#: 1-ulp, so a generic-α oracle would need round()s).
-TEMP_MIX_BUDGET = 300
-
-
-def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x20: temperature-scaled source mixing — the multilingual/
-    multi-source rebalancing planner (XLM-R-style p_l^α sampling):
-    per-language share q_l = n_l^α / Σ_k n_k^α with α = 0.5 flattens
-    the raw distribution so low-resource languages are upsampled
-    relative to their raw share, then a document budget turns shares
-    into per-language planned counts, sampling rates, and upsample
-    epoch counts (rate > 1 ⇒ the language repeats across epochs — the
-    knob x8's water-filling, which only ever DOWN-samples, cannot
-    express).
-
-    Scale shape: one map-side-combinable count per language (5 rows),
-    rolled into ONE per-language array so the whole plan hangs off a
-    SINGLE scan+aggregation (a naive counts→denominator→join shape
-    recomputes the groupBy — and rescans the corpus — once per branch);
-    the Σ n^α denominator is a FIXED-ORDER fold over the lang-sorted
-    weight array (not a float SUM aggregation), so the shares are
-    bit-identical across engines and partitionings — the t16 lesson as
-    policy."""
-    d = _docs(spark, sf_dir)
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    rolled = counts.agg(
-        F.array_sort(F.collect_list(F.struct("lang", "n_docs"))).alias("rows")
-    )
-    exploded = rolled.select(
-        F.explode("rows").alias("r"),
-        F.aggregate(
-            F.transform("rows", lambda s: F.sqrt(s["n_docs"].cast("double"))),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("denom"),
-        F.aggregate(
-            F.transform("rows", lambda s: s["n_docs"]),
-            F.lit(0).cast("bigint"),
-            lambda a, x: a + x,
-        ).alias("n_total"),
-    )
-    planned = F.floor(
-        F.col("w") / F.col("denom") * F.lit(float(TEMP_MIX_BUDGET))
-    ).cast("int")
-    return (
-        exploded.select(
-            F.col("r.lang").alias("lang"),
-            F.col("r.n_docs").alias("n_docs"),
-            F.sqrt(F.col("r.n_docs").cast("double")).alias("w"),
-            "denom",
-            "n_total",
-        )
-        .withColumn("share_raw", F.col("n_docs") * F.lit(1.0) / F.col("n_total"))
-        .withColumn("share_temp", F.col("w") / F.col("denom"))
-        .withColumn("planned_docs", planned)
-        .withColumn(
-            "sample_rate", F.col("planned_docs") * F.lit(1.0) / F.col("n_docs")
-        )
-        .withColumn("upsample_epochs", F.ceil(F.col("sample_rate")).cast("int"))
-        .select(
-            "lang",
-            "n_docs",
-            "share_raw",
-            "share_temp",
-            "planned_docs",
-            "sample_rate",
-            "upsample_epochs",
-        )
-    )
-
-
-QUERIES["x20_temperature_mix"] = q_temperature_mix
-ORACLES["x20_temperature_mix"] = f"""
-WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
-t AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM c),
-d AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY lang)),
-             (a, x) -> a + x) AS denom,
-             sum(n_docs) AS n_total FROM t)
-SELECT lang, n_docs,
-       n_docs * 1.0 / n_total AS share_raw,
-       w / denom AS share_temp,
-       CAST(floor(w / denom * {float(TEMP_MIX_BUDGET)}) AS INTEGER) AS planned_docs,
-       CAST(floor(w / denom * {float(TEMP_MIX_BUDGET)}) AS INTEGER) * 1.0 / n_docs AS sample_rate,
-       CAST(ceil(CAST(floor(w / denom * {float(TEMP_MIX_BUDGET)}) AS INTEGER) * 1.0 / n_docs) AS INTEGER) AS upsample_epochs
-FROM t CROSS JOIN d"""
-
-
-def q_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x22: EXACT epoch expansion — x20's mixing plan EXECUTED: per
-    language, every doc repeats ``planned // n`` full epochs and the
-    first ``planned % n`` docs (by the x15 portable rank, doc_id
-    tie-break) take one extra, so the realized per-language row count
-    equals the plan EXACTLY — integers, not expectations (a Bernoulli
-    gate on the fractional epoch would realize the plan only on
-    average; small languages — the whole point of temperature mixing —
-    get the largest relative binomial error). Output: one
-    (doc_id, lang, epoch) row per training-store occurrence — the
-    frame a repeat-aware loader (or x21's manifest) consumes.
-
-    Scale shape: the plan is 5 rows (broadcast); the per-language rank
-    window bounds by stratum size (the v15-cert posture — swap in
-    x17's histogram-cut kernel when a stratum outgrows one reducer);
-    the epoch fan-out is a narrow explode bounded by ceil(rate).
-    Oracle: x20's plan CTE + row_number + generate_series."""
-    from pyspark.sql import Window
-
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        ((F.col("doc_id") % PRIO_MOD) * F.lit(PRIO_MULT)).alias("rank_key"),
-    )
-    plan = q_temperature_mix(spark, sf_dir).select(
-        "lang",
-        # integer `div`, not float-divide-then-cast: double division
-        # can misfloor once planned counts outgrow 2^53 exactness —
-        # the oracle's `//` is integer arithmetic, so must this be
-        F.expr("cast(planned_docs as bigint) div n_docs").alias("full_ep"),
-        (F.col("planned_docs").cast("bigint") % F.col("n_docs")).alias("rem"),
-    )
-    w = Window.partitionBy("lang").orderBy("rank_key", "doc_id")
-    ranked = d.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked.join(F.broadcast(plan), "lang")
-        .withColumn(
-            "n_ep",
-            F.col("full_ep") + F.when(F.col("rn") <= F.col("rem"), 1).otherwise(0),
-        )
-        .filter(F.col("n_ep") > 0)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(F.expr("sequence(1, n_ep)")).alias("epoch"),
-        )
-        .withColumn("epoch", F.col("epoch").cast("int"))
-    )
-
-
-QUERIES["x22_epoch_expand"] = q_epoch_expand
-ORACLES["x22_epoch_expand"] = f"""
-WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
-t AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM c),
-dn AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY lang)),
-              (a, x) -> a + x) AS denom FROM t),
-plan AS (SELECT lang, n_docs,
-                CAST(floor(w / denom * {float(TEMP_MIX_BUDGET)}) AS BIGINT) AS planned
-         FROM t CROSS JOIN dn),
-p AS (SELECT lang, planned // n_docs AS full_ep, planned % n_docs AS rem FROM plan),
-r AS (SELECT doc_id, lang,
-             row_number() OVER (PARTITION BY lang
-                 ORDER BY (doc_id % {PRIO_MOD}) * {PRIO_MULT}, doc_id) AS rn
-      FROM documents),
-e AS (SELECT r.doc_id, r.lang,
-             p.full_ep + CASE WHEN r.rn <= p.rem THEN 1 ELSE 0 END AS n_ep
-      FROM r JOIN p USING (lang))
-SELECT doc_id, lang, CAST(unnest(range(n_ep)) + 1 AS INTEGER) AS epoch
-FROM e WHERE n_ep > 0"""
-
-
-def q_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t19: EVAL-side contamination attribution — t8 answers "which
-    TRAINING docs are contaminated and should be dropped"; t19 answers
-    the audit question asked before trusting a benchmark score: for
-    each EVAL document, how many training docs share its shingles, and
-    which single training doc is the worst offender (most shared
-    distinct 3-grams, ties to the lowest doc id) with what containment
-    of the eval doc. Zero-hit eval docs survive via the left join with
-    the eval spine (null offender, containment 0).
-
-    Scale shape: the eval shingle set (tiny — benchmarks, not corpora)
-    is exploded and BROADCAST; training shingles stream through one
-    explode → broadcast-join → (eval, train) count. The per-eval
-    argmax is a plain map-side-combinable MAX over a (count, -id)
-    struct — deliberately NOT a row_number window, so a widely-leaked
-    eval item (thousands of contaminating train docs) never becomes a
-    hot sort group."""
-    return contamination_audit(_docs(spark, sf_dir))
-
-
-def contamination_audit(d: DataFrame) -> DataFrame:
-    """t19's kernel over any (doc_id, source, text) frame — factored out
-    so planted-leak fixtures can drive it directly in pytest.
-
-    Exact-collapse pre-pass (the dd12/x19 lesson, applied after the
-    100× replica fixture OOM'd this kernel's (eval, train) hit
-    aggregation — verbatim replication makes the bipartite pair space
-    quadratic): verbatim-identical texts collapse WITHIN each side to
-    their lowest-id representative plus a group size, the shingle
-    audit runs rep-against-rep, and the rep-level report expands back
-    exactly. Output is IDENTICAL by construction: replicas carry
-    identical shingle sets, so every member of a train group has the
-    SAME overlap with a given eval doc (the per-pair count is
-    unchanged at rep level), the member-level argmax with
-    lowest-id tie-break IS the rep-level argmax (each rep is already
-    its group's minimum), n_train_docs_hit is the sum of hit groups'
-    sizes, and every eval member inherits its rep's report verbatim."""
-    flagged = d.select(
-        "doc_id", (F.col("source") == "src0").alias("is_ev"), "text"
-    )
-    groups = scoped_persist(
-        flagged.groupBy("is_ev", "text")
-        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n"))
-    )
-    sh = with_shingles(
-        groups.select("is_ev", F.col("rep_id").alias("doc_id"), "grp_n", "text")
-    )
-    ev = sh.filter(F.col("is_ev")).select(
-        F.col("doc_id").alias("eval_id"), "shingle"
-    )
-    ev_n = ev.select("eval_id", F.array_size("shingle").alias("n_ev_sh"))
-    ev_sh = ev.select("eval_id", F.explode("shingle").alias("sh"))
-    tr_sh = sh.filter(~F.col("is_ev")).select(
-        F.col("doc_id").alias("train_id"),
-        "grp_n",
-        F.explode("shingle").alias("sh"),
-    )
-    hits = (
-        tr_sh.join(F.broadcast(ev_sh), "sh")
-        .groupBy("eval_id", "train_id", "grp_n")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    top = hits.groupBy("eval_id").agg(
-        F.sum("grp_n").alias("n_train_docs_hit"),
-        F.max(
-            F.struct(F.col("n_overlap").alias("o"), (-F.col("train_id")).alias("nt"))
-        ).alias("m"),
-    )
-    rep_report = (
-        # both sides are eval-rep-sized (tiny); broadcast the audit
-        # aggregate so the spine join never shuffles
-        ev_n.join(F.broadcast(top), "eval_id", "left")
-        .select(
-            F.col("eval_id").alias("rep_id"),
-            "n_ev_sh",
-            F.coalesce("n_train_docs_hit", F.lit(0)).alias("n_train_docs_hit"),
-            (-F.col("m.nt")).alias("top_train_id"),
-            F.coalesce(F.col("m.o"), F.lit(0)).alias("top_overlap"),
-            (
-                F.coalesce(F.col("m.o"), F.lit(0))
-                * F.lit(1.0)
-                / F.col("n_ev_sh")
-            ).alias("top_containment"),
-        )
-    )
-    members = (
-        flagged.filter(F.col("is_ev"))
-        .join(groups.filter(F.col("is_ev")).select("text", "rep_id"), "text")
-        .select(F.col("doc_id").alias("eval_id"), "rep_id")
-    )
-    return members.join(F.broadcast(rep_report), "rep_id").select(
-        "eval_id",
-        "n_ev_sh",
-        "n_train_docs_hit",
-        "top_train_id",
-        "top_overlap",
-        "top_containment",
-    )
-
-
-QUERIES["t19_contamination_audit"] = q_contamination_audit
-ORACLES["t19_contamination_audit"] = f"""
-WITH {_SHINGLES_CTE},
-s AS (SELECT sh.doc_id, d.source, sh.shingle FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
-evn AS (SELECT doc_id AS eval_id, len(shingle) AS n_ev_sh FROM s WHERE source = 'src0'),
-ev AS (SELECT doc_id AS eval_id, unnest(shingle) AS g FROM s WHERE source = 'src0'),
-tr AS (SELECT doc_id AS train_id, unnest(shingle) AS g FROM s WHERE source <> 'src0'),
-hits AS (SELECT eval_id, train_id, count(*) AS n_overlap
-         FROM tr JOIN ev USING (g) GROUP BY eval_id, train_id),
-top AS (SELECT eval_id, count(*) AS n_train_docs_hit,
-               (max(struct_pack(o := n_overlap, nt := -train_id))).o AS top_overlap,
-               -(max(struct_pack(o := n_overlap, nt := -train_id))).nt AS top_train_id
-        FROM hits GROUP BY eval_id)
-SELECT e.eval_id, CAST(e.n_ev_sh AS INTEGER) AS n_ev_sh,
-       coalesce(t.n_train_docs_hit, 0) AS n_train_docs_hit,
-       t.top_train_id,
-       coalesce(t.top_overlap, 0) AS top_overlap,
-       coalesce(t.top_overlap, 0) * 1.0 / e.n_ev_sh AS top_containment
-FROM evn e LEFT JOIN top t USING (eval_id)"""
-
-
-#: v14 metadata filter: neighbors must carry this label (a tenant id,
-#: a license class, a language — any attribute predicate).
-V14_LABEL = 3
-
-
-def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v14: metadata-FILTERED exact top-k cosine search — retrieval
-    restricted to an attribute predicate (label = V14_LABEL: the
-    license-class / tenant / language filter every production vector
-    store needs). Semantics pinned: PRE-filtering (restrict the corpus,
-    then search) — post-filtering an unfiltered top-k under-returns
-    whenever fewer than k of the global top-k satisfy the predicate,
-    which is exactly the bug this operator exists to not have.
-
-    Scale shape: the predicate lands on the corpus SCAN (pushed to
-    parquet, prunable by a label-partitioned layout at 100 TB) BELOW
-    the broadcast-nested-loop score join, so the distance kernel only
-    ever sees surviving vectors; the top-k window partitions per query.
-    The production approximate form (filter below an IVF probe) is
-    benched as v14_prod."""
-    e = _embs(spark, sf_dir)
-    qs = e.filter(F.col("vec_id") < 3)
-    corpus = e.filter(F.col("label") == V14_LABEL)
-    out = knn_bruteforce(corpus, qs, k=5)
-    return out.withColumn("label", F.lit(V14_LABEL))
-
-
-def q_filtered_ann_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v14_prod: the production filtered-ANN shape — the same label
-    pre-filter below a TRAINED IVF probe join (filter-then-bucket:
-    cells are fit on the filtered corpus, so probe quality reflects
-    the filtered distribution, not the global one). Bench-only:
-    approximate output, recall-floor-tested in pytest like v4/v7.
-
-    Cell count is corpus-adaptive like every other prod ANN path
-    (round 15 — the prod-config contract test caught this one still
-    carrying the fixed-8 literal the v7/v8/v13 sweep removed): auto
-    sizes ≈ sqrt(n) on the FILTERED corpus, so per-query probed
-    candidates stay ~n_probes·sqrt(n_filtered) instead of a fixed
-    quarter-corpus scan."""
-    from ..operators.similarity import ivf_ann_trained
-
-    e = _embs(spark, sf_dir)
-    qs = e.filter(F.col("vec_id") < 3)
-    corpus = e.filter(F.col("label") == V14_LABEL)
-    return ivf_ann_trained(corpus, qs, k=5, n_cells="auto", n_iters=3, n_probes=2)
-
-
-QUERIES["v14_filtered_ann"] = q_filtered_ann
-BENCH_ONLY["v14_prod"] = q_filtered_ann_prod
-ORACLES["v14_filtered_ann"] = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE label = {V14_LABEL}),
-scored AS (
-  SELECT query_id, neighbor_id,
-         {_DOT.format(a='qv', b='cv')}
-           / (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='cv', b='cv')})) AS cosine
-  FROM c CROSS JOIN q WHERE neighbor_id <> query_id)
-SELECT query_id, neighbor_id, cosine, rnk, {V14_LABEL} AS label FROM (
-  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
-  FROM scored) WHERE rnk <= 5"""
-
-
-#: mm5 packing geometry: context window and the per-image patch-token
-#: cost (a ViT-style fixed patch budget per attached image).
-MM5_CTX = 512
-MM5_PATCH_TOKENS = 64
-
-
-def q_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mm5: modality-AWARE sequence packing — x6 packs text tokens;
-    multimodal training packs text AND image-patch tokens into the
-    same context budget (LLaVA-style interleaving), so a document with
-    an attached image costs n_text_tokens + MM5_PATCH_TOKENS. Media
-    attachment is the deterministic fixture stand-in (every 7th doc
-    carries one image — the codec honesty of mm1-mm4 applies; the
-    packing arithmetic, the thing this operator certifies, is real and
-    ALL-INTEGER, so the oracle comparison is exact).
-
-    Scale shape: identical to x6's — ONE window partitioned by source
-    (corpora pack within a shard, never globally) running an integer
-    cumsum; no global sort, no single-partition window."""
-    from pyspark.sql import Window
-
-    d = _docs(spark, sf_dir)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        d.select(
-            "doc_id",
-            "source",
-            F.array_size(F.split("text", " ")).alias("n_text_tokens"),
-        )
-        .withColumn("has_media", F.col("doc_id") % 7 == F.lit(0))
-        .withColumn(
-            "n_media_tokens",
-            F.when(F.col("has_media"), F.lit(MM5_PATCH_TOKENS)).otherwise(F.lit(0)),
-        )
-        .withColumn("cost", F.col("n_text_tokens") + F.col("n_media_tokens"))
-        .withColumn(
-            "start_offset",
-            F.coalesce(F.sum("cost").over(w), F.lit(0)).cast("bigint"),
-        )
-        .withColumn("bin_id", F.expr(f"start_offset div {MM5_CTX}"))
-    )
-
-
-QUERIES["mm5_interleaved_pack"] = q_interleaved_pack
-ORACLES["mm5_interleaved_pack"] = f"""
-WITH t AS (SELECT doc_id, source,
-                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_text_tokens,
-                  doc_id % 7 = 0 AS has_media
-           FROM documents),
-c AS (SELECT *, CASE WHEN has_media THEN {MM5_PATCH_TOKENS} ELSE 0 END AS n_media_tokens,
-             n_text_tokens + CASE WHEN has_media THEN {MM5_PATCH_TOKENS} ELSE 0 END AS cost
-      FROM t),
-s AS (SELECT doc_id, source, n_text_tokens, has_media, n_media_tokens, cost,
-             CAST(coalesce(sum(cost) OVER (PARTITION BY source ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
-      FROM c)
-SELECT doc_id, source, n_text_tokens, has_media, n_media_tokens, cost,
-       start_offset, start_offset // {MM5_CTX} AS bin_id FROM s"""
-
-
-#: v15 pruning knobs: the cert drops the PRUNE_N most prototypical
-#: vectors per label (exact rank); the prod twin drops the top
-#: PRUNE_FRAC quantile via a percentile sketch (no per-label sort).
-V15_PRUNE_N = 10
-V15_PRUNE_FRAC = 0.2
-
-
-def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v15: prototype-distance pruning (the SSL-prototypes shape:
-    Sorscher et al.'s "beyond neural scaling laws" easy-example
-    pruning) — score every vector by cosine to its OWN group's mean
-    vector (label = cluster stand-in, as in v3), then drop the
-    PRUNE_N most prototypical per group: near-centroid examples are
-    the redundant ones once near-duplicates (v6/v10) are gone; what
-    survives is the diverse tail that actually adds information per
-    training token.
-
-    Certification shape: the group mean is a FIXED-ORDER per-dimension
-    fold over vec_id-sorted values (a plain avg is order-dependent in
-    the last ulp, which a rank boundary could amplify), the cosine is
-    the sequential :func:`..operators.similarity.dot` fold, and the
-    per-label rank window breaks ties on vec_id — every value
-    bit-identical in DuckDB, keep decisions included. The scale path
-    is ``v15_prod``: map-side avg centroids + a percentile_approx
-    cutoff broadcast back (t13's sketch shape) — no per-label sort
-    anywhere, so a hot label never serializes."""
-    from pyspark.sql import Window
-
-    from ..operators.similarity import cosine
-
-    e = _embs(spark, sf_dir)
-    exploded = e.select(
-        "label",
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
-    )
-    means = exploded.groupBy("label", "pos").agg(
-        (
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
-                    lambda s: s["val"],
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            / F.count(F.lit(1))
-        ).alias("mean_val")
-    )
-    cents = means.groupBy("label").agg(
-        F.expr(
-            "transform(sort_array(collect_list(struct(pos, mean_val))), p -> p.mean_val)"
-        ).alias("centroid")
-    )
-    scored = e.join(F.broadcast(cents), "label").select(
-        "vec_id",
-        "label",
-        cosine(F.col("embedding").cast("array<double>"), F.col("centroid")).alias(
-            "proto_cosine"
-        ),
-    )
-    w = Window.partitionBy("label").orderBy(F.col("proto_cosine").desc(), "vec_id")
-    return scored.withColumn("rnk", F.row_number().over(w)).withColumn(
-        "keep", F.col("rnk") > F.lit(V15_PRUNE_N)
-    )
-
-
-def q_prototype_prune_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v15_prod: the production pruning shape — map-side-combinable avg
-    centroids (:func:`..operators.similarity.centroids_by_label`), the
-    same cosine fold, and a per-label ``percentile_approx`` cutoff
-    broadcast back as a 1-row-per-label join (t13's certified sketch
-    shape) instead of an exact rank window: no per-label sort, so the
-    hot-label cliff never exists. Bench-only: the sketch cutoff is
-    approximate at the boundary (cutoff quality pytest-pinned against
-    the exact rank on the fixture)."""
-    from ..operators.similarity import centroids_by_label, cosine
-
-    e = _embs(spark, sf_dir)
-    cents = centroids_by_label(e)
-    scored = e.join(F.broadcast(cents), "label").select(
-        "vec_id",
-        "label",
-        cosine(F.col("embedding").cast("array<double>"), F.col("centroid")).alias(
-            "proto_cosine"
-        ),
-    )
-    cuts = scored.groupBy("label").agg(
-        F.percentile_approx("proto_cosine", 1.0 - V15_PRUNE_FRAC, 10000).alias("cut")
-    )
-    return scored.join(F.broadcast(cuts), "label").withColumn(
-        "keep", F.col("proto_cosine") <= F.col("cut")
-    )
-
-
-QUERIES["v15_prototype_prune"] = q_prototype_prune
-BENCH_ONLY["v15_prod"] = q_prototype_prune_prod
-ORACLES["v15_prototype_prune"] = f"""
-WITH m AS (
-  SELECT label, i AS pos,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list(CAST(embedding[i+1] AS DOUBLE) ORDER BY vec_id)), (a, x) -> a + x)
-           / count(*) AS mean_val
-  FROM embeddings CROSS JOIN range(64) r(i)
-  GROUP BY label, i),
-c AS (SELECT label, list(mean_val ORDER BY pos) AS centroid FROM m GROUP BY label),
-s AS (SELECT e.vec_id, e.label,
-        {_DOT.format(a='embedding', b='centroid')}
-          / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})) AS proto_cosine
-      FROM embeddings e JOIN c USING (label))
-SELECT vec_id, label, proto_cosine, rnk, rnk > {V15_PRUNE_N} AS keep FROM (
-  SELECT *, CAST(row_number() OVER (PARTITION BY label ORDER BY proto_cosine DESC, vec_id) AS INTEGER) AS rnk
-  FROM s)"""
-
-
-def q_density_gate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v16: the LINEAR density gate (VERDICT r14 item 2) — the 100 TB
-    alternative to v13's n^1.5 exact-audit kernel, as code instead of
-    prose: prototype-cosine to the own-label mean vector, global exact
-    bottom-decile gate. Forced through :func:`density_gate`'s selector
-    (``budget=0`` → linear branch; ``exact=True`` → the cert shape:
-    deterministic v15 fixed-order centroid folds + exact global
-    ``percent_rank``) so the SELECTOR itself is on the certified path.
-    The budget decision and the audit↔linear outlier-set agreement are
-    pytest-pinned on the planted-cluster fixture."""
-    from ..operators.similarity import density_gate
-
-    return density_gate(_embs(spark, sf_dir), decile=0.1, budget=0, exact=True)
-
-
-QUERIES["v16_density_gate"] = q_density_gate_linear
-ORACLES["v16_density_gate"] = f"""
-WITH m AS (
-  SELECT label, i AS pos,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list(CAST(embedding[i+1] AS DOUBLE) ORDER BY vec_id)), (a, x) -> a + x)
-           / count(*) AS mean_val
-  FROM embeddings CROSS JOIN range(64) r(i)
-  GROUP BY label, i),
-c AS (SELECT label, list(mean_val ORDER BY pos) AS centroid FROM m GROUP BY label),
-s AS (SELECT e.vec_id,
-        round({_DOT.format(a='embedding', b='centroid')}
-          / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
-      FROM embeddings e JOIN c USING (label)),
-r AS (SELECT vec_id, density_score,
-             round(percent_rank() OVER (ORDER BY density_score), 6) AS pct
-      FROM s)
-SELECT vec_id, density_score, pct, pct <= 0.1 AS is_outlier,
-       'prototype_linear' AS method
-FROM r"""
-
-
-def q_density_gate_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v16_prod: the selector at its production default — one memoized
-    count decides audit-vs-linear (at bench scale the corpus fits
-    DENSITY_AUDIT_BUDGET, so this times the audit branch THROUGH the
-    selector; the linear branch's cost is benched by v15_prod and the
-    100× row in SCALE100X.md). Bench-only: branch output is
-    approximate (sketch gate), agreement pytest-pinned."""
-    from ..operators.similarity import density_gate
-
-    return density_gate(_embs(spark, sf_dir), k=5, decile=0.1, n_probes=4)
-
-
-BENCH_ONLY["v16_prod"] = q_density_gate_prod
-
-
-#: x26 diversity cap: max gate-survivors kept per label (the x12
-#: cell-balance idea at label granularity, deterministic exact form)
-X26_CAP = 25
-
-
-def q_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x26: the EMBEDDING-side curation chain — the composition the
-    text pipelines (x11/x14/x16) have had since round 8, for the
-    vector modality: (1) semantic near-dup collapse (v10's SemDeDup
-    keep-list: RHP-blocked cosine pairs → connected components → keep
-    cluster minimum), (2) the linear density gate on the SURVIVORS
-    (v16's prototype-cosine kernel, exact cert form — centroids are
-    computed on survivors, not the raw corpus, so a large dropped
-    near-dup cluster cannot drag its label's prototype), (3) a
-    per-label diversity cap keeping the X26_CAP LEAST prototypical
-    survivors (the v15/Sorscher easy-example-pruning direction: after
-    outliers are gone, the diverse tail adds the most information per
-    training token). One row per ORIGINAL vector with full provenance:
-    ``kept_dedup`` / ``density_score``+``pct``+``is_outlier`` (null for
-    dedup-dropped rows) / ``rnk`` (null unless it survived the gate) /
-    final ``kept``.
-
-    Scale shape: stage-1 candidates are RHP-bucketed (never
-    all-pairs; threshold 0.45 is the certification config — production
-    runs ≥0.9 with n_planes="auto", benched as x26_prod), CC is
-    O(log diameter) pointer jumping on slim pairs, the gate is one
-    broadcast-centroid join, and the cap window partitions by label —
-    no corpus-keyed window, no global sort outside the cert-only
-    percent_rank."""
-    from pyspark.sql import Window
-
-    from ..operators.dedup import connected_components
-    from ..operators.similarity import (
-        embedding_dedup_pairs,
-        prototype_density_outliers,
-    )
-
-    from ..operators import scoped_persist
-
-    e = _embs(spark, sf_dir)
-    pairs = embedding_dedup_pairs(e, threshold=0.45)
-    cc = connected_components(pairs).select(F.col("id").alias("vec_id"), "cluster_id")
-    # base and gate are each consumed twice (filter arm + provenance
-    # arm); persist the boundaries so the CC join and the exact
-    # centroid agg compute once (round-19 interleaved A/B at sf0.1:
-    # median paired ratio 0.908 over 4 rounds, value-identical; the
-    # v11 scoped_persist precedent — caller/bench owns cache cleanup)
-    base = scoped_persist(
-        e.select("vec_id", "label")
-        .join(cc, "vec_id", "left")
-        .select(
-            "vec_id",
-            "label",
-            F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
-            (F.coalesce("cluster_id", F.col("vec_id")) == F.col("vec_id")).alias(
-                "kept_dedup"
-            ),
-        )
-    )
-    surv = e.join(base.filter(F.col("kept_dedup")).select("vec_id"), "vec_id")
-    gate = scoped_persist(
-        prototype_density_outliers(surv, decile=0.1, exact=True).select(
-            "vec_id",
-            F.col("proto_cosine").alias("density_score"),
-            "pct",
-            "is_outlier",
-        )
-    )
-    w = Window.partitionBy("label").orderBy(F.asc("density_score"), F.asc("vec_id"))
-    ranked = (
-        gate.filter(~F.col("is_outlier"))
-        .join(e.select("vec_id", "label"), "vec_id")
-        .withColumn("rnk", F.row_number().over(w))
-        .select("vec_id", "rnk")
-    )
-    return (
-        base.join(gate, "vec_id", "left")
-        .join(ranked, "vec_id", "left")
-        .select(
-            "vec_id",
-            "label",
-            "cluster_id",
-            "kept_dedup",
-            "density_score",
-            "pct",
-            "is_outlier",
-            "rnk",
-            F.coalesce(
-                F.col("kept_dedup")
-                & ~F.col("is_outlier")
-                & (F.col("rnk") <= X26_CAP),
-                F.lit(False),
-            ).alias("kept"),
-        )
-    )
-
-
-QUERIES["x26_embedding_curation"] = q_embedding_curation
-ORACLES["x26_embedding_curation"] = f"""
-WITH RECURSIVE
-n AS (SELECT vec_id, embedding, sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
-      FROM embeddings),
-p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM n a JOIN n b ON a.vec_id < b.vec_id
-  WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= 0.45),
-ed AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-reach AS (
-  SELECT src, dst FROM ed
-  UNION
-  SELECT r.src, ed.dst FROM reach r JOIN ed ON r.dst = ed.src WHERE ed.dst <> r.src),
-cl AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
-base AS (
-  SELECT em.vec_id, em.label,
-         coalesce(cl.cluster_id, em.vec_id) AS cluster_id,
-         coalesce(cl.cluster_id, em.vec_id) = em.vec_id AS kept_dedup
-  FROM embeddings em LEFT JOIN cl USING (vec_id)),
-surv AS (SELECT em.* FROM embeddings em JOIN base USING (vec_id) WHERE base.kept_dedup),
-m AS (
-  SELECT label, i AS pos,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list(CAST(embedding[i+1] AS DOUBLE) ORDER BY vec_id)), (a, x) -> a + x)
-           / count(*) AS mean_val
-  FROM surv CROSS JOIN range(64) r(i)
-  GROUP BY label, i),
-c AS (SELECT label, list(mean_val ORDER BY pos) AS centroid FROM m GROUP BY label),
-s AS (SELECT sv.vec_id, sv.label,
-        round({_DOT.format(a='embedding', b='centroid')}
-          / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
-      FROM surv sv JOIN c USING (label)),
-g AS (SELECT vec_id, label, density_score,
-             round(percent_rank() OVER (ORDER BY density_score), 6) AS pct
-      FROM s),
-r AS (SELECT vec_id,
-             CAST(row_number() OVER (PARTITION BY label ORDER BY density_score, vec_id) AS INTEGER) AS rnk
-      FROM g WHERE pct > 0.1)
-SELECT b.vec_id, b.label, b.cluster_id, b.kept_dedup,
-       g.density_score, g.pct,
-       CASE WHEN g.pct IS NULL THEN NULL ELSE g.pct <= 0.1 END AS is_outlier,
-       r.rnk,
-       coalesce(b.kept_dedup AND g.pct > 0.1 AND r.rnk <= {X26_CAP}, FALSE) AS kept
-FROM base b LEFT JOIN g USING (vec_id) LEFT JOIN r USING (vec_id)"""
-
-
-def q_embedding_curation_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x26_prod: the production config of the embedding curation chain
-    — SemDeDup regime threshold (0.92: copies and true paraphrases),
-    corpus-adaptive RHP planes, and the gate in its sketch form
-    (percentile_approx scalar, no global percent_rank). Bench-only:
-    bucketing makes stage-1 candidates approximate, so this is
-    recall/agreement-covered by the v10/v16 pins, not oracle-hashed."""
-    from pyspark.sql import Window
-
-    from ..operators.dedup import connected_components
-    from ..operators.similarity import (
-        embedding_dedup_pairs,
-        prototype_density_outliers,
-    )
-
-    e = _embs(spark, sf_dir)
-    pairs = embedding_dedup_pairs(e, threshold=0.92, n_planes="auto")
-    cc = connected_components(pairs).select(F.col("id").alias("vec_id"), "cluster_id")
-    base = (
-        e.select("vec_id", "label")
-        .join(cc, "vec_id", "left")
-        .select(
-            "vec_id",
-            "label",
-            (F.coalesce("cluster_id", F.col("vec_id")) == F.col("vec_id")).alias(
-                "kept_dedup"
-            ),
-        )
-    )
-    surv = e.join(base.filter(F.col("kept_dedup")).select("vec_id"), "vec_id")
-    gate = prototype_density_outliers(surv, decile=0.1)
-    w = Window.partitionBy("label").orderBy(F.asc("proto_cosine"), F.asc("vec_id"))
-    return (
-        gate.filter(~F.col("is_outlier"))
-        .join(e.select("vec_id", "label"), "vec_id")
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= X26_CAP)
-        .select("vec_id", "label", "proto_cosine", "rnk")
-    )
-
-
-BENCH_ONLY["x26_prod"] = q_embedding_curation_prod
-
-
-def q_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v17: IVF index-maintenance telemetry — the operational query a
-    production vector store runs as batches arrive against a FITTED
-    coarse quantizer: per-cell occupancy/share, mean squared
-    quantization error, and the refit verdicts (high_skew: cell share
-    > 2/k — a hot region outgrew its cell; high_error: mean error >
-    1.5× the global mean — centroid drift). A scheduler watching this
-    table refits when the index degrades instead of on a timer.
-
-    Certification shape: the quantizer is the DETERMINISTIC stand-in
-    fit (the 8 lowest-vec_id vectors as centroids — the kmeans_fit
-    init rule, reproducible in SQL; Lloyd iteration itself is never
-    reproduced in SQL, the v7/v11 precedent), assignment distances are
-    sequential HOF folds (argmin ties to the lowest cell in both
-    engines), per-cell means are the v15 fixed-order fold. The
-    production shape (trained k-means at auto cells + Arrow
-    assignment) is ``v17_prod``."""
-    from ..operators.similarity import index_maintenance_report
-
-    e = _embs(spark, sf_dir)
-    cent_rows = (
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .orderBy("vec_id")
-        .limit(8)
-        .collect()
-    )
-    centroids = [list(r.v) for r in cent_rows]
-    return index_maintenance_report(e, centroids, exact=True)
-
-
-QUERIES["v17_index_maintenance"] = q_index_maintenance
-_SQDIFF = (
-    "(CAST(e.embedding[j+1] AS DOUBLE) - CAST(ct.c[j+1] AS DOUBLE))"
-    " * (CAST(e.embedding[j+1] AS DOUBLE) - CAST(ct.c[j+1] AS DOUBLE))"
+# Registry continuation (VERDICT r15 item 7): the single-file registry
+# outgrew review (6,476 lines), so the later accretion waves live in
+# llmops_mid.py / llmops_tail.py. They star-import THIS module and
+# mutate the same QUERIES/ORACLES/BENCH_ONLY dicts, so importing
+# plans.llmops (as every consumer does) registers all entries in the
+# ORIGINAL chronological order — the driver window and full-sweep
+# ordering are unchanged. The star re-imports expose the later parts'
+# public names on this module, preserving the
+# ``from plans.llmops import X`` surface; externally-used private
+# helpers are re-exported explicitly.
+from .llmops_mid import *  # noqa: E402,F401,F403
+from .llmops_tail import *  # noqa: E402,F401,F403
+from .llmops_mid import (  # noqa: E402,F401 - tests import these
+    _sq_dequantized,
+    _sq_scored_pairs,
 )
-ORACLES["v17_index_maintenance"] = f"""
-WITH cents AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
-  FROM embeddings ORDER BY vec_id LIMIT 8),
-d AS (
-  SELECT e.vec_id, ct.cell,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(range(64), j -> {_SQDIFF})), (a, x) -> a + x) AS dist2
-  FROM embeddings e CROSS JOIN cents ct),
-a AS (SELECT vec_id, cell, dist2,
-             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rk
-      FROM d),
-asg AS (SELECT vec_id, cell, dist2 FROM a WHERE rk = 1),
-pc AS (
-  SELECT cell, count(*) AS n_vecs,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list(dist2 ORDER BY vec_id)), (a, x) -> a + x) / count(*) AS mean_raw
-  FROM asg GROUP BY cell),
-tot AS (
-  SELECT sum(n_vecs) AS n,
-         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list(mean_raw ORDER BY cell)), (a, x) -> a + x) AS sum_means,
-         count(*) AS k_seen
-  FROM pc)
-SELECT CAST(pc.cell AS INTEGER) AS cell, n_vecs,
-       round(n_vecs * 1.0 / tot.n, 6) AS share,
-       round(mean_raw, 6) AS mean_dist2,
-       n_vecs * 1.0 / tot.n > 2.0 / 8 AS high_skew,
-       mean_raw > 1.5 * tot.sum_means / tot.k_seen AS high_error,
-       (n_vecs * 1.0 / tot.n > 2.0 / 8)
-         OR (mean_raw > 1.5 * tot.sum_means / tot.k_seen) AS refit
-FROM pc CROSS JOIN tot"""
-
-
-def q_index_maintenance_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v17_prod: the production maintenance pass — a TRAINED quantizer
-    (kmeans_fit at corpus-adaptive cells via auto_n_cells(memo_count);
-    amortized across batches in production, included for end-to-end
-    honesty) and the Arrow nearest_cells assignment (centroids in the
-    kernel closure, never the plan — the ADVICE-r14 literal-blowup
-    rule). Bench-only: the fit is iterative (never SQL-reproduced);
-    telemetry semantics are certified by v17."""
-    from ..operators import memo_count
-    from ..operators.similarity import (
-        auto_n_cells,
-        index_maintenance_report,
-        kmeans_fit,
-    )
-
-    e = _embs(spark, sf_dir)
-    n_cells = auto_n_cells(memo_count(e))
-    centroids, _ = kmeans_fit(e, k=n_cells)
-    return index_maintenance_report(e, centroids, exact=False)
-
-
-BENCH_ONLY["v17_prod"] = q_index_maintenance_prod
-
-
-#: x27 density-gate decile: fraction of quality survivors flagged as
-#: embedding-space outliers (the v16 convention).
-X27_DECILE = 0.1
-
-
-def _x27_stages(spark: SparkSession, sf_dir: str):
-    """x27 stages 1-3 shared by the cert and prod forms: line dedup →
-    recomputed quality gate → survivor docs joined to their embeddings.
-    Returns ``(docs, quality, survivors)``."""
-    from ..operators import scoped_persist
-    from ..operators.dedup import line_dedup
-
-    d = _docs(spark, sf_dir)
-    e = _embs(spark, sf_dir)
-    toks = F.split("clean_text", " ")
-    # quality forks the lineage (filter arm + provenance arm); persist
-    # the boundary so the segment agg computes once (round-19
-    # interleaved A/B at sf0.1: median paired ratio 0.922, 4/4 rounds
-    # faster, value-identical — the x26/v11 scoped_persist precedent)
-    quality = scoped_persist(
-        line_dedup(d, seg_tokens=8).select(
-            "doc_id",
-            F.array_size(toks).alias("n_clean_tokens"),
-            (
-                (F.array_size(toks) >= GATE_MIN_TOKENS)
-                & (
-                    F.array_size(F.array_distinct(toks)) / F.array_size(toks)
-                    >= GATE_MIN_DISTINCT_RATIO
-                )
-            ).alias("passed_quality"),
-        )
-    )
-    # surv feeds the gate twice (centroid agg + scoring join) and, in
-    # the prod form, the provenance join as well — persist the boundary
-    # so the doc→embedding equi-join executes once (self-review r19:
-    # the unpersisted plan scanned documents.parquet 20×)
-    surv = scoped_persist(
-        quality.filter("passed_quality")
-        .select("doc_id")
-        .join(d.select("doc_id", "lang"), "doc_id")
-        .join(e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
-    )
-    return d, quality, surv
-
-
-def q_joint_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x27: the JOINT text+embedding curation chain — the round-19
-    agenda item closed ("the embedding gate is a natural fourth stage
-    once embeddings ride the pipeline"): x16's text stages with v16's
-    linear density gate appended, cross-modal because the TEXT
-    metadata (``lang``) groups the VECTOR prototypes:
-
-    1. dd13 line dedup (boilerplate segments removed globally, BEFORE
-       any gate — the x16 ordering),
-    2. t7's quality gate RECOMPUTED on the cleaned text
-       (>= GATE_MIN_TOKENS tokens AND distinct-token ratio >=
-       GATE_MIN_DISTINCT_RATIO — the x16 convention),
-    3. v16's linear density gate on the survivors' embeddings
-       (doc_id = vec_id, the fixture's contract), prototypes per
-       LANGUAGE computed on the SURVIVORS only — a dropped boilerplate
-       farm cannot drag its language's prototype (the x26 stage-2
-       lesson),
-    4. final keep + full provenance, one row per ORIGINAL doc
-       (``n_clean_tokens`` / ``passed_quality`` always set;
-       ``density_score``/``pct``/``is_outlier`` null unless the doc
-       reached the gate).
-
-    Scale shape: a linear chain — dd13's MIN agg + equi-join, a
-    map-side quality filter, ONE co-partitioned doc→embedding
-    equi-join, one broadcast-centroid cosine join (|langs|·dim rows).
-    The only global sort is the cert-only exact percent_rank; the
-    production form (``x27_prod``) replaces it with v16's
-    percentile_approx scalar broadcast. ``quality`` forks the lineage
-    (filter arm + provenance arm) — the boundary is scoped_persist-ed
-    in ``_x27_stages`` so the segment agg computes once (A/B'd; see
-    the comment there)."""
-    from ..operators.similarity import prototype_density_outliers
-
-    d, quality, surv = _x27_stages(spark, sf_dir)
-    gate = prototype_density_outliers(
-        surv,
-        decile=X27_DECILE,
-        label_col="lang",
-        id_col="doc_id",
-        exact=True,
-    ).select(
-        "doc_id",
-        F.col("proto_cosine").alias("density_score"),
-        "pct",
-        "is_outlier",
-    )
-    return (
-        d.select("doc_id", "lang")
-        .join(quality, "doc_id")
-        .join(gate, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            "n_clean_tokens",
-            "passed_quality",
-            "density_score",
-            "pct",
-            "is_outlier",
-            F.coalesce(
-                F.col("passed_quality") & ~F.col("is_outlier"), F.lit(False)
-            ).alias("kept"),
-        )
-    )
-
-
-QUERIES["x27_joint_curation"] = q_joint_curation
-ORACLES["x27_joint_curation"] = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-ix AS (SELECT doc_id, tok,
-              unnest(range(CAST(ceil(len(tok) / 8.0) AS BIGINT))) AS i
-       FROM t),
-segs AS (SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
-                array_to_string(tok[i*8+1 : i*8+8], ' ') AS seg,
-                doc_id * 1000000 + i AS occ_key
-         FROM ix),
-canon AS (SELECT seg, min(occ_key) AS canon_key FROM segs GROUP BY seg),
-ksegs AS (SELECT doc_id, seg_idx, seg, occ_key = canon_key AS is_kept
-          FROM segs JOIN canon USING (seg)),
-agg AS (SELECT doc_id,
-               coalesce(string_agg(CASE WHEN is_kept THEN seg END, ' ' ORDER BY seg_idx), '') AS clean_text
-        FROM ksegs GROUP BY doc_id),
-q AS (SELECT doc_id,
-             CAST(len(string_split(clean_text, ' ')) AS INTEGER) AS n_clean_tokens,
-             len(string_split(clean_text, ' ')) >= {GATE_MIN_TOKENS}
-               AND len(list_distinct(string_split(clean_text, ' '))) * 1.0
-                     / len(string_split(clean_text, ' ')) >= {GATE_MIN_DISTINCT_RATIO}
-               AS passed_quality
-      FROM agg),
-surv AS (SELECT d.doc_id, d.lang, e.embedding
-         FROM documents d JOIN q USING (doc_id)
-         JOIN embeddings e ON e.vec_id = d.doc_id
-         WHERE q.passed_quality),
-m AS (SELECT lang, i AS pos,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list(CAST(embedding[i+1] AS DOUBLE) ORDER BY doc_id)), (a, x) -> a + x)
-               / count(*) AS mean_val
-      FROM surv CROSS JOIN range(64) r(i)
-      GROUP BY lang, i),
-c AS (SELECT lang, list(mean_val ORDER BY pos) AS centroid FROM m GROUP BY lang),
-s AS (SELECT sv.doc_id,
-        round({_DOT.format(a='embedding', b='centroid')}
-          / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
-      FROM surv sv JOIN c USING (lang)),
-g AS (SELECT doc_id, density_score,
-             round(percent_rank() OVER (ORDER BY density_score), 6) AS pct
-      FROM s)
-SELECT d.doc_id, d.lang, q.n_clean_tokens, q.passed_quality,
-       g.density_score, g.pct,
-       CASE WHEN g.pct IS NULL THEN NULL ELSE g.pct <= {X27_DECILE} END AS is_outlier,
-       coalesce(q.passed_quality AND g.pct > {X27_DECILE}, FALSE) AS kept
-FROM documents d JOIN q USING (doc_id) LEFT JOIN g USING (doc_id)"""
-
-
-def q_joint_curation_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x27_prod: the production config of the joint chain — identical
-    text stages, the density gate in its sketch form (map-side-
-    combinable avg centroids + percentile_approx scalar broadcast, no
-    global sort). Bench-only: the approx threshold makes the outlier
-    CUT approximate; semantics are certified by x27 and the two forms'
-    keep decisions are agreement-pinned in tests/test_llmops.py.
-    Returns the kept docs only (the shape a training store ingests)."""
-    from ..operators.similarity import prototype_density_outliers
-
-    _, _, surv = _x27_stages(spark, sf_dir)
-    gate = prototype_density_outliers(
-        surv, decile=X27_DECILE, label_col="lang", id_col="doc_id"
-    )
-    return (
-        gate.filter(~F.col("is_outlier"))
-        .join(surv.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", F.col("proto_cosine").alias("density_score"))
-    )
-
-
-BENCH_ONLY["x27_prod"] = q_joint_curation_prod
-
-
-def _snapshot_churn(d: DataFrame, key) -> DataFrame:
-    """dd17's kernel over any (doc_id, source, text) frame: per-source
-    EXACT content churn between two snapshots (doc_id parity — the
-    t20/dd16b convention). ``key`` is the content-identity column: the
-    raw text (cert — bit-exact in any engine) or a 64-bit hash of it
-    (prod — the slim shuffle). Presence is per DISTINCT content per
-    source, so intra-snapshot duplicates count once."""
-    pres = d.groupBy("source", key.alias("__k")).agg(
-        F.max((F.col("doc_id") % 2 == 0).cast("int")).alias("in_a"),
-        F.max((F.col("doc_id") % 2 == 1).cast("int")).alias("in_b"),
-    )
-    n_a = F.sum(F.col("in_a").cast("long")).alias("n_a")
-    n_b = F.sum(F.col("in_b").cast("long")).alias("n_b")
-    retained = F.sum(
-        ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
-    ).alias("retained")
-    added = F.sum(((F.col("in_b") == 1) & (F.col("in_a") == 0)).cast("long")).alias(
-        "added"
-    )
-    removed = F.sum(
-        ((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")
-    ).alias("removed")
-    return (
-        pres.groupBy("source")
-        .agg(n_a, n_b, retained, added, removed)
-        .withColumn(
-            # SURVEY §8 float-parity rule: 6dp quantization of a raw
-            # double ratio is engine-dependent at representational ties
-            # (Spark BigDecimal HALF_UP vs DuckDB scaled-multiply), so
-            # bridge through decimal(18,12) before rounding — the
-            # star.py money-rounding precedent. The oracle leg mirrors
-            # the same CAST/round/CAST chain.
-            "churn",
-            F.round(
-                (
-                    (F.col("added") + F.col("removed"))
-                    / (F.col("n_a") + F.col("n_b"))
-                ).cast("decimal(18,12)"),
-                6,
-            ).cast("double"),
-        )
-    )
-
-
-def q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd17: per-source EXACT snapshot churn — the operational diff a
-    recurring crawl runs between two corpus versions (doc_id parity
-    stands in for two crawl dates, the t20/dd16b convention): distinct
-    contents retained / added / removed per source, plus a churn ratio
-    ((added+removed)/(n_a+n_b)). Complements dd16b, which ESTIMATES
-    cross-snapshot overlap from MinHash sketches at shingle
-    granularity — dd17 is the exact doc-granularity ledger a source
-    on-boarding decision reads (a source churning 90 % per crawl is a
-    spam signal; one churning 0 % has gone stale).
-
-    Scale shape: ONE map-side-combinable groupBy on (source, content
-    key) — presence flags are max-folds, exact in any order — then a
-    per-source roll-up of five longs. No join, no window, no explode;
-    at 100 TB the only shuffle is keyed by content, and the production
-    form (``dd17_prod``) shuffles a 64-bit xxhash64 instead of the
-    text (count-equal pinned in tests/test_llmops.py; a collision
-    would need ~2^32 distinct docs per source)."""
-    return _snapshot_churn(_docs(spark, sf_dir), F.col("text"))
-
-
-QUERIES["dd17_snapshot_churn"] = q_snapshot_churn
-ORACLES["dd17_snapshot_churn"] = """
-WITH pres AS (
-  SELECT source, text,
-         max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
-         max(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS in_b
-  FROM documents GROUP BY source, text)
-SELECT source,
-       sum(in_a) AS n_a,
-       sum(in_b) AS n_b,
-       sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS retained,
-       sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS added,
-       sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS removed,
-       CAST(round(CAST((sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
-            + sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)) * 1.0
-           / (sum(in_a) + sum(in_b)) AS DECIMAL(18,12)), 6) AS DOUBLE) AS churn
-FROM pres GROUP BY source"""
-
-
-def q_snapshot_churn_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd17_prod: the production shape — content identity is
-    xxhash64(text), so the presence groupBy shuffles 8 bytes per doc
-    instead of the document body. Bench-only: the hash is
-    Spark-specific (no DuckDB twin); counts are pinned equal to the
-    cert form in tests/test_llmops.py."""
-    return _snapshot_churn(_docs(spark, sf_dir), F.xxhash64("text"))
-
-
-BENCH_ONLY["dd17_prod"] = q_snapshot_churn_prod
-
-
-#: v18 probe set: the V18_QUERIES lowest vec_ids (the v17 stand-in
-#: convention — deterministic, SQL-reproducible) scored at top-V18_K.
-V18_K = 5
-V18_QUERIES = 8
-
-
-def q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v18: ANN recall telemetry — the INDEX-QUALITY twin of v17's
-    maintenance report: for a deterministic probe set of query vectors,
-    measure the bucket-only ANN's recall@k against exact brute force.
-    A vector store runs this after every refit (v17 says WHEN to refit;
-    v18 says whether the refit index still FINDS things): per query,
-    the bucket's candidate count, how many neighbors the bucket could
-    return, and recall@k — falling recall with healthy v17 telemetry
-    means the bucketing (not the centroids) degraded.
-
-    Certification shape: the bucketing is :func:`rhp_cell_portable`
-    (the x12 engine-portable LCG cell — DuckDB reproduces every cell
-    bit-for-bit), both legs rank by (cosine DESC, vec_id) with
-    sequential HOF folds, so the ENTIRE report — candidate counts,
-    recall fractions — is hash-certified, not verdict-scaffolded. The
-    production bucketing (murmur signatures, multi-probe, auto planes)
-    is ``v18_prod``, recall-measured against the same exact leg.
-
-    Scale shape: the probe set is bounded (broadcast both legs); the
-    exact leg is ONE corpus scan with a per-query top-k window — the
-    ground-truth cost is the point of the report, and at 100 TB it
-    runs over a corpus SAMPLE (the recall estimate converges at
-    thousands of probes regardless of corpus size)."""
-    from ..operators.similarity import (
-        dot,
-        knn_bruteforce,
-        l2_norm,
-        rhp_cell_portable,
-    )
-    from pyspark.sql import Window
-
-    e = _embs(spark, sf_dir)
-    cells = e.select(
-        "vec_id",
-        "embedding",
-        rhp_cell_portable("embedding", n_planes=X12_PLANES).alias("cell"),
-    )
-    qs = (
-        cells.filter(F.col("vec_id") < V18_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_vec"),
-            F.col("cell").alias("q_cell"),
-        )
-        .withColumn("q_nrm", l2_norm("q_vec"))
-    )
-    exact = knn_bruteforce(
-        e, e.filter(F.col("vec_id") < V18_QUERIES), k=V18_K
-    ).select("query_id", "neighbor_id")
-    cand = (
-        cells.join(
-            F.broadcast(qs),
-            (F.col("cell") == F.col("q_cell"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .withColumn("c_nrm", l2_norm("embedding"))
-        .withColumn(
-            "cosine", dot("q_vec", "embedding") / (F.col("q_nrm") * F.col("c_nrm"))
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    annk = (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= V18_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_ret = annk.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
-    hits = (
-        annk.join(exact, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return (
-        qs.select("query_id")
-        .join(n_cand, "query_id", "left")
-        .join(n_ret, "query_id", "left")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
-            F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(V18_K), 6).alias(
-                "recall_at_k"
-            ),
-        )
-    )
-
-
-QUERIES["v18_recall_report"] = q_recall_report
-ORACLES["v18_recall_report"] = f"""
-WITH c AS (
-  SELECT vec_id, embedding, CAST({_X12_CELL} AS BIGINT) AS cell,
-         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
-  FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS q_vec, cell AS q_cell, nrm AS q_nrm
-      FROM c WHERE vec_id < {V18_QUERIES}),
-ex0 AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         {_DOT.format(a='q_vec', b='embedding')} / (q.q_nrm * c.nrm) AS cosine
-  FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id),
-exk AS (SELECT query_id, neighbor_id FROM (
-          SELECT query_id, neighbor_id,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cosine DESC, neighbor_id) AS rnk
-          FROM ex0) WHERE rnk <= {V18_K}),
-cand AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         {_DOT.format(a='q_vec', b='embedding')} / (q.q_nrm * c.nrm) AS cosine
-  FROM q JOIN c ON c.cell = q.q_cell AND c.vec_id <> q.query_id),
-annk AS (SELECT query_id, neighbor_id FROM (
-           SELECT query_id, neighbor_id,
-                  row_number() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, neighbor_id) AS rnk
-           FROM cand) WHERE rnk <= {V18_K}),
-nc AS (SELECT query_id, count(*) AS n_candidates FROM cand GROUP BY query_id),
-nr AS (SELECT query_id, count(*) AS n_returned FROM annk GROUP BY query_id),
-h AS (SELECT a.query_id, count(*) AS n_hits
-      FROM annk a JOIN exk USING (query_id, neighbor_id) GROUP BY a.query_id)
-SELECT q.query_id,
-       coalesce(nc.n_candidates, 0) AS n_candidates,
-       coalesce(nr.n_returned, 0) AS n_returned,
-       round(coalesce(h.n_hits, 0) / {V18_K}.0, 6) AS recall_at_k
-FROM q LEFT JOIN nc USING (query_id) LEFT JOIN nr USING (query_id)
-       LEFT JOIN h USING (query_id)"""
-
-
-def q_recall_report_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v18_prod: recall telemetry over the PRODUCTION bucketing —
-    murmur RHP signatures at corpus-adaptive planes with one
-    multi-probe flip (the v4_prod configuration), measured against the
-    same exact leg. Bench-only: murmur hash() has no DuckDB twin;
-    recall semantics are certified by v18 and the production recall
-    floor is pinned in tests/test_llmops.py."""
-    from ..operators.similarity import knn_bruteforce, knn_lsh
-
-    e = _embs(spark, sf_dir)
-    qs = e.filter(F.col("vec_id") < V18_QUERIES)
-    exact = knn_bruteforce(e, qs, k=V18_K).select("query_id", "neighbor_id")
-    ann = knn_lsh(e, qs, k=V18_K, n_planes="auto", n_probes=1).select(
-        "query_id", "neighbor_id"
-    )
-    hits = (
-        ann.join(exact, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    n_ret = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
-    # row-driver is the probe set itself, NOT exact.select(query_id)
-    # .distinct() — that form re-executed the entire brute-force
-    # ground-truth leg a second time (self-review r19: two BNLJs, zero
-    # ReusedExchange in the plan)
-    return (
-        qs.select(F.col("vec_id").alias("query_id"))
-        .join(n_ret, "query_id", "left")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(V18_K), 6).alias(
-                "recall_at_k"
-            ),
-        )
-    )
-
-
-BENCH_ONLY["v18_prod"] = q_recall_report_prod
-
-
-#: v19 two-stage retrieval: ADC shortlist width and final top-k.
-V19_M, V19_KSUB, V19_DSUB = 8, 16, 8
-V19_SHORTLIST, V19_K = 20, 5
-
-
-def q_rerank_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v19: the TWO-STAGE retrieval stack — ADC shortlist, exact rerank
-    (the standard billion-scale recipe: quantized scores cut the corpus
-    to a shortlist a rerank can afford; v11 certifies the ADC estimate,
-    v12 the IVF composition, v19 certifies the HANDOFF — that the final
-    ranking is exact-scored and the shortlist cut is deterministic).
-
-    Certification shape — a FULL value-hash oracle, strictly stronger
-    than v11's verdict scaffolding: the codebook is the deterministic
-    stand-in fit (subvectors of the V19_KSUB lowest-vec_id vectors —
-    the kmeans init rule, the v17 precedent), and the ENCODE ITSELF
-    runs as sequential Catalyst HOF folds (per subspace: 16 in-order
-    squared-distance folds, first-min argmin via array_position), so
-    DuckDB reproduces every code, reconstruction, ADC score, shortlist
-    cut, and rerank rank bit-for-bit. ADC is scored as dot(q, recon) —
-    mathematically the m-lookup LUT sum, expressed as one sequential
-    64-fold so both engines agree to the last ulp. The production
-    shape (trained codebooks, numpy encode, Arrow LUT scoring) is
-    ``v19_prod``.
-
-    Scale shape: the corpus is scanned once to encode (map-side; the
-    codebook rides the plan as 1,024 literal doubles — the v11 cert
-    convention), queries broadcast, the shortlist window sorts slim
-    (query, adc) rows, and the rerank touches V19_SHORTLIST rows per
-    query."""
-    from ..operators.similarity import dot, l2_norm
-    from pyspark.sql import Window
-
-    e = _embs(spark, sf_dir)
-    rows16 = (
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .orderBy("vec_id")
-        .limit(V19_KSUB)
-        .collect()
-    )
-    cb = [
-        [list(r.v[s * V19_DSUB : (s + 1) * V19_DSUB]) for r in rows16]
-        for s in range(V19_M)
-    ]
-    mats = [
-        F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in cb_s])
-        for cb_s in cb
-    ]
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("c_vec"),
-    )
-    def _make_term(s, j):
-        # pyspark HOF callbacks must take exactly (acc, i) — bind the
-        # subspace and code indices via this factory, not default args
-        def term(acc, i):
-            diff = F.element_at(
-                F.col("c_vec"), (F.lit(s * V19_DSUB) + i + 1).cast("int")
-            ) - F.element_at(
-                F.element_at(mats[s], (j + 1).cast("int")), (i + 1).cast("int")
-            )
-            return acc + diff * diff
-
-        return term
-
-    def _make_d2(s):
-        def _d2(j):
-            return F.aggregate(
-                F.sequence(F.lit(0), F.lit(V19_DSUB - 1)),
-                F.lit(0.0),
-                _make_term(s, j),
-            )
-
-        return _d2
-
-    for s in range(V19_M):
-        dists = F.transform(F.sequence(F.lit(0), F.lit(V19_KSUB - 1)), _make_d2(s))
-        c = c.withColumn(
-            f"__code_{s}", F.array_position(dists, F.array_min(dists)) - 1
-        )
-    recon = F.flatten(
-        F.array(
-            *[
-                F.element_at(mats[s], (F.col(f"__code_{s}") + 1).cast("int"))
-                for s in range(V19_M)
-            ]
-        )
-    )
-    c = c.select("neighbor_id", "c_vec", recon.alias("recon")).withColumn(
-        "c_nrm", l2_norm("c_vec")
-    )
-    q = (
-        e.filter(F.col("vec_id") < 3)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").cast("array<double>").alias("q_vec"),
-        )
-        .withColumn("q_nrm", l2_norm("q_vec"))
-    )
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc", dot("q_vec", "recon"))
-    )
-    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
-    short = pairs.withColumn("srk", F.row_number().over(ws)).filter(
-        F.col("srk") <= V19_SHORTLIST
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        short.withColumn(
-            "cosine", dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm"))
-        )
-        .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= V19_K)
-        .select("query_id", F.col("rnk").cast("int").alias("rnk"), "neighbor_id", "adc", "cosine")
-    )
-
-
-QUERIES["v19_rerank_stack"] = q_rerank_stack
-_V19_D2 = (
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range({dsub}), "
-    "i -> (c.v[s.s*{dsub} + i + 1] - cb.v[s.s*{dsub} + i + 1]) "
-    "* (c.v[s.s*{dsub} + i + 1] - cb.v[s.s*{dsub} + i + 1]))), (a, x) -> a + x)"
-).format(dsub=V19_DSUB)
-ORACLES["v19_rerank_stack"] = f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
-       FROM e ORDER BY vec_id LIMIT {V19_KSUB}),
-enc AS (
-  SELECT c.vec_id, s.s, cb.j, {_V19_D2} AS d2
-  FROM e c CROSS JOIN range({V19_M}) s(s) CROSS JOIN cb),
-codep AS (SELECT vec_id, s, j,
-                 row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rk
-          FROM enc),
-recon AS (
-  SELECT cd.vec_id,
-         flatten(list(cb.v[cd.s*{V19_DSUB}+1 : cd.s*{V19_DSUB}+{V19_DSUB}]
-                      ORDER BY cd.s)) AS recon
-  FROM codep cd JOIN cb ON cb.j = cd.j
-  WHERE cd.rk = 1 GROUP BY cd.vec_id),
-q AS (SELECT vec_id AS query_id, v AS qv,
-             sqrt({_DOT.format(a='v', b='v')}) AS q_nrm
-      FROM e WHERE vec_id < 3),
-sc AS (SELECT q.query_id, r.vec_id AS neighbor_id,
-              {_DOT.format(a='qv', b='recon')} AS adc
-       FROM recon r CROSS JOIN q WHERE r.vec_id <> q.query_id),
-short AS (SELECT query_id, neighbor_id, adc FROM (
-            SELECT query_id, neighbor_id, adc,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY adc DESC, neighbor_id) AS srk
-            FROM sc) WHERE srk <= {V19_SHORTLIST}),
-rr AS (SELECT s.query_id, s.neighbor_id, s.adc,
-              {_DOT.format(a='qv', b='v')}
-                / (q.q_nrm * sqrt({_DOT.format(a='v', b='v')})) AS cosine
-       FROM short s JOIN e c ON c.vec_id = s.neighbor_id
-            JOIN q ON q.query_id = s.query_id)
-SELECT query_id,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk,
-       neighbor_id, adc, cosine
-FROM rr
-QUALIFY rnk <= {V19_K}"""
-
-
-def q_rerank_stack_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """v19_prod: the production two-stage path — trained codebooks
-    (pq_fit), numpy encode, Arrow LUT shortlist (pq_adc_topk at
-    V19_SHORTLIST), then exact rerank of the shortlist only. Bench-only
-    (trained fit is never SQL-reproduced); the handoff semantics are
-    certified by v19 and the rerank-lifts-recall property is pinned in
-    tests/test_llmops.py."""
-    from ..operators.quantization import pq_adc_topk, pq_encode, pq_fit
-    from ..operators.similarity import dot, l2_norm
-    from pyspark.sql import Window
-
-    e = _embs(spark, sf_dir)
-    codebooks = pq_fit(e, m=V19_M, ksub=V19_KSUB)
-    codes = pq_encode(e, codebooks)
-    qs = e.filter(F.col("vec_id") < 3)
-    short = pq_adc_topk(codes, qs, codebooks, k=V19_SHORTLIST)
-    q = qs.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("q_vec"),
-    ).withColumn("q_nrm", l2_norm("q_vec"))
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("c_vec"),
-    ).withColumn("c_nrm", l2_norm("c_vec"))
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        short.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn(
-            "cosine", dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm"))
-        )
-        .withColumn("rrnk", F.row_number().over(wr))
-        .filter(F.col("rrnk") <= V19_K)
-        .select("query_id", "neighbor_id", "adc_dot", "cosine", "rrnk")
-    )
-
-
-BENCH_ONLY["v19_prod"] = q_rerank_stack_prod
-
-
-#: x28 context budget (matches x6/mm5's 256-token window).
-X28_CAP = 256
-
-
-def q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x28: greedy NON-SPLITTING sequence packing — the other packing
-    regime next to x6/mm5's offset-division packing (which concatenates
-    with EOS and lets documents span bin boundaries): here attention
-    must not cross document boundaries, so a doc that does not fit the
-    current bin's remainder closes the bin (wasting its tail) and
-    starts the next; docs longer than the cap are truncated and
-    flagged. One row per doc with its (bin_id, bin_offset) placement —
-    bin utilization / waste / truncation telemetry is a trivial agg
-    over this output.
-
-    Execution shape: the bin assignment is a RECURRENCE (each doc's
-    bin depends on the previous doc's output fill), so this is the
-    documented applyInPandas escape hatch (§2.11, the grouped-EWM
-    boundary) — grouped by ``source``, Arrow-batched, sequential only
-    WITHIN a group. The DuckDB oracle reproduces the recurrence with a
-    recursive CTE (all sources advance in parallel per iteration), so
-    the whole placement is hash-certified — the x1_grouped_ewm
-    certification pattern (the registry's first recursive-CTE-certified
-    applyInPandas op) applied to INTEGER state, where the compare is
-    exact with no float-semantics replication needed at all.
-
-    Scale shape: one shuffle on the group key; each group must fit a
-    worker — packing runs per shard (the x15 layout), so group size is
-    bounded by construction. All-integer arithmetic keeps the oracle
-    comparison float-free."""
-    from ..operators.pandas_ops import greedy_pack
-
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        F.array_size(F.split("text", " ")).alias("n_tokens"),
-    )
-    return greedy_pack(d, cap=X28_CAP)
-
-
-QUERIES["x28_greedy_pack"] = q_greedy_pack
-ORACLES["x28_greedy_pack"] = f"""
-WITH RECURSIVE t AS (
-  SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-         least(CAST(len(string_split(text, ' ')) AS INTEGER), {X28_CAP}) AS eff,
-         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
-  FROM documents),
-p AS (
-  SELECT doc_id, source, n_tokens, eff, rn,
-         CAST(0 AS BIGINT) AS bin_id,
-         CAST(0 AS BIGINT) AS bin_offset,
-         CAST(eff AS BIGINT) AS fill
-  FROM t WHERE rn = 1
-  UNION ALL
-  SELECT t.doc_id, t.source, t.n_tokens, t.eff, t.rn,
-         CASE WHEN p.fill + t.eff > {X28_CAP} THEN p.bin_id + 1 ELSE p.bin_id END,
-         CASE WHEN p.fill + t.eff > {X28_CAP} THEN CAST(0 AS BIGINT) ELSE p.fill END,
-         CASE WHEN p.fill + t.eff > {X28_CAP} THEN CAST(t.eff AS BIGINT)
-              ELSE p.fill + t.eff END
-  FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1)
-SELECT doc_id, source, n_tokens,
-       CAST(eff AS INTEGER) AS eff_tokens,
-       n_tokens > {X28_CAP} AS truncated,
-       bin_id, bin_offset
-FROM p"""
-
-
-def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x29: packing-efficiency comparison — the round-20 agenda's
-    "measured waste-reduction row" as a certified query instead of
-    prose: pack every source BOTH ways (x28's streaming-order
-    next-fit and first-fit-DECREASING, the classic 11/9·OPT packer
-    that trades streaming order for density) and report, per source,
-    the bins each uses against the ideal (ceil(total_eff / cap)), the
-    tail-waste fraction of each, and the bins saved by FFD. A pipeline
-    owner reads one row to decide whether their length distribution
-    justifies giving up streaming order. (Next-fit-decreasing —
-    sorting WITHOUT reopening bins — was evaluated and rejected: it
-    LOSES to streaming next-fit on both the fixture and a bimodal
-    planted corpus; see the greedy_pack docstring.)
-
-    Execution shape: two applyInPandas packing passes over the same
-    slim (doc_id, source, n_tokens) frame (each a recurrence — the x28
-    boundary), then two per-source aggregates and one broadcast-sized
-    join on source. All-integer until the two waste ratios. The DuckDB
-    oracle reproduces both placements with recursive CTEs — the FFD
-    leg carries the OPEN-BIN FILL LIST as recursion state (indexed
-    list_transform updates the first fitting bin; the sort key is
-    (n_tokens DESC, doc_id), raw tokens not eff, matching the kernel's
-    tie-break exactly)."""
-    from ..operators.pandas_ops import greedy_pack
-
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        "source",
-        F.array_size(F.split("text", " ")).alias("n_tokens"),
-    )
-    stream = greedy_pack(d, cap=X28_CAP)
-    packed_ffd = greedy_pack(d, cap=X28_CAP, ffd=True)
-    agg_s = stream.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("eff_tokens").alias("total_eff"),
-        (F.max("bin_id") + 1).alias("bins_stream"),
-    )
-    agg_n = packed_ffd.groupBy("source").agg(
-        (F.max("bin_id") + 1).alias("bins_ffd")
-    )
-    cap = F.lit(X28_CAP)
-    return (
-        agg_s.join(agg_n, "source")
-        .withColumn(
-            "ideal_bins", F.expr(f"(total_eff + {X28_CAP - 1}) div {X28_CAP}")
-        )
-        .select(
-            "source",
-            "n_docs",
-            "total_eff",
-            "ideal_bins",
-            "bins_stream",
-            "bins_ffd",
-            # decimal-bridged 6dp quantization (SURVEY §8 float-parity
-            # rule; the star.py precedent) — raw-double round(x, 6) of
-            # an integer ratio is engine-dependent at ties.
-            F.round(
-                (1 - F.col("total_eff") / (F.col("bins_stream") * cap)).cast(
-                    "decimal(18,12)"
-                ),
-                6,
-            )
-            .cast("double")
-            .alias("waste_stream"),
-            F.round(
-                (1 - F.col("total_eff") / (F.col("bins_ffd") * cap)).cast(
-                    "decimal(18,12)"
-                ),
-                6,
-            )
-            .cast("double")
-            .alias("waste_ffd"),
-            (F.col("bins_stream") - F.col("bins_ffd")).alias("bins_saved"),
-        )
-    )
-
-
-QUERIES["x29_pack_efficiency"] = q_pack_efficiency
-#: first fitting open bin, 1-based; 0 = none fits (open a new bin).
-#: coalesce: duckdb 1.0.0 returns 0 on no-match but other versions
-#: return NULL — pin the branch to be version-independent.
-_X29_FIT = (
-    "coalesce(list_position("
-    "list_transform(p.fills, f -> f + t.eff <= {cap}), true), 0)"
-).format(cap=X28_CAP)
-ORACLES["x29_pack_efficiency"] = f"""
-WITH RECURSIVE base AS (
-  SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-         least(CAST(len(string_split(text, ' ')) AS INTEGER), {X28_CAP}) AS eff
-  FROM documents),
-ts AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
-                      AS BIGINT) AS rn FROM base),
-tf AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
-                                         ORDER BY n_tokens DESC, doc_id)
-                      AS BIGINT) AS rn FROM base),
-ps AS (
-  SELECT doc_id, source, eff, rn,
-         CAST(0 AS BIGINT) AS bin_id, CAST(eff AS BIGINT) AS fill
-  FROM ts WHERE rn = 1
-  UNION ALL
-  SELECT t.doc_id, t.source, t.eff, t.rn,
-         CASE WHEN p.fill + t.eff > {X28_CAP} THEN p.bin_id + 1 ELSE p.bin_id END,
-         CASE WHEN p.fill + t.eff > {X28_CAP} THEN CAST(t.eff AS BIGINT)
-              ELSE p.fill + t.eff END
-  FROM ps p JOIN ts t ON t.source = p.source AND t.rn = p.rn + 1),
-pf AS (
-  SELECT doc_id, source, eff, rn,
-         CAST(0 AS BIGINT) AS bin_id,
-         [CAST(eff AS BIGINT)] AS fills
-  FROM tf WHERE rn = 1
-  UNION ALL
-  SELECT t.doc_id, t.source, t.eff, t.rn,
-         CAST(CASE WHEN {_X29_FIT} = 0 THEN len(p.fills)
-                   ELSE {_X29_FIT} - 1 END AS BIGINT),
-         CASE WHEN {_X29_FIT} = 0
-              THEN list_append(p.fills, CAST(t.eff AS BIGINT))
-              ELSE list_transform(p.fills, (f, i) ->
-                     CASE WHEN i = {_X29_FIT} THEN f + t.eff ELSE f END)
-         END
-  FROM pf p JOIN tf t ON t.source = p.source AND t.rn = p.rn + 1),
-ags AS (SELECT source, count(*) AS n_docs, sum(eff) AS total_eff,
-               max(bin_id) + 1 AS bins_stream
-        FROM ps GROUP BY source),
-agf AS (SELECT source, max(bin_id) + 1 AS bins_ffd FROM pf GROUP BY source)
-SELECT ags.source, n_docs, total_eff,
-       (total_eff + {X28_CAP - 1}) // {X28_CAP} AS ideal_bins,
-       bins_stream, bins_ffd,
-       CAST(round(CAST(1 - total_eff * 1.0 / (bins_stream * {X28_CAP})
-            AS DECIMAL(18,12)), 6) AS DOUBLE) AS waste_stream,
-       CAST(round(CAST(1 - total_eff * 1.0 / (bins_ffd * {X28_CAP})
-            AS DECIMAL(18,12)), 6) AS DOUBLE) AS waste_ffd,
-       bins_stream - bins_ffd AS bins_saved
-FROM ags JOIN agf USING (source)"""
-
-
-def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t20: corpus distribution drift — per-language KL divergence of
-    unigram token distributions between two snapshots (doc_id parity
-    stands in for two crawl dates), with add-one smoothing over the
-    union vocabulary. The monitoring stage of a recurring ingestion
-    pipeline: a KL spike on a language flags a source change (spam
-    flood, encoding regression, topical shift) before it trains in.
-
-    Scale shape: one map-side-combinable (lang, token) count agg —
-    integer counts, exact in any order — then a per-language roll-up
-    whose payload is the VOCABULARY (Heaps-sublinear in the corpus),
-    not the corpus; both KL folds run in FIXED token-sorted order, and
-    the result is rounded to 6 decimals because ln itself is not
-    correctly rounded (Java Math.log and libm disagree in the last
-    ulp — measured here; the fold order is NOT the issue). At 100 TB the per-lang
-    vocab array is the only non-scalar state; capping to a top-V
-    vocabulary (x3's sketch shape) bounds it if a language's long tail
-    ever matters less than its drift signal."""
-    return distribution_drift(_docs(spark, sf_dir))
-
-
-def distribution_drift(d: DataFrame) -> DataFrame:
-    """t20's kernel over any (doc_id, lang, text) frame — factored out
-    so planted-drift fixtures can drive it directly in pytest."""
-    tok = d.select(
-        "lang",
-        (F.col("doc_id") % 2 == 0).alias("snap_a"),
-        F.explode(F.split("text", " ")).alias("token"),
-    )
-    counts = tok.groupBy("lang", "token").agg(
-        F.sum(F.when(F.col("snap_a"), 1).otherwise(0)).alias("cnt_a"),
-        F.sum(F.when(~F.col("snap_a"), 1).otherwise(0)).alias("cnt_b"),
-    )
-    from ..operators.text import kl_report
-
-    return kl_report(counts)
-
-
-QUERIES["t20_distribution_drift"] = q_distribution_drift
-ORACLES["t20_distribution_drift"] = """
-WITH tok AS (SELECT lang, doc_id % 2 = 0 AS snap_a,
-                    unnest(string_split(text, ' ')) AS token
-             FROM documents),
-c AS (SELECT lang, token,
-             CAST(sum(CASE WHEN snap_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
-             CAST(sum(CASE WHEN snap_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
-      FROM tok GROUP BY lang, token),
-r AS (SELECT lang,
-             list(struct_pack(token := token, cnt_a := cnt_a, cnt_b := cnt_b)
-                  ORDER BY token) AS rows_,
-             CAST(sum(cnt_a) AS BIGINT) AS n_a,
-             CAST(sum(cnt_b) AS BIGINT) AS n_b,
-             CAST(count(*) AS INTEGER) AS v
-      FROM c GROUP BY lang)
-SELECT lang, v AS vocab_size, n_a AS n_tok_a, n_b AS n_tok_b,
-       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         list_transform(rows_, s ->
-           ((s.cnt_a + 1) / (n_a + v)) * ln(((s.cnt_a + 1) / (n_a + v)) / ((s.cnt_b + 1) / (n_b + v))))),
-         (a, x) -> a + x), 6) AS kl_ab,
-       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         list_transform(rows_, s ->
-           ((s.cnt_b + 1) / (n_b + v)) * ln(((s.cnt_b + 1) / (n_b + v)) / ((s.cnt_a + 1) / (n_a + v))))),
-         (a, x) -> a + x), 6) AS kl_ba
-FROM r"""
-
-
-def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x21: the TRAINING-STORE EXPORT MANIFEST — the single query a
-    pipeline ends with: for every document, the exact layout record a
-    data loader consumes. Composes three certified stages in
-    production order:
-
-    1. x17's exact per-language train/val/test assignment (histogram-
-       cut kernel — boundary buckets windowed, everything else labeled
-       map-side),
-    2. x15's deterministic shard within (split): the Knuth-
-       multiplicative rank spreads each split's docs uniformly over
-       shards, so loaders stream shards sequentially and see a global
-       shuffle,
-    3. mm5's integer packing cumsum within (split, shard): running
-       token offset → packed-context bin.
-
-    Output: (doc_id, lang, split, shard, n_tokens, pos, start_offset,
-    bin_id) — re-runs and backfills produce byte-identical manifests
-    on any engine (every stage is integer arithmetic over portable
-    hashes).
-
-    Scale shape: the split kernel's windows touch only boundary
-    buckets; then ONE shuffle keyed by (split, shard) — exactly the
-    write partitioning the export needs, so at 100 TB this Exchange
-    IS the final `repartition(shards).sortWithinPartitions` before the
-    store write, not an extra hop — with `pos`/`start_offset`/`bin_id`
-    all computed in a single per-(split, shard) Window operator
-    (row_number and the running sum share the frame spec's sort).
-    Shard sizes concentrate at n_split/n_shards, so per-shard sorts
-    are bounded by the shard-count CHOICE, never by corpus size or
-    stratum skew."""
-    from pyspark.sql import Window
-
-    from ..operators.split import exact_proportional_split
-
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.array_size(F.split("text", " ")).alias("n_tokens"),
-        ((F.col("doc_id") % PRIO_MOD) * F.lit(PRIO_MULT)).alias("rank_key"),
-    )
-    assigned = exact_proportional_split(
-        d, "lang", "rank_key", "doc_id", cuts=SPLIT_CUTS, labels=SPLIT_LABELS
-    ).withColumn("shard", (F.col("rank_key") % X15_SHARDS).cast("int"))
-    w = Window.partitionBy("split", "shard").orderBy("rank_key", "doc_id")
-    return (
-        assigned.withColumn("pos", F.row_number().over(w))
-        .withColumn(
-            "start_offset",
-            F.coalesce(
-                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0),
-            ).cast("bigint"),
-        )
-        .withColumn("bin_id", F.expr(f"start_offset div {MM5_CTX}"))
-        .select(
-            "doc_id", "lang", "split", "shard",
-            "n_tokens", "pos", "start_offset", "bin_id",
-        )
-    )
-
-
-QUERIES["x21_export_manifest"] = q_export_manifest
-ORACLES["x21_export_manifest"] = f"""
-WITH t AS (SELECT doc_id, lang,
-                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-                  (doc_id % {PRIO_MOD}) * {PRIO_MULT} AS rank_key
-           FROM documents),
-r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rank_key, doc_id) AS rn,
-             count(*) OVER (PARTITION BY lang) AS n
-      FROM t),
-s AS (SELECT doc_id, lang, n_tokens, rank_key,
-             CASE WHEN rn <= (8 * n + 9) // 10 THEN 'train'
-                  WHEN rn <= (9 * n + 9) // 10 THEN 'val'
-                  ELSE 'test' END AS split,
-             CAST(rank_key % {X15_SHARDS} AS INTEGER) AS shard
-      FROM r),
-o AS (SELECT doc_id, lang, split, shard, n_tokens,
-             CAST(row_number() OVER (PARTITION BY split, shard ORDER BY rank_key, doc_id) AS INTEGER) AS pos,
-             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY rank_key, doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
-      FROM s)
-SELECT doc_id, lang, split, shard, n_tokens, pos, start_offset,
-       start_offset // {MM5_CTX} AS bin_id
-FROM o"""
-
-
-def q_export_manifest_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x21b: the LEAKAGE-SAFE export manifest (round-14 agenda item 1)
-    — x21's layout with x19's split: a document and its near-dups land
-    in the SAME split (cluster-atomic assignment over MinHash-LSH →
-    connected-components clusters, collapse-first), and every document
-    still gets the exact (split, shard, pos, start_offset, bin_id)
-    layout record a loader consumes. This is the manifest a real
-    pretraining export wants: the strict per-language variant (x21)
-    quantifies proportions exactly but can strand a val doc's fuzzy
-    twin in train; this one trades per-LANGUAGE exactness for
-    per-CLUSTER exactness and closes the eval-contamination hole at
-    the store boundary.
-
-    Scale shape: x19's kernel (exact-collapse pre-pass → banded LSH
-    pairs over representatives → O(log d) pointer-jumping CC → slim
-    cluster cut, boundary-bucket windows only) feeds two equi-joins,
-    then x21's ONE layout Window on (split, shard) — the Exchange
-    feeding it IS the final store-write partitioning. Nothing here is
-    all-pairs and no window partitions on a corpus-scale key.
-    Plan-pinned alongside x21; 100× measured in SCALE100X.md."""
-    from pyspark.sql import Window
-
-    d = _docs(spark, sf_dir)
-    members = _near_dup_cluster_members(d)
-    assigned = _cluster_atomic_split(members)
-    docs = d.select(
-        "doc_id",
-        "lang",
-        F.array_size(F.split("text", " ")).alias("n_tokens"),
-        ((F.col("doc_id") % PRIO_MOD) * F.lit(PRIO_MULT)).alias("rank_key"),
-    )
-    labeled = (
-        docs.join(members, "doc_id")
-        .join(assigned.select("cluster_id", "split"), "cluster_id")
-        .withColumn("shard", (F.col("rank_key") % X15_SHARDS).cast("int"))
-    )
-    w = Window.partitionBy("split", "shard").orderBy("rank_key", "doc_id")
-    return (
-        labeled.withColumn("pos", F.row_number().over(w))
-        .withColumn(
-            "start_offset",
-            F.coalesce(
-                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0),
-            ).cast("bigint"),
-        )
-        .withColumn("bin_id", F.expr(f"start_offset div {MM5_CTX}"))
-        .select(
-            "doc_id", "lang", "cluster_id", "split", "shard",
-            "n_tokens", "pos", "start_offset", "bin_id",
-        )
-    )
-
-
-QUERIES["x21b_export_manifest_ls"] = q_export_manifest_leakage_safe
-ORACLES["x21b_export_manifest_ls"] = f"""
-WITH RECURSIVE {_SHINGLES_CTE},
-p AS ({_JACCARD_PAIRS.format(thr=0.8)}),
-e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
-reach AS (
-  SELECT src, dst FROM e
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src WHERE e.dst <> r.src
-),
-lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
-m AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-      FROM documents d LEFT JOIN lab l USING (doc_id)),
-cl AS (SELECT DISTINCT cluster_id FROM m),
-r AS (SELECT cluster_id,
-             row_number() OVER (ORDER BY (cluster_id % {PRIO_MOD}) * {PRIO_MULT}, cluster_id) AS rn,
-             count(*) OVER () AS n
-      FROM cl),
-s AS (SELECT cluster_id,
-             CASE WHEN rn <= (8 * n + 9) // 10 THEN 'train'
-                  WHEN rn <= (9 * n + 9) // 10 THEN 'val'
-                  ELSE 'test' END AS split
-      FROM r),
-t AS (SELECT d.doc_id, d.lang, m.cluster_id, s.split,
-             CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
-             (d.doc_id % {PRIO_MOD}) * {PRIO_MULT} AS rank_key,
-             CAST(((d.doc_id % {PRIO_MOD}) * {PRIO_MULT}) % {X15_SHARDS} AS INTEGER) AS shard
-      FROM documents d JOIN m USING (doc_id) JOIN s USING (cluster_id)),
-o AS (SELECT doc_id, lang, cluster_id, split, shard, n_tokens,
-             CAST(row_number() OVER (PARTITION BY split, shard ORDER BY rank_key, doc_id) AS INTEGER) AS pos,
-             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY rank_key, doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
-      FROM t)
-SELECT doc_id, lang, cluster_id, split, shard, n_tokens, pos, start_offset,
-       start_offset // {MM5_CTX} AS bin_id
-FROM o"""
-
-
-# --- x23: DSIR importance resampling (round 15) ------------------------------
-
-#: DSIR feature-space size. 512 keeps the fixture's bucket tables dense
-#: enough to exercise smoothing; production uses 10k-100k buckets — the
-#: tables stay broadcast-bounded either way.
-X23_BUCKETS = 512
-#: per-language selection width for the deterministic top-k variant
-X23_PER_LANG = 25
-
-
-def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x23: DSIR data selection (Xie et al., NeurIPS 2023) — pick the
-    candidate documents whose hashed-n-gram distribution best matches a
-    TARGET corpus (here the src0 slice, the same target convention as
-    t15/t19's eval set). Per doc: ``log_w = Σ_grams ln p_target(bucket)
-    − ln p_raw(bucket)`` over add-one-smoothed unigram+bigram bucket
-    distributions, then the deterministic top-k-per-language variant
-    (rank on the 6dp-rounded weight, doc_id tie-break — DSIR's
-    Gumbel-sampled form randomizes exactly this rank).
-
-    Scale shape (operators/text.py:dsir_log_weights): bucket tables are
-    ≤ X23_BUCKETS rows REGARDLESS of corpus size, the log-ratio table
-    broadcasts into the candidates' gram stream, and the only windows
-    run per-language over slim (doc_id, lang, log_w) rows. NEW vs
-    reference (no counterpart)."""
-    from ..operators.text import dsir_log_weights
-
-    d = _docs(spark, sf_dir)
-    cand = d.filter(F.col("source") != "src0")
-    target = d.filter(F.col("source") == "src0")
-    w = dsir_log_weights(cand, target, n_buckets=X23_BUCKETS).select(
-        F.col("id").alias("doc_id"), "log_w"
-    )
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("lang").orderBy(F.desc("log_w"), F.asc("doc_id"))
-    return (
-        w.join(d.select("doc_id", "lang"), "doc_id")
-        .withColumn("rnk", F.row_number().over(win))
-        .select(
-            "doc_id",
-            "lang",
-            "log_w",
-            "rnk",
-            (F.col("rnk") <= X23_PER_LANG).alias("keep"),
-        )
-    )
-
-
-QUERIES["x23_dsir_resample"] = q_dsir_resample
-
-_DSIR_GRAMS = """
-      SELECT doc_id, unnest(list_concat(
-        list_transform(t, s -> {tv_s}),
-        CASE WHEN len(t) >= 2 THEN
-          list_transform(range(len(t) - 1), i -> {tv_i} * 131 + {tv_i1})
-        ELSE [] END)) AS g
-      FROM (SELECT doc_id, string_split(text,' ') AS t FROM {frm}
-            WHERE {src})""".format
-
-
-def _dsir_oracle(prelude: str, frm: str, cand_src: str, tgt_src: str) -> str:
-    """x23/x25 share the whole DSIR scoring tail; only the candidate /
-    target slices differ. ``prelude`` injects extra CTEs (x25's
-    balanced-target row_number table) ahead of the gram CTEs."""
-    grams = lambda src: _DSIR_GRAMS(  # noqa: E731
-        tv_s=_TV.format(v="s"), tv_i=_TV.format(v="t[i+1]"),
-        tv_i1=_TV.format(v="t[i+2]"), frm=frm, src=src,
-    )
-    return f"""
-WITH {prelude}cg AS ({grams(cand_src)}),
-tg AS ({grams(tgt_src)}),
-cb AS (SELECT doc_id, (g * 2654435761) % {X23_BUCKETS} AS bucket FROM cg),
-tb AS (SELECT (g * 2654435761) % {X23_BUCKETS} AS bucket FROM tg),
-raw AS (SELECT bucket, count(*) AS cnt_r FROM cb GROUP BY bucket),
-tgt AS (SELECT bucket, count(*) AS cnt_t FROM tb GROUP BY bucket),
-lr AS (SELECT raw.bucket,
-        ln((coalesce(tgt.cnt_t,0)+1) * 1.0 / ((SELECT count(*) FROM tb) + {X23_BUCKETS}))
-      - ln((raw.cnt_r+1) * 1.0 / ((SELECT count(*) FROM cb) + {X23_BUCKETS})) AS lr
-       FROM raw LEFT JOIN tgt USING (bucket)),
-pdb AS (SELECT doc_id, bucket, count(*) AS cnt FROM cb GROUP BY doc_id, bucket),
-r AS (SELECT doc_id, list(struct_pack(bucket := pdb.bucket, cnt := cnt, lr := lr)
-                          ORDER BY pdb.bucket) AS rows_
-      FROM pdb JOIN lr ON pdb.bucket = lr.bucket GROUP BY doc_id),
-s AS (SELECT doc_id, round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        list_transform(rows_, x -> x.cnt * x.lr)), (a,x) -> a + x), 6) AS log_w
-      FROM r)
-SELECT s.doc_id, d.lang, s.log_w,
-       CAST(row_number() OVER (PARTITION BY d.lang
-            ORDER BY s.log_w DESC, s.doc_id) AS INTEGER) AS rnk,
-       CAST(row_number() OVER (PARTITION BY d.lang
-            ORDER BY s.log_w DESC, s.doc_id) AS INTEGER) <= {X23_PER_LANG} AS keep
-FROM s JOIN documents d USING (doc_id)"""
-
-
-ORACLES["x23_dsir_resample"] = _dsir_oracle(
-    "", "documents", "source <> 'src0'", "source = 'src0'"
-)
-
-
-# --- x25: DSIR with a parameterized (lang-balanced) target --------------------
-
-#: x25's target width: the first X25_TARGET_PER_LANG doc_ids of every
-#: language form the target corpus (every fixture language has >= 64
-#: docs at sf0.01, so the target is exactly balanced by construction)
-X25_TARGET_PER_LANG = 40
-
-
-def q_dsir_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x25: DSIR against a CALLER-CHOSEN target (VERDICT r12 item 2 —
-    the operator always took any target DataFrame; this registers the
-    proof). The target here is LANG-BALANCED: the first
-    X25_TARGET_PER_LANG doc_ids of every language, the "rebalance my
-    pretraining mix toward low-resource languages" use of DSIR (Xie et
-    al. §5 run it against Wikipedia; any slice works). Same scoring and
-    deterministic top-k-per-language output shape as x23, so the two
-    queries A/B the target's steering effect directly:
-    ``tests/test_llmops.py::test_dsir_balanced_target_lifts_minority_langs``
-    pins that non-English candidates rank strictly higher here than
-    under x23's src0 target.
-
-    Scale shape: the target/candidate split ranks SLIM ``(doc_id,
-    lang)`` rows only — the text column never rides the lang-partitioned
-    window shuffle. The first-cut form did exactly that and measured
-    **2.9× slower at 100×** (paired-interleaved ×5, 500 k docs —
-    committed table in SCALE100X.md round-16; the counterexample form
-    lives in tools/x25_form_ab.py) — and the selected target is ≤
-    X25_TARGET_PER_LANG·|langs| ids, so membership joins back into the
-    corpus as a BROADCAST hash join / anti-join pair. The scoring core
-    is operators/text.py:dsir_log_weights unchanged — bucket tables
-    stay ≤ X23_BUCKETS rows regardless of corpus size. NEW vs
-    reference."""
-    from pyspark.sql import Window
-
-    from ..operators import scoped_persist
-    from ..operators.text import dsir_log_weights
-
-    d = _docs(spark, sf_dir)
-    rn = F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
-    # persist: the tiny id list is consumed by both membership joins;
-    # without this the slim rank window runs twice
-    tgt_ids = scoped_persist(
-        d.select("doc_id", "lang")
-        .withColumn("rn", rn)
-        .filter(F.col("rn") <= X25_TARGET_PER_LANG)
-        .select("doc_id")
-    )
-    target = d.join(F.broadcast(tgt_ids), "doc_id")
-    cand = d.join(F.broadcast(tgt_ids), "doc_id", "left_anti")
-    w = dsir_log_weights(cand, target, n_buckets=X23_BUCKETS).select(
-        F.col("id").alias("doc_id"), "log_w"
-    )
-    win = Window.partitionBy("lang").orderBy(F.desc("log_w"), F.asc("doc_id"))
-    return (
-        w.join(d.select("doc_id", "lang"), "doc_id")
-        .withColumn("rnk", F.row_number().over(win))
-        .select(
-            "doc_id",
-            "lang",
-            "log_w",
-            "rnk",
-            (F.col("rnk") <= X23_PER_LANG).alias("keep"),
-        )
-    )
-
-
-QUERIES["x25_dsir_balanced"] = q_dsir_balanced
-ORACLES["x25_dsir_balanced"] = _dsir_oracle(
-    "m AS (SELECT doc_id, lang, text, row_number() OVER "
-    "(PARTITION BY lang ORDER BY doc_id) AS rn FROM documents), ",
-    "m",
-    f"rn > {X25_TARGET_PER_LANG}",
-    f"rn <= {X25_TARGET_PER_LANG}",
-)
-
-
-# --- dd16: cross-source overlap matrix (round 15) -----------------------------
-
-
-def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd16: the corpus-overlap triage matrix — MinHash-estimated AND
-    exact shingle-set Jaccard between every pair of sources (see
-    operators/dedup.py:source_overlap_matrix). The estimate column is
-    the 100 TB path (per-source sketches, no document pair space); the
-    exact column certifies it on the fixture, dd9's pattern at group
-    granularity."""
-    from ..operators.dedup import source_overlap_matrix
-
-    return source_overlap_matrix(_docs(spark, sf_dir))
-
-
-QUERIES["dd16_source_overlap"] = q_source_overlap
-def _overlap_oracle(grp_expr: str) -> str:
-    """dd16/dd16b share the whole overlap-matrix SQL; only the grouping
-    expression differs (source column vs snapshot split)."""
-    return f"""
-WITH t AS (SELECT {grp_expr} AS source, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT source, unnest(
-         CASE WHEN len(t) >= 3 THEN
-           list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
-         ELSE [] END) AS sh
-       FROM t),
-sig AS (SELECT source, count(*) AS n_sh,
-        {", ".join(
-            f"min(({a} * {_TV.format(v='sh')} + {b}) % {MINHASH_PRIME}) AS h{i}"
-            for i, (a, b) in enumerate(minhash_params(8))
-        )}
-        FROM sh GROUP BY source),
-est AS (SELECT a.source AS grp_a, b.source AS grp_b, a.n_sh AS n_a, b.n_sh AS n_b,
-        round(({" + ".join(
-            f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(8)
-        )}) / 8.0, 6) AS est_jaccard
-        FROM sig a JOIN sig b ON a.source < b.source),
-inter AS (SELECT a.source AS grp_a, b.source AS grp_b, count(*) AS n_inter
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
-          GROUP BY a.source, b.source)
-SELECT e.grp_a, e.grp_b, e.est_jaccard,
-       round(coalesce(i.n_inter, 0) * 1.0
-             / (e.n_a + e.n_b - coalesce(i.n_inter, 0)), 6) AS jaccard
-FROM est e LEFT JOIN inter i ON e.grp_a = i.grp_a AND e.grp_b = i.grp_b"""
-
-
-ORACLES["dd16_source_overlap"] = _overlap_oracle("source")
-
-
-def q_source_overlap_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dd16b (VERDICT r12 item 7): the overlap matrix at SNAPSHOT
-    granularity — the "how much of crawl B is already in crawl A"
-    triage a recurring ingestion runs per date. Same kernel as dd16
-    (operators/dedup.py:source_overlap_matrix is group-column
-    parametric); the grouping is t20's snapshot convention (doc_id
-    parity stands in for two crawl dates). Rotated INTO the driver
-    window in round 14 (dd16 moved to the sweep tail) so both kernel
-    groupings carry driver-oracle evidence; dd16b has its own green
-    r14 row plus a hand-computed pytest fixture."""
-    from ..operators.dedup import source_overlap_matrix
-
-    d = _docs(spark, sf_dir).withColumn(
-        "snapshot",
-        F.when(F.col("doc_id") % 2 == 0, "snap0").otherwise("snap1"),
-    )
-    return source_overlap_matrix(d, group_col="snapshot")
-
-
-QUERIES["dd16b_snapshot_overlap"] = q_source_overlap_snapshots
-ORACLES["dd16b_snapshot_overlap"] = _overlap_oracle(
-    "CASE WHEN doc_id % 2 = 0 THEN 'snap0' ELSE 'snap1' END"
-)
-
-
-# --- t21: n-gram diversity report (round 15) ----------------------------------
-
-
-def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t21: per-language lexical-diversity report — type/token ratios at
-    n = 1/2/3 plus unigram entropy, the corpus-health panel that
-    detects template farms (low bigram/trigram TTR at normal unigram
-    TTR) and mode collapse in synthetic data (low entropy) before any
-    pairwise dedup runs.
-
-    Scale shape: ONE gram explode feeds a single per-language agg
-    (count + conditional count_distinct per n — map-side combinable);
-    the entropy leg reuses t20's fixed-token-order fold over the
-    (lang, token) count table (vocabulary-sized, Heaps-sublinear).
-    No windows, no joins wider than |langs| rows. NEW vs reference."""
-    d = _docs(spark, sf_dir)
-    base = d.select("lang", F.split("text", " ").alias("t"))
-    grams = base.select(
-        "lang",
-        F.explode(
-            F.expr(
-                "concat("
-                " transform(t, s -> named_struct('n', 1, 'g', s)),"
-                " CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1),"
-                "   i -> named_struct('n', 2, 'g',"
-                "        concat(element_at(t, CAST(i AS INT)), ' ',"
-                "               element_at(t, CAST(i AS INT) + 1)))) "
-                " ELSE array() END,"
-                " CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t) - 2),"
-                "   i -> named_struct('n', 3, 'g',"
-                "        concat(element_at(t, CAST(i AS INT)), ' ',"
-                "               element_at(t, CAST(i AS INT) + 1), ' ',"
-                "               element_at(t, CAST(i AS INT) + 2)))) "
-                " ELSE array() END)"
-            )
-        ).alias("x"),
-    ).select("lang", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
-    ttr = grams.groupBy("lang").agg(
-        F.count(F.when(F.col("n") == 1, 1)).alias("n_tokens"),
-        F.count_distinct(F.when(F.col("n") == 1, F.col("g"))).alias(
-            "distinct_tokens"
-        ),
-        F.count(F.when(F.col("n") == 2, 1)).alias("n_bigrams"),
-        F.count_distinct(F.when(F.col("n") == 2, F.col("g"))).alias(
-            "distinct_bigrams"
-        ),
-        F.count(F.when(F.col("n") == 3, 1)).alias("n_trigrams"),
-        F.count_distinct(F.when(F.col("n") == 3, F.col("g"))).alias(
-            "distinct_trigrams"
-        ),
-    )
-    counts = (
-        grams.filter(F.col("n") == 1)
-        .groupBy("lang", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    ent_rows = counts.groupBy("lang").agg(
-        F.array_sort(F.collect_list(F.struct("g", "cnt"))).alias("rows"),
-        F.sum("cnt").alias("tot"),
-    )
-    ent_fold = F.aggregate(
-        F.transform(
-            "rows",
-            lambda s: -(s["cnt"] / F.col("tot")) * F.log(s["cnt"] / F.col("tot")),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    entropy = ent_rows.select("lang", F.round(ent_fold, 6).alias("entropy"))
-    docs_per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        docs_per_lang.join(ttr, "lang")
-        .join(entropy, "lang")
-        .select(
-            "lang",
-            "n_docs",
-            "n_tokens",
-            "distinct_tokens",
-            tie_safe_round(F.col("distinct_tokens") / F.col("n_tokens"), 6).alias("ttr"),
-            tie_safe_round(F.col("distinct_bigrams") / F.col("n_bigrams"), 6).alias(
-                "bigram_ttr"
-            ),
-            tie_safe_round(F.col("distinct_trigrams") / F.col("n_trigrams"), 6).alias(
-                "trigram_ttr"
-            ),
-            "entropy",
-        )
-    )
-
-
-QUERIES["t21_ngram_diversity"] = q_ngram_diversity
-ORACLES["t21_ngram_diversity"] = """
-WITH base AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
-g AS (SELECT lang, unnest(list_concat(
-        list_transform(t, s -> struct_pack(n := 1, g := s)),
-        list_concat(
-          CASE WHEN len(t) >= 2 THEN
-            list_transform(range(len(t) - 1),
-              i -> struct_pack(n := 2, g := t[i+1] || ' ' || t[i+2]))
-          ELSE [] END,
-          CASE WHEN len(t) >= 3 THEN
-            list_transform(range(len(t) - 2),
-              i -> struct_pack(n := 3, g := t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
-          ELSE [] END))) AS x
-      FROM base),
-gg AS (SELECT lang, x.n AS n, x.g AS g FROM g),
-ttr AS (SELECT lang,
-        CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_tokens,
-        CAST(count(DISTINCT CASE WHEN n = 1 THEN g END) AS BIGINT) AS distinct_tokens,
-        CAST(count(CASE WHEN n = 2 THEN 1 END) AS BIGINT) AS n_bigrams,
-        CAST(count(DISTINCT CASE WHEN n = 2 THEN g END) AS BIGINT) AS distinct_bigrams,
-        CAST(count(CASE WHEN n = 3 THEN 1 END) AS BIGINT) AS n_trigrams,
-        CAST(count(DISTINCT CASE WHEN n = 3 THEN g END) AS BIGINT) AS distinct_trigrams
-        FROM gg GROUP BY lang),
-c AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS cnt
-      FROM gg WHERE n = 1 GROUP BY lang, g),
-e AS (SELECT lang,
-        list(struct_pack(g := g, cnt := cnt) ORDER BY g) AS rows_,
-        CAST(sum(cnt) AS BIGINT) AS tot
-      FROM c GROUP BY lang),
-ent AS (SELECT lang, round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-          list_transform(rows_, s -> -(s.cnt * 1.0 / tot) * ln(s.cnt * 1.0 / tot))),
-          (a, x) -> a + x), 6) AS entropy
-        FROM e),
-nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
-SELECT nd.lang, nd.n_docs, ttr.n_tokens, ttr.distinct_tokens,
-       CAST(round(CAST(ttr.distinct_tokens * 1.0 / ttr.n_tokens AS DECIMAL(28,12)), 6) AS DOUBLE) AS ttr,
-       CAST(round(CAST(ttr.distinct_bigrams * 1.0 / ttr.n_bigrams AS DECIMAL(28,12)), 6) AS DOUBLE) AS bigram_ttr,
-       CAST(round(CAST(ttr.distinct_trigrams * 1.0 / ttr.n_trigrams AS DECIMAL(28,12)), 6) AS DOUBLE) AS trigram_ttr,
-       ent.entropy
-FROM nd JOIN ttr USING (lang) JOIN ent USING (lang)"""
-
-
-# --- x24: curriculum schedule (round 15) --------------------------------------
-
-#: number of curriculum stages (quality quartiles)
-X24_STAGES = 4
-
-
-def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x24: CURRICULUM ordering for the training loader — documents
-    bucketed into quality quartiles (stage 1 = cleanest first, the
-    easy-to-hard pacing curriculum learning uses), deterministically
-    interleaved WITHIN each stage (x15's multiplicative-hash key, so
-    consecutive loader reads never correlate with ingest order).
-    Score = t14's logistic quality probability, rounded to 6 BEFORE the
-    rank so stage boundaries tie-break identically across engines.
-
-    Scale shape: both windows run over slim (doc_id, qscore) rows —
-    the ntile is ONE range exchange of ids+scores (never documents); at
-    100 TB swap it for approx-quantile stage cuts broadcast into a
-    filter (the t12 note), keeping the same output contract."""
-    from pyspark.sql import Window
-
-    f = quality_features("text")
-    z = (
-        F.lit(QC_WEIGHTS["bias"])
-        + QC_WEIGHTS["n_tokens"] * f["n_tokens"]
-        + QC_WEIGHTS["distinct_ratio"] * f["distinct_ratio"]
-        + QC_WEIGHTS["stopword_ratio"] * f["stopword_ratio"]
-        + QC_WEIGHTS["mean_token_len"] * f["mean_token_len"]
-    )
-    scored = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("qscore"),
-        ((F.col("doc_id") % PRIO_MOD) * F.lit(PRIO_MULT)).alias("rank_key"),
-    )
-    w_stage = Window.orderBy(F.desc("qscore"), F.asc("doc_id"))
-    w_pos = Window.partitionBy("stage").orderBy("rank_key", "doc_id")
-    return (
-        scored.withColumn("stage", F.ntile(X24_STAGES).over(w_stage))
-        .withColumn("pos", F.row_number().over(w_pos))
-        .select("doc_id", "qscore", "stage", "pos")
-    )
-
-
-QUERIES["x24_curriculum_schedule"] = q_curriculum_schedule
-ORACLES["x24_curriculum_schedule"] = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-f AS (SELECT doc_id,
-        CAST(len(toks) AS INTEGER) AS n_tokens,
-        len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
-        len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) AS stopword_ratio,
-        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) * 1.0 / len(toks) AS mean_token_len
-      FROM t),
-s AS (SELECT doc_id,
-        round(1.0 / (1.0 + exp(-({QC_WEIGHTS['bias']} + {QC_WEIGHTS['n_tokens']} * n_tokens
-          + {QC_WEIGHTS['distinct_ratio']} * distinct_ratio
-          + {QC_WEIGHTS['stopword_ratio']} * stopword_ratio
-          + {QC_WEIGHTS['mean_token_len']} * mean_token_len))), 6) AS qscore,
-        (doc_id % {PRIO_MOD}) * {PRIO_MULT} AS rank_key
-      FROM f),
-st AS (SELECT doc_id, qscore, rank_key,
-        CAST(ntile({X24_STAGES}) OVER (ORDER BY qscore DESC, doc_id) AS INTEGER) AS stage
-       FROM s)
-SELECT doc_id, qscore, stage,
-       CAST(row_number() OVER (PARTITION BY stage ORDER BY rank_key, doc_id) AS INTEGER) AS pos
-FROM st"""
-
-
-def q_dsir_resample_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x23's production twin: the same DSIR weights, but the per-language
-    top-k runs through the skew-safe ``capped_keep_first`` kernel (x10's
-    three-stage shape) instead of a plain rank window — at 100 TB one
-    language can be 40% of the corpus, and the plain window funnels it
-    through a single reducer. Output: the kept doc_ids with their
-    weights (the keep-list the sampler ships), exact-equal to the cert
-    query's ``keep = true`` slice by the kernel's pinned equivalence."""
-    from ..operators.skew import capped_keep_first
-    from ..operators.text import dsir_log_weights
-
-    d = _docs(spark, sf_dir)
-    cand = d.filter(F.col("source") != "src0")
-    target = d.filter(F.col("source") == "src0")
-    w = dsir_log_weights(cand, target, n_buckets=X23_BUCKETS).select(
-        F.col("id").alias("doc_id"), "log_w"
-    )
-    slim = (
-        w.join(d.select("doc_id", "lang"), "doc_id")
-        .withColumn("__ord", F.struct((-F.col("log_w")).alias("nw"), "doc_id"))
-    )
-    return capped_keep_first(slim, "lang", "__ord", F.lit(X23_PER_LANG)).select(
-        "doc_id", "lang", "log_w"
-    )
-
-
-BENCH_ONLY["x23_prod"] = q_dsir_resample_prod
-
-
-def q_curriculum_schedule_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x24's production twin — the documented 100 TB swap executed: the
-    global ntile (ONE SinglePartition sort, measured going serial in the
-    last decade of the 100× run: 0.75 → 6.8 s for 10× rows) is replaced
-    by approx-quantile stage cuts broadcast into a comparison, so stage
-    assignment is map-side and the only windows are the per-stage
-    interleave ranks (parallel across stages). Stage populations land
-    within percentile_approx's error bound of exact quartiles —
-    certified by the pytest bound check, t13's sketch-vs-exact pattern.
-    """
-    from pyspark.sql import Window
-
-    f = quality_features("text")
-    z = (
-        F.lit(QC_WEIGHTS["bias"])
-        + QC_WEIGHTS["n_tokens"] * f["n_tokens"]
-        + QC_WEIGHTS["distinct_ratio"] * f["distinct_ratio"]
-        + QC_WEIGHTS["stopword_ratio"] * f["stopword_ratio"]
-        + QC_WEIGHTS["mean_token_len"] * f["mean_token_len"]
-    )
-    scored = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("qscore"),
-        ((F.col("doc_id") % PRIO_MOD) * F.lit(PRIO_MULT)).alias("rank_key"),
-    )
-    cuts = scored.agg(
-        F.percentile_approx(
-            "qscore", [0.25, 0.5, 0.75], 10_000
-        ).alias("c")
-    )
-    w_pos = Window.partitionBy("stage").orderBy("rank_key", "doc_id")
-    return (
-        scored.crossJoin(F.broadcast(cuts))
-        # stage 1 = highest quality (ntile orientation: score DESC)
-        .withColumn(
-            "stage",
-            F.when(F.col("qscore") >= F.col("c")[2], 1)
-            .when(F.col("qscore") >= F.col("c")[1], 2)
-            .when(F.col("qscore") >= F.col("c")[0], 3)
-            .otherwise(4),
-        )
-        .withColumn("pos", F.row_number().over(w_pos))
-        .select("doc_id", "qscore", "stage", "pos")
-    )
-
-
-BENCH_ONLY["x24_prod"] = q_curriculum_schedule_prod
-
-
-# --- t22: BPE-style pre-tokenizer census (round 15) ---------------------------
-
-#: GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and
-#: RE2 (DuckDB) agree: a word run with optional leading space, a digit
-#: run, a punctuation run, or a space run. Both engines use ordered
-#: (leftmost-first) alternation.
-BPE_PRETOKEN_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
-
-
-def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t22: subword-budget census — per document, the GPT-2-style
-    pre-token count (the unit BPE merges start from, and the practical
-    upper bound on BPE token count), category splits (word/number/
-    punctuation runs), and chars-per-pretoken (the compression proxy
-    token-budget planning uses when the real tokenizer isn't in the
-    cluster). Whitespace-token counts (t5) undercount code and
-    punctuation-dense text by 2-4×; this is the census an LLM data
-    pipeline actually budgets with.
-
-    Scale shape: one regexp_extract_all projection — map-only, no
-    shuffle, no UDF; the regex is anchored alternation over character
-    classes (no backtracking blowup)."""
-    d = _docs(spark, sf_dir)
-    toks = F.expr(f"regexp_extract_all(text, '{BPE_PRETOKEN_RE}', 0)")
-    wrapped = lambda body: F.expr(  # noqa: E731 - bind toks once
-        f"transform(array(regexp_extract_all(text, '{BPE_PRETOKEN_RE}', 0)),"
-        f" t -> {body})[0]"
-    )
-    return d.select(
-        "doc_id",
-        F.array_size(toks).alias("n_pretokens"),
-        wrapped("size(filter(t, x -> x rlike '^ ?[a-zA-Z]+$'))").alias("n_word"),
-        wrapped("size(filter(t, x -> x rlike '^ ?[0-9]+$'))").alias("n_num"),
-        wrapped(
-            "size(filter(t, x -> NOT (x rlike '^ ?[a-zA-Z]+$') "
-            "AND NOT (x rlike '^ ?[0-9]+$') AND NOT (x rlike '^ +$')))"
-        ).alias("n_punct"),
-        # empty/NULL text → 0 pretokens: guard the ratio on BOTH engines
-        # (ADVICE r12 — Spark non-ANSI div-0 yields NULL while DuckDB
-        # differs, so the contract must not lean on the fixture never
-        # containing empty text)
-        F.when(
-            F.array_size(toks) > 0,
-            tie_safe_round(F.length("text") / F.array_size(toks), 6),
-        ).alias("chars_per_pretoken"),
-    )
-
-
-QUERIES["t22_bpe_pretokenize"] = q_bpe_pretokenize
-ORACLES["t22_bpe_pretokenize"] = f"""
-WITH t AS (SELECT doc_id, length(text) AS n_chars,
-                  regexp_extract_all(text, '{BPE_PRETOKEN_RE}') AS toks
-           FROM documents)
-SELECT doc_id,
-       CAST(len(toks) AS INTEGER) AS n_pretokens,
-       CAST(len(list_filter(toks, x -> regexp_matches(x, '^ ?[a-zA-Z]+$'))) AS INTEGER) AS n_word,
-       CAST(len(list_filter(toks, x -> regexp_matches(x, '^ ?[0-9]+$'))) AS INTEGER) AS n_num,
-       CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '^ ?[a-zA-Z]+$')
-            AND NOT regexp_matches(x, '^ ?[0-9]+$')
-            AND NOT regexp_matches(x, '^ +$'))) AS INTEGER) AS n_punct,
-       CASE WHEN len(toks) > 0
-            THEN CAST(round(CAST(n_chars * 1.0 / len(toks) AS DECIMAL(28,12)), 6) AS DOUBLE) END AS chars_per_pretoken
-FROM t"""
-
-
-# --- t23: char-trigram language ID (round 15) ---------------------------------
-
-#: Cavnar-Trenkle profile sizes: top-K trigrams per language model,
-#: top-K_DOC per document, out-of-place penalty = T23_K
-T23_K = 100
-T23_K_DOC = 50
-
-
-def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t23: n-gram language-ID proper (Cavnar-Trenkle 1994) — the
-    rank-order character-trigram classifier, next to t4's stopword
-    heuristic: per language, the top-{T23_K} char trigrams by frequency
-    form a ranked profile; each document's top-{T23_K_DOC} trigrams are
-    compared by out-of-place distance (|doc_rank − lang_rank|, penalty
-    {T23_K} for trigrams outside the profile); prediction = argmin.
-    Everything is INTEGER arithmetic — no float folds, so cross-engine
-    equality is exact, not rounded.
-
-    Scale shape: language profiles are ≤ {T23_K}·|langs| rows (broadcast
-    everywhere); document profiles come from a per-document window
-    (parallel across docs, bounded by per-doc distinct trigrams); the
-    scoring join is doc-profile × |langs| with the profile broadcast.
-    One corpus-scale explode (the trigram pass), everything downstream
-    keyed or bounded. Docs shorter than 3 chars have no trigrams and are
-    excluded (documented; the fixture has none).
-
-    Fixture honesty note: the synthetic languages share one English-word
-    vocabulary, so trigram profiles barely separate — measured accuracy
-    0.31 vs 0.20 chance at sf0.01. The certification here is HASH
-    EXACTNESS of the rank-order algorithm (pure integer arithmetic);
-    on real multilingual text this classifier is the standard ~99%
-    heuristic."""
-    from pyspark.sql import Window
-
-    # trigram-bearing slice ONLY (ADVICE r12): candidate languages, the
-    # truth-lang join, and the profiles must all derive from the same
-    # length(text) >= 3 universe the oracle's WHERE clause uses — a
-    # language present only via sub-3-char docs must not become a
-    # candidate (its all-penalty score could win an argmin tie-break)
-    d = _docs(spark, sf_dir).select("doc_id", "lang", "text").filter(
-        F.length("text") >= 3
-    )
-    tg = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "CASE WHEN length(text) >= 3 THEN "
-                "transform(sequence(1, length(text) - 2),"
-                " i -> substring(text, CAST(i AS INT), 3)) "
-                "ELSE array() END"
-            )
-        ).alias("tg"),
-    )
-    w_lang = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tg"))
-    lang_prof = (
-        tg.groupBy("lang", "tg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("lang_rank", F.row_number().over(w_lang))
-        .filter(F.col("lang_rank") <= T23_K)
-        .select(F.col("lang").alias("cand"), "tg", "lang_rank")
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("tg"))
-    doc_prof = (
-        tg.groupBy("doc_id", "tg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("doc_rank", F.row_number().over(w_doc))
-        .filter(F.col("doc_rank") <= T23_K_DOC)
-        .select("doc_id", "tg", "doc_rank")
-    )
-    langs = d.select(F.col("lang").alias("cand")).distinct()
-    # Measured negative (round 15, interleaved A/B min-of-2 at 1× and
-    # 100×): rewriting this to join ONLY profile hits — dist decomposes
-    # as n_rows·K + Σ_matched(|Δ|−K) with every matched term strictly
-    # negative, so unmatched candidates can never win — is value-
-    # identical (oracle hash unchanged) but SLOWER here: naive
-    # 2.65/41.5 s vs matched-only 3.22/44.3 s at 1×/100×. On this
-    # fixture languages share one vocabulary, so ~every doc trigram
-    # matches ~every profile and the penalty stream the rewrite avoids
-    # barely exists, while its extra aggs (n_rows, anti-join fallback,
-    # union) cost real time. On a real multilingual corpus (sparse
-    # matches) the decomposition is the right form — revisit only with
-    # a disjoint-alphabet fixture measurement.
-    scored = (
-        doc_prof.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(lang_prof), ["cand", "tg"], "left")
-        .groupBy("doc_id", "cand")
-        .agg(
-            F.sum(
-                F.coalesce(
-                    F.abs(F.col("doc_rank") - F.col("lang_rank")),
-                    F.lit(T23_K),
-                )
-            ).alias("dist")
-        )
-    )
-    w_best = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("cand"))
-    best = (
-        scored.withColumn("rn", F.row_number().over(w_best))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand").alias("lang_pred"), "dist")
-    )
-    return best.join(d.select("doc_id", "lang"), "doc_id").select(
-        "doc_id",
-        "lang",
-        "lang_pred",
-        "dist",
-        (F.col("lang") == F.col("lang_pred")).alias("correct"),
-    )
-
-
-QUERIES["t23_langid_ngram"] = q_langid_ngram
-ORACLES["t23_langid_ngram"] = f"""
-WITH d AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
-tg AS (SELECT doc_id, lang, unnest(
-         list_transform(range(length(text) - 2), i -> text[i+1:i+3])) AS tg
-       FROM d),
-lp AS (SELECT lang AS cand, tg, lang_rank FROM (
-         SELECT lang, tg, CAST(count(*) AS BIGINT) AS cnt,
-                row_number() OVER (PARTITION BY lang
-                  ORDER BY count(*) DESC, tg) AS lang_rank
-         FROM tg GROUP BY lang, tg)
-       WHERE lang_rank <= {T23_K}),
-dp AS (SELECT doc_id, tg, doc_rank FROM (
-         SELECT doc_id, tg, CAST(count(*) AS BIGINT) AS cnt,
-                row_number() OVER (PARTITION BY doc_id
-                  ORDER BY count(*) DESC, tg) AS doc_rank
-         FROM tg GROUP BY doc_id, tg)
-       WHERE doc_rank <= {T23_K_DOC}),
-langs AS (SELECT DISTINCT lang AS cand FROM d),
-sc AS (SELECT dp.doc_id, langs.cand,
-              CAST(sum(coalesce(abs(dp.doc_rank - lp.lang_rank), {T23_K})) AS BIGINT) AS dist
-       FROM dp CROSS JOIN langs
-       LEFT JOIN lp ON lp.cand = langs.cand AND lp.tg = dp.tg
-       GROUP BY dp.doc_id, langs.cand),
-best AS (SELECT doc_id, cand AS lang_pred, dist FROM (
-           SELECT doc_id, cand, dist,
-                  row_number() OVER (PARTITION BY doc_id
-                    ORDER BY dist, cand) AS rn
-           FROM sc)
-         WHERE rn = 1)
-SELECT b.doc_id, d.lang, b.lang_pred, b.dist,
-       d.lang = b.lang_pred AS correct
-FROM best b JOIN d USING (doc_id)"""
+from .llmops_tail import _snapshot_churn  # noqa: E402,F401 - tests import it

@@ -2765,14 +2765,17 @@ def test_recall_report_planted_neighbor(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
     # reuse the registered query's kernel by pointing _embs at the frame
+    # (patch the DEFINING module — q_recall_report's globals bind
+    # llmops_tail's _embs, not the plans.llmops facade's)
     from nyc_taxi_etl_dashboard_spark.plans import llmops as L
+    from nyc_taxi_etl_dashboard_spark.plans import llmops_tail as LT
 
-    orig = L._embs
-    L._embs = lambda spark, sf_dir: df
+    orig = LT._embs
+    LT._embs = lambda spark, sf_dir: df
     try:
         rep = {r.query_id: r for r in L.q_recall_report(spark, "unused").collect()}
     finally:
-        L._embs = orig
+        LT._embs = orig
 
     assert set(rep) == set(range(V18_QUERIES))
     cells = {
@@ -2877,15 +2880,17 @@ def test_rerank_stack_exact_when_corpus_is_codebook(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    orig = L._embs
-    L._embs = lambda spark, sf_dir: df
+    from nyc_taxi_etl_dashboard_spark.plans import llmops_tail as LT
+
+    orig = LT._embs  # patch the defining module (see the v18 test note)
+    LT._embs = lambda spark, sf_dir: df
     try:
         got = {
             (r.query_id, r.rnk): (r.neighbor_id, r.cosine, r.adc)
             for r in L.q_rerank_stack(spark, "unused").collect()
         }
     finally:
-        L._embs = orig
+        LT._embs = orig
 
     bf = {
         (r.query_id, r.rnk): (r.neighbor_id, r.cosine)
@@ -3035,3 +3040,56 @@ def test_pack_modes_property_fuzz(spark):
             assert ids == list(range(len(ids)))
 
     run()
+
+
+def test_store_health_composes_the_three_kernels(spark, sf_dir):
+    """v20 (VERDICT r15 item 5): per-source grain equals dd17's; the
+    store-wide KPI columns are constant across rows and equal the
+    aggregates of the v17/v18 kernel outputs; the dashboard light is
+    exactly the conjunction of the three alerts."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import (
+        V20_CHURN_ALERT,
+        q_index_maintenance,
+        q_recall_report,
+        q_snapshot_churn,
+        q_store_health,
+    )
+
+    rows = q_store_health(spark, sf_dir).collect()
+    churn_rows = q_snapshot_churn(spark, sf_dir).collect()
+    assert len(rows) == len(churn_rows) > 0
+    # KPI columns are store-wide constants
+    for col in ("idx_cells", "idx_refit_cells", "idx_refit_due",
+                "ann_probes", "ann_mean_recall", "ann_degraded"):
+        assert len({r[col] for r in rows}) == 1, col
+    # and equal the kernel aggregates
+    v17 = q_index_maintenance(spark, sf_dir).collect()
+    v18 = q_recall_report(spark, sf_dir).collect()
+    r0 = rows[0]
+    assert r0.idx_cells == len(v17)
+    assert r0.idx_refit_cells == sum(r.refit for r in v17)
+    assert r0.idx_refit_due == any(r.refit for r in v17)
+    assert r0.ann_probes == len(v18)
+    assert abs(r0.ann_mean_recall - sum(r.recall_at_k for r in v18) / len(v18)) < 1e-6
+    # the light is the conjunction, and churn_alert matches the ledger
+    by_src = {r.source: r for r in churn_rows}
+    for r in rows:
+        assert r.churn == by_src[r.source].churn
+        assert r.churn_alert == (r.churn > V20_CHURN_ALERT)
+        assert r.healthy == (not (r.churn_alert or r.idx_refit_due or r.ann_degraded))
+
+
+def test_store_health_prod_structure(spark, sf_dir):
+    """v20_prod: the prod-kernel composition returns the same KPI
+    surface (per-source rows, constant store-wide columns) — the
+    bench path must not silently diverge from the certified shape."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import BENCH_ONLY
+
+    rows = BENCH_ONLY["v20_prod"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    cols = set(rows[0].asDict())
+    assert {"source", "churn", "churn_alert", "idx_refit_due",
+            "ann_mean_recall", "ann_degraded", "healthy"} <= cols
+    assert len({r.ann_mean_recall for r in rows}) == 1
+    for r in rows:
+        assert r.healthy == (not (r.churn_alert or r.idx_refit_due or r.ann_degraded))
