@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import POLY_MOD
+from ..functions import POLY_MOD, tie_safe_round
 from . import scale_out, scoped_persist
 from .text import with_shingles
 
@@ -805,8 +805,9 @@ def containment_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("common"))
-        .withColumn("c_a_in_b", F.round(F.col("common") / F.col("n_a"), 6))
-        .withColumn("c_b_in_a", F.round(F.col("common") / F.col("n_b"), 6))
+        # count ratios: decimal-bridged 6dp quantization (SURVEY §8)
+        .withColumn("c_a_in_b", tie_safe_round(F.col("common") / F.col("n_a"), 6))
+        .withColumn("c_b_in_a", tie_safe_round(F.col("common") / F.col("n_b"), 6))
         .filter(
             (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
         )
@@ -1080,7 +1081,8 @@ def source_overlap_matrix(
             "grp_a",
             "grp_b",
             "est_jaccard",
-            F.round(
+            # count ratio: decimal-bridged (SURVEY §8)
+            tie_safe_round(
                 F.col("n_inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
                 6,

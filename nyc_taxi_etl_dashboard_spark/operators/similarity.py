@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import tie_safe_round
 from . import scoped_persist
 
 
@@ -786,7 +787,8 @@ def knn_density_outliers(
         )
         w = Window.orderBy("mean_knn_cos")
         return scored.withColumn(
-            "pct", F.round(F.percent_rank().over(w), 6)
+            # integer-ratio quantization: decimal-bridged (SURVEY §8)
+            "pct", tie_safe_round(F.percent_rank().over(w), 6)
         ).select(
             F.col("query_id").alias(id_col),
             "mean_knn_cos",
@@ -942,7 +944,7 @@ def index_maintenance_report(
         .select(
             "cell",
             "n_vecs",
-            F.round(F.col("n_vecs") / F.col("__n"), 6).alias("share"),
+            tie_safe_round(F.col("n_vecs") / F.col("__n"), 6).alias("share"),
             F.round("mean_dist2_raw", 6).alias("mean_dist2"),
             (F.col("n_vecs") / F.col("__n") > skew_factor / k).alias("high_skew"),
             (
@@ -1029,7 +1031,8 @@ def prototype_density_outliers(
     if exact:
         w = Window.orderBy("proto_cosine")
         return scored.withColumn(
-            "pct", F.round(F.percent_rank().over(w), 6)
+            # integer-ratio quantization: decimal-bridged (SURVEY §8)
+            "pct", tie_safe_round(F.percent_rank().over(w), 6)
         ).select(
             id_col,
             "proto_cosine",

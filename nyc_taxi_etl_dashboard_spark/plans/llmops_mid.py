@@ -602,8 +602,8 @@ BENCH_ONLY["dd12_prod"] = q_containment_pairs_prod
 ORACLES["dd12_containment_pairs"] = f"""
 WITH {_SHINGLES_CTE}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(a.shingle), 6) AS c_a_in_b,
-       round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(b.shingle), 6) AS c_b_in_a
+       CAST(round(CAST(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(a.shingle) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c_a_in_b,
+       CAST(round(CAST(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(b.shingle) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c_b_in_a
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(a.shingle), 6) >= 0.6
    OR round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(b.shingle), 6) >= 0.6"""
@@ -715,7 +715,7 @@ top AS (SELECT query_id, cosine FROM (
   FROM scored) WHERE rnk <= 5),
 m AS (SELECT query_id, round(avg(cosine), 6) AS mean_knn_cos FROM top GROUP BY query_id),
 r AS (SELECT query_id AS vec_id, mean_knn_cos,
-             round(percent_rank() OVER (ORDER BY mean_knn_cos), 6) AS pct
+             CAST(round(CAST(percent_rank() OVER (ORDER BY mean_knn_cos) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct
       FROM m)
 SELECT vec_id, mean_knn_cos, pct, pct <= 0.1 AS is_outlier FROM r"""
 
@@ -2193,7 +2193,7 @@ s AS (SELECT e.vec_id,
           / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
       FROM embeddings e JOIN c USING (label)),
 r AS (SELECT vec_id, density_score,
-             round(percent_rank() OVER (ORDER BY density_score), 6) AS pct
+             CAST(round(CAST(percent_rank() OVER (ORDER BY density_score) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct
       FROM s)
 SELECT vec_id, density_score, pct, pct <= 0.1 AS is_outlier,
        'prototype_linear' AS method

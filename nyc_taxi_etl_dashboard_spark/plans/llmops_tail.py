@@ -160,7 +160,7 @@ s AS (SELECT sv.vec_id, sv.label,
           / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
       FROM surv sv JOIN c USING (label)),
 g AS (SELECT vec_id, label, density_score,
-             round(percent_rank() OVER (ORDER BY density_score), 6) AS pct
+             CAST(round(CAST(percent_rank() OVER (ORDER BY density_score) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct
       FROM s),
 r AS (SELECT vec_id,
              CAST(row_number() OVER (PARTITION BY label ORDER BY density_score, vec_id) AS INTEGER) AS rnk
@@ -277,7 +277,7 @@ tot AS (
          count(*) AS k_seen
   FROM pc)
 SELECT CAST(pc.cell AS INTEGER) AS cell, n_vecs,
-       round(n_vecs * 1.0 / tot.n, 6) AS share,
+       CAST(round(CAST(n_vecs * 1.0 / tot.n AS DECIMAL(28,12)), 6) AS DOUBLE) AS share,
        round(mean_raw, 6) AS mean_dist2,
        n_vecs * 1.0 / tot.n > 2.0 / 8 AS high_skew,
        mean_raw > 1.5 * tot.sum_means / tot.k_seen AS high_error,
@@ -459,7 +459,7 @@ s AS (SELECT sv.doc_id,
           / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
       FROM surv sv JOIN c USING (lang)),
 g AS (SELECT doc_id, density_score,
-             round(percent_rank() OVER (ORDER BY density_score), 6) AS pct
+             CAST(round(CAST(percent_rank() OVER (ORDER BY density_score) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct
       FROM s)
 SELECT d.doc_id, d.lang, q.n_clean_tokens, q.passed_quality,
        g.density_score, g.pct,
@@ -1639,8 +1639,8 @@ inter AS (SELECT a.source AS grp_a, b.source AS grp_b, count(*) AS n_inter
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
           GROUP BY a.source, b.source)
 SELECT e.grp_a, e.grp_b, e.est_jaccard,
-       round(coalesce(i.n_inter, 0) * 1.0
-             / (e.n_a + e.n_b - coalesce(i.n_inter, 0)), 6) AS jaccard
+       CAST(round(CAST(coalesce(i.n_inter, 0) * 1.0
+             / (e.n_a + e.n_b - coalesce(i.n_inter, 0)) AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
 FROM est e LEFT JOIN inter i ON e.grp_a = i.grp_a AND e.grp_b = i.grp_b"""
 
 
