@@ -163,3 +163,37 @@ def test_bench_suites_resolve_in_registry():
     # via the suites — keep them out so they aren't double-timed
     assert "pipe_transform_full" not in bench.HEADLINE
     assert "pipe_transform_bronze" not in bench.HEADLINE
+
+
+def test_tie_safe_round_planted_ties_agree_cross_engine(spark, duck):
+    """SURVEY §8 / VERDICT r15 item 1: round(raw-double, 6) of an
+    integer ratio is engine-dependent exactly at representational ties
+    (k/2^a values whose expansion terminates at digit 7 with a 5 —
+    e.g. 1/128 = 0.0078125). The decimal bridge must make BOTH legs
+    produce the identical, HALF_UP-quantized double at every planted
+    tie, independent of how each engine's raw round() behaves (this
+    container's duckdb happens to round half-up too — which is WHY the
+    r15 driver reds never reproduced locally; the bridge removes the
+    environment dependence rather than matching one environment)."""
+    from nyc_taxi_etl_dashboard_spark.functions import tie_safe_round
+
+    ties = [(1, 128), (3, 128), (5, 128), (1, 640), (7, 1280), (129, 2560)]
+    sdf = spark.createDataFrame(ties, "num long, den long").select(
+        "num",
+        "den",
+        tie_safe_round(F.col("num") / F.col("den"), 6).alias("bridged"),
+    )
+    got = {(r.num, r.den): r.bridged for r in sdf.collect()}
+    for (num, den), bridged in got.items():
+        o = duck.execute(
+            f"SELECT CAST(round(CAST({num} * 1.0 / {den} AS DECIMAL(28,12)), 6)"
+            " AS DOUBLE)"
+        ).fetchone()[0]
+        assert repr(bridged) == repr(o), (num, den, bridged, o)
+        # HALF_UP at the tie: 1/128 -> 0.007813, never 0.007812
+        import decimal
+
+        exact = decimal.Decimal(num) / decimal.Decimal(den)
+        expect = float(exact.quantize(decimal.Decimal("0.000001"),
+                                      rounding=decimal.ROUND_HALF_UP))
+        assert repr(bridged) == repr(expect), (num, den, bridged, expect)
