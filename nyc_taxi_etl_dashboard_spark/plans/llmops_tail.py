@@ -667,11 +667,14 @@ def q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    # the per-probe frames are bounded by the probe set (8 rows) —
+    # broadcast them; without the hint the composed v20 plan pulled
+    # them through SortMergeJoin exchanges (round-20 plan pin)
     return (
         qs.select("query_id")
-        .join(n_cand, "query_id", "left")
-        .join(n_ret, "query_id", "left")
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(n_cand), "query_id", "left")
+        .join(F.broadcast(n_ret), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
@@ -748,8 +751,8 @@ def q_recall_report_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ReusedExchange in the plan)
     return (
         qs.select(F.col("vec_id").alias("query_id"))
-        .join(n_ret, "query_id", "left")
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(n_ret), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_returned", F.lit(0)).alias("n_returned"),

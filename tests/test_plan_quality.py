@@ -756,3 +756,29 @@ def test_pack_efficiency_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "rangepartitioning" not in plan
     assert "n_chars" not in plan  # pruned scan
+
+
+def test_store_health_plan_shape(spark, sf_dir):
+    """v20: the dashboard composes the three kernels without a new
+    shuffle — the only wide exchanges are the ones the kernels own
+    (churn groupBy, v17 assignment aggregates, v18 candidate window);
+    the store-wide KPI frames arrive as broadcast joins over
+    single-row aggregates. The per-probe aggregate joins are
+    broadcast-hinted (bounded by the probe set); the ONE allowed
+    SortMergeJoin is annk-vs-exact — both sides |probes|x k rows,
+    and force-broadcasting the exact leg measured 1.22x paired
+    (PERF_AB_r16: it serializes the ground-truth leg behind a
+    broadcast barrier), so the hint stops there."""
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import QUERIES
+
+    plan = (
+        QUERIES["v20_store_health"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") <= 1
+    # the 1-row KPI frames ride broadcast nested-loop cross joins
+    assert "BroadcastNestedLoopJoin" in plan
+    # no unhinted cartesian over corpus-scale inputs
+    assert "CartesianProduct" not in plan

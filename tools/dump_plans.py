@@ -63,6 +63,7 @@ SHOWCASE = [
     ("v18_recall_report", "ANN recall telemetry (round 19): both legs broadcast-shaped around the bounded probe set — the exact leg is one corpus scan with a per-query top-k window, the bucket leg an equi-join on the portable RHP cell; the corpus is never self-joined."),
     ("v19_rerank_stack", "Two-stage retrieval (round 19): map-side HOF encode against 1,024 plan-literal codebook doubles, broadcast queries, a slim (query, adc) shortlist window, and a rerank that touches 20 rows per query — the corpus is scanned once and never self-joined."),
     ("x29_pack_efficiency", "Packing-efficiency comparison (round 19): two grouped-applyInPandas recurrences over one slim (doc_id, source, n_tokens) frame, two per-source aggregates, one join on |sources| rows — no corpus-scale join or window anywhere."),
+    ("v20_store_health", "Store-health dashboard (round 20): the three telemetry kernels compose without a new shuffle — the per-source churn groupBy is the only wide exchange; the v17/v18 KPI legs collapse to 1-row aggregates cross-joined as BroadcastNestedLoopJoin over single rows."),
 ]
 
 
