@@ -197,3 +197,34 @@ def test_tie_safe_round_planted_ties_agree_cross_engine(spark, duck):
         expect = float(exact.quantize(decimal.Decimal("0.000001"),
                                       rounding=decimal.ROUND_HALF_UP))
         assert repr(bridged) == repr(expect), (num, den, bridged, expect)
+
+
+def test_tie_safe_round_bulk_random_ratios_agree_cross_engine(spark, duck):
+    """Randomized extension of the planted-ties pin: 400 seeded
+    integer ratios (denominators biased toward the 2,5-smooth class
+    where ties live) bridged on both engines in bulk must agree
+    repr-exactly — catches any residual quantization-class divergence
+    the hand-planted six could miss."""
+    import random
+
+    from nyc_taxi_etl_dashboard_spark.functions import tie_safe_round
+
+    rng = random.Random(16)
+    smooth = [2, 4, 5, 8, 10, 16, 20, 25, 32, 64, 128, 160, 256, 640,
+              1280, 2000, 2560, 10000]
+    cases = []
+    for i in range(400):
+        den = rng.choice(smooth) if i % 2 else rng.randint(1, 5000)
+        num = rng.randint(0, 4 * den)
+        cases.append((num, den))
+    sdf = spark.createDataFrame(cases, "num long, den long").select(
+        "num", "den", tie_safe_round(F.col("num") / F.col("den"), 6).alias("b")
+    )
+    got = {(r.num, r.den): repr(r.b) for r in sdf.collect()}
+    values = ", ".join(f"({n}, {d})" for n, d in cases)
+    orows = duck.execute(
+        "SELECT num, den, CAST(round(CAST(num * 1.0 / den AS DECIMAL(28,12)), 6)"
+        f" AS DOUBLE) FROM (VALUES {values}) v(num, den)"
+    ).fetchall()
+    for num, den, o in orows:
+        assert got[(num, den)] == repr(o), (num, den, got[(num, den)], o)
