@@ -1094,8 +1094,20 @@ def main() -> None:
         "queries",
     )
     emit = {k: v for k, v in summary.items() if k not in tail_critical}
+    # stdout-only compaction (full detail stays in BENCH_local.json):
+    # verbose suspects/settled blocks are what pushed r15's line past
+    # the tail; compact them to {query: ratio} / {query: "verdict:ratio"}
+    if emit.get("suspects"):
+        emit["suspects"] = {
+            q: info.get("ratio") for q, info in emit["suspects"].items()
+        }
+    if emit.get("settled"):
+        emit["settled"] = {
+            q: f"{v.get('verdict')}:{v.get('paired_ratio_med')}"
+            for q, v in emit["settled"].items()
+        }
     emit.update({k: summary[k] for k in tail_critical if k in summary})
-    print(json.dumps(emit))
+    print(json.dumps(emit, separators=(",", ":")))
 
 
 if __name__ == "__main__":
