@@ -788,7 +788,7 @@ def knn_density_outliers(
         w = Window.orderBy("mean_knn_cos")
         return scored.withColumn(
             # integer-ratio quantization: decimal-bridged (SURVEY §8)
-            "pct", tie_safe_round(F.percent_rank().over(w), 6)
+            "pct", tie_safe_round(F.percent_rank().over(w), 6, dec="decimal(18,12)")
         ).select(
             F.col("query_id").alias(id_col),
             "mean_knn_cos",
@@ -1032,7 +1032,7 @@ def prototype_density_outliers(
         w = Window.orderBy("proto_cosine")
         return scored.withColumn(
             # integer-ratio quantization: decimal-bridged (SURVEY §8)
-            "pct", tie_safe_round(F.percent_rank().over(w), 6)
+            "pct", tie_safe_round(F.percent_rank().over(w), 6, dec="decimal(18,12)")
         ).select(
             id_col,
             "proto_cosine",

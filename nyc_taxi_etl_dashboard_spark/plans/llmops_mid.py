@@ -130,6 +130,7 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_sh") > 0, F.col("n_bloom_hit") / F.col("n_sh")
                 ).otherwise(F.lit(0.0)),
                 6,
+                dec="decimal(18,12)",  # overlap ratio in [0,1]
             ),
         )
         .withColumn("pct", F.percent_rank().over(Window.orderBy("ov")))
@@ -392,7 +393,12 @@ def q_lm_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy("avg_logprob")
     return (
         scores.join(d, "doc_id")
-        .withColumn("pct_rank", tie_safe_round(F.percent_rank().over(w), 6))
+        .withColumn(
+            # percent_rank in [0,1]: decimal(18,12) is Long-backed in
+            # Spark (precision <= 18) — measurably cheaper per-row
+            "pct_rank",
+            tie_safe_round(F.percent_rank().over(w), 6, dec="decimal(18,12)"),
+        )
         .select(
             "doc_id",
             "lang",
@@ -420,7 +426,7 @@ def lm_thresholds_exact(scores_with_lang: DataFrame) -> DataFrame:
     w = Window.partitionBy("lang").orderBy("avg_logprob")
     return (
         scores_with_lang.withColumn(
-            "pr", tie_safe_round(F.percent_rank().over(w), 6)
+            "pr", tie_safe_round(F.percent_rank().over(w), 6, dec="decimal(18,12)")
         )
         .filter(F.col("pr") >= 0.1)
         .groupBy("lang")

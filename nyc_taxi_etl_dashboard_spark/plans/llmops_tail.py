@@ -1996,7 +1996,10 @@ def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # containing empty text)
         F.when(
             F.array_size(toks) > 0,
-            tie_safe_round(F.length("text") / F.array_size(toks), 6),
+            # bounded ratio (chars/pretoken ~ tens): Long-backed decimal
+            tie_safe_round(
+                F.length("text") / F.array_size(toks), 6, dec="decimal(18,12)"
+            ),
         ).alias("chars_per_pretoken"),
     )
 
