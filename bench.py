@@ -265,8 +265,12 @@ PROBE_WAVE_RATIO = 2.0
 #: cap of 4 silently dropped real suspects; suspects share one
 #: interleaved session, so batching them is cheap — the cap only
 #: guards a pathological every-query-flagged run, and any truncation
-#: is still loudly recorded per query)
-AB_MAX_QUERIES = 12
+#: is still loudly recorded per query). Raised 12 → 24 after the
+#: round-20 post-close wave flagged 21 suspects and the cap truncated
+#: 3: a pathological box is exactly when everything should settle,
+#: and 24 suspects cost ~24 x 6 timed runs in the one session — the
+#: scaled timeout covers it.
+AB_MAX_QUERIES = 24
 
 #: phase -> the write-axis probes that bracket it (start/mid/end), so a
 #: suspect is compared against the probe readings taken nearest to WHEN
