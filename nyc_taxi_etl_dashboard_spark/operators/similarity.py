@@ -944,7 +944,10 @@ def index_maintenance_report(
         .select(
             "cell",
             "n_vecs",
-            tie_safe_round(F.col("n_vecs") / F.col("__n"), 6).alias("share"),
+            # SURVEY §8 integer-contract rule (round 17): occupancy
+            # share is a pure integer ratio — exact ppm long (floor
+            # div), not a rounded double.
+            F.expr("(n_vecs * 1000000) div __n").alias("share_ppm"),
             F.round("mean_dist2_raw", 6).alias("mean_dist2"),
             (F.col("n_vecs") / F.col("__n") > skew_factor / k).alias("high_skew"),
             (

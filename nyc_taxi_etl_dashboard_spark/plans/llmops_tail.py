@@ -277,7 +277,7 @@ tot AS (
          count(*) AS k_seen
   FROM pc)
 SELECT CAST(pc.cell AS INTEGER) AS cell, n_vecs,
-       CAST(round(CAST(n_vecs * 1.0 / tot.n AS DECIMAL(28,12)), 6) AS DOUBLE) AS share,
+       (n_vecs * 1000000) // tot.n AS share_ppm,
        round(mean_raw, 6) AS mean_dist2,
        n_vecs * 1.0 / tot.n > 2.0 / 8 AS high_skew,
        mean_raw > 1.5 * tot.sum_means / tot.k_seen AS high_error,
@@ -518,20 +518,18 @@ def _snapshot_churn(d: DataFrame, key) -> DataFrame:
         pres.groupBy("source")
         .agg(n_a, n_b, retained, added, removed)
         .withColumn(
-            # SURVEY §8 float-parity rule: 6dp quantization of a raw
-            # double ratio is engine-dependent at representational ties
-            # (Spark BigDecimal HALF_UP vs DuckDB scaled-multiply), so
-            # bridge through decimal(18,12) before rounding — the
-            # star.py money-rounding precedent. The oracle leg mirrors
-            # the same CAST/round/CAST chain.
-            "churn",
-            F.round(
-                (
-                    (F.col("added") + F.col("removed"))
-                    / (F.col("n_a") + F.col("n_b"))
-                ).cast("decimal(18,12)"),
-                6,
-            ).cast("double"),
+            # SURVEY §8 integer-contract rule (round 17): the churn
+            # ratio is a pure integer ratio, and BOTH raw-double
+            # round(x, 6) and the decimal(18,12) bridge proved
+            # engine-environment-dependent at the driver (r15/r16
+            # hash-red with rows/schema green, locally unreproducible).
+            # Emit it as an exact parts-per-million integer instead:
+            # floor division of exact longs is bit-identical in every
+            # engine (Spark `div` and DuckDB `//` agree on non-negative
+            # operands). Denominator ≥ 1 by construction: a source row
+            # exists only because it has ≥ 1 distinct content.
+            "churn_ppm",
+            F.expr("((added + removed) * 1000000) div (n_a + n_b)"),
         )
     )
 
@@ -541,7 +539,7 @@ def q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurring crawl runs between two corpus versions (doc_id parity
     stands in for two crawl dates, the t20/dd16b convention): distinct
     contents retained / added / removed per source, plus a churn ratio
-    ((added+removed)/(n_a+n_b)). Complements dd16b, which ESTIMATES
+    ((added+removed)/(n_a+n_b)) emitted as an exact ppm integer. Complements dd16b, which ESTIMATES
     cross-snapshot overlap from MinHash sketches at shingle
     granularity — dd17 is the exact doc-granularity ledger a source
     on-boarding decision reads (a source churning 90 % per crawl is a
@@ -570,9 +568,9 @@ SELECT source,
        sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS retained,
        sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS added,
        sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS removed,
-       CAST(round(CAST((sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
-            + sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)) * 1.0
-           / (sum(in_a) + sum(in_b)) AS DECIMAL(18,12)), 6) AS DOUBLE) AS churn
+       ((sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
+         + sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)) * 1000000)
+           // (sum(in_a) + sum(in_b)) AS churn_ppm
 FROM pres GROUP BY source"""
 
 
@@ -679,9 +677,13 @@ def q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
             F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(V18_K), 6).alias(
-                "recall_at_k"
-            ),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            # SURVEY §8 integer-contract rule (round 17): recall@k is a
+            # pure integer ratio (hits/k) — exact ppm long, not a
+            # rounded double.
+            F.expr(
+                f"(coalesce(n_hits, 0) * 1000000) div {V18_K}"
+            ).cast("long").alias("recall_ppm"),
         )
     )
 
@@ -719,7 +721,8 @@ h AS (SELECT a.query_id, count(*) AS n_hits
 SELECT q.query_id,
        coalesce(nc.n_candidates, 0) AS n_candidates,
        coalesce(nr.n_returned, 0) AS n_returned,
-       round(coalesce(h.n_hits, 0) / {V18_K}.0, 6) AS recall_at_k
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       (CAST(coalesce(h.n_hits, 0) AS BIGINT) * 1000000) // {V18_K} AS recall_ppm
 FROM q LEFT JOIN nc USING (query_id) LEFT JOIN nr USING (query_id)
        LEFT JOIN h USING (query_id)"""
 
@@ -756,9 +759,10 @@ def q_recall_report_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(V18_K), 6).alias(
-                "recall_at_k"
-            ),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                f"(coalesce(n_hits, 0) * 1000000) div {V18_K}"
+            ).cast("long").alias("recall_ppm"),
         )
     )
 
@@ -1061,7 +1065,8 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Execution shape: two applyInPandas packing passes over the same
     slim (doc_id, source, n_tokens) frame (each a recurrence — the x28
     boundary), then two per-source aggregates and one broadcast-sized
-    join on source. All-integer until the two waste ratios. The DuckDB
+    join on source. All-integer end-to-end: the waste fractions are
+    exact ppm longs (SURVEY §8 integer-contract rule). The DuckDB
     oracle reproduces both placements with recursive CTEs — the FFD
     leg carries the OPEN-BIN FILL LIST as recursion state (indexed
     list_transform updates the first fitting bin; the sort key is
@@ -1084,7 +1089,6 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_n = packed_ffd.groupBy("source").agg(
         (F.max("bin_id") + 1).alias("bins_ffd")
     )
-    cap = F.lit(X28_CAP)
     return (
         agg_s.join(agg_n, "source")
         .withColumn(
@@ -1097,25 +1101,20 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ideal_bins",
             "bins_stream",
             "bins_ffd",
-            # decimal-bridged 6dp quantization (SURVEY §8 float-parity
-            # rule; the star.py precedent) — raw-double round(x, 6) of
-            # an integer ratio is engine-dependent at ties.
-            F.round(
-                (1 - F.col("total_eff") / (F.col("bins_stream") * cap)).cast(
-                    "decimal(18,12)"
-                ),
-                6,
-            )
-            .cast("double")
-            .alias("waste_stream"),
-            F.round(
-                (1 - F.col("total_eff") / (F.col("bins_ffd") * cap)).cast(
-                    "decimal(18,12)"
-                ),
-                6,
-            )
-            .cast("double")
-            .alias("waste_ffd"),
+            # SURVEY §8 integer-contract rule (round 17): the waste
+            # fractions are pure integer ratios — 1 - eff/(bins·cap) =
+            # (bins·cap - eff)/(bins·cap) — and both the raw-double and
+            # decimal-bridged roundings proved driver-environment-
+            # dependent (r15/r16 hash-red). Exact ppm integers via
+            # floor division; denominators > 0 (bins ≥ 1, cap > 0).
+            F.expr(
+                f"((bins_stream * {X28_CAP} - total_eff) * 1000000)"
+                f" div (bins_stream * {X28_CAP})"
+            ).alias("waste_stream_ppm"),
+            F.expr(
+                f"((bins_ffd * {X28_CAP} - total_eff) * 1000000)"
+                f" div (bins_ffd * {X28_CAP})"
+            ).alias("waste_ffd_ppm"),
             (F.col("bins_stream") - F.col("bins_ffd")).alias("bins_saved"),
         )
     )
@@ -1172,10 +1171,10 @@ agf AS (SELECT source, max(bin_id) + 1 AS bins_ffd FROM pf GROUP BY source)
 SELECT ags.source, n_docs, total_eff,
        (total_eff + {X28_CAP - 1}) // {X28_CAP} AS ideal_bins,
        bins_stream, bins_ffd,
-       CAST(round(CAST(1 - total_eff * 1.0 / (bins_stream * {X28_CAP})
-            AS DECIMAL(18,12)), 6) AS DOUBLE) AS waste_stream,
-       CAST(round(CAST(1 - total_eff * 1.0 / (bins_ffd * {X28_CAP})
-            AS DECIMAL(18,12)), 6) AS DOUBLE) AS waste_ffd,
+       ((bins_stream * {X28_CAP} - total_eff) * 1000000)
+           // (bins_stream * {X28_CAP}) AS waste_stream_ppm,
+       ((bins_ffd * {X28_CAP} - total_eff) * 1000000)
+           // (bins_ffd * {X28_CAP}) AS waste_ffd_ppm,
        bins_stream - bins_ffd AS bins_saved
 FROM ags JOIN agf USING (source)"""
 
@@ -2170,9 +2169,12 @@ FROM best b JOIN d USING (doc_id)"""
 #: v20 dashboard thresholds: a source churning more than half its
 #: distinct contents per crawl is a spam/instability signal (the dd17
 #: docstring's on-boarding rule); a bucket-only ANN finding under 60 %
-#: of true neighbors has degraded past dashboard-green.
-V20_CHURN_ALERT = 0.5
-V20_RECALL_FLOOR = 0.6
+#: of true neighbors has degraded past dashboard-green. Both are kept
+#: as exact integer fractions so the alert booleans are integer
+#: cross-multiplications — identical in every engine (SURVEY §8
+#: integer-contract rule, round 17).
+V20_CHURN_ALERT_NUM, V20_CHURN_ALERT_DEN = 1, 2  # churn > 1/2
+V20_RECALL_FLOOR_NUM, V20_RECALL_FLOOR_DEN = 3, 5  # mean recall < 3/5
 
 
 def q_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2189,14 +2191,15 @@ def q_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     no churn alert, no refit due, recall above the floor.
 
     Certification shape: all three legs are the certified kernels
-    verbatim (dd17/v17/v18 — each independently hash-green), so the
-    oracle is the JOIN OF THEIR THREE ORACLES wrapped in aggregate
-    CTEs; ``ann_mean_recall`` is an integer-ratio average (n_hits/5
-    over the probe set) and goes through the SURVEY §8 decimal bridge;
-    the alert booleans compare the BRIDGED doubles so both engines
-    threshold the same value. Production twin: ``v20_prod`` composes
-    the three prod kernels (xxhash64 churn keys, trained quantizer,
-    production bucketing).
+    verbatim (dd17/v17/v18), so the oracle is the JOIN OF THEIR THREE
+    ORACLES wrapped in aggregate CTEs. Every ratio on the contract is
+    an exact integer (SURVEY §8 integer-contract rule, round 17):
+    ``churn_ppm`` is dd17's ppm long, ``ann_mean_recall_ppm`` is
+    hits·10^6 div (probes·k), and the alert booleans are integer
+    cross-multiplications against the threshold fractions — no
+    rounding anywhere, so no engine can disagree. Production twin:
+    ``v20_prod`` composes the three prod kernels (xxhash64 churn keys,
+    trained quantizer, production bucketing).
 
     Scale shape: the churn leg is dd17's one map-side-combinable
     groupBy; the index and retrieval legs collapse to 1-row aggregates
@@ -2206,7 +2209,7 @@ def q_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = q_index_maintenance(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("idx_cells"),
         F.sum(F.col("refit").cast("long")).alias("idx_refit_cells"),
-        F.max("share").alias("idx_max_share"),
+        F.max("share_ppm").alias("idx_max_share_ppm"),
         F.max("mean_dist2").alias("idx_max_mean_dist2"),
         F.bool_or("refit").alias("idx_refit_due"),
     )
@@ -2214,11 +2217,21 @@ def q_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_recall_report(spark, sf_dir)
         .agg(
             F.count(F.lit(1)).alias("ann_probes"),
-            tie_safe_round(F.avg("recall_at_k"), 6).alias("ann_mean_recall"),
-            F.min("recall_at_k").alias("ann_min_recall"),
+            F.sum("n_hits").alias("ann_hits_total"),
+            F.min("n_hits").alias("ann_min_hits"),
         )
         .withColumn(
-            "ann_degraded", F.col("ann_mean_recall") < F.lit(V20_RECALL_FLOOR)
+            # mean recall = hits_total / (probes·k), exact ppm long
+            "ann_mean_recall_ppm",
+            F.expr(f"(ann_hits_total * 1000000) div (ann_probes * {V18_K})"),
+        )
+        .withColumn(
+            # mean recall < 3/5  ⇔  hits_total·5 < probes·k·3 (exact)
+            "ann_degraded",
+            F.expr(
+                f"ann_hits_total * {V20_RECALL_FLOOR_DEN} < "
+                f"ann_probes * {V18_K} * {V20_RECALL_FLOOR_NUM}"
+            ),
         )
     )
     return (
@@ -2229,8 +2242,12 @@ def q_store_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retained",
             "added",
             "removed",
-            "churn",
-            (F.col("churn") > F.lit(V20_CHURN_ALERT)).alias("churn_alert"),
+            "churn_ppm",
+            # churn > 1/2  ⇔  (added+removed)·2 > (n_a+n_b) (exact)
+            F.expr(
+                f"(added + removed) * {V20_CHURN_ALERT_DEN} > "
+                f"(n_a + n_b) * {V20_CHURN_ALERT_NUM}"
+            ).alias("churn_alert"),
         )
         .crossJoin(F.broadcast(idx))
         .crossJoin(F.broadcast(ann))
@@ -2253,25 +2270,29 @@ v18_leg AS (SELECT * FROM ({ORACLES["v18_recall_report"]})),
 idx AS (
   SELECT CAST(count(*) AS BIGINT) AS idx_cells,
          CAST(sum(CASE WHEN refit THEN 1 ELSE 0 END) AS BIGINT) AS idx_refit_cells,
-         max(share) AS idx_max_share,
+         max(share_ppm) AS idx_max_share_ppm,
          max(mean_dist2) AS idx_max_mean_dist2,
          bool_or(refit) AS idx_refit_due
   FROM v17_leg),
 ann AS (
   SELECT CAST(count(*) AS BIGINT) AS ann_probes,
-         CAST(round(CAST(avg(recall_at_k) AS DECIMAL(28,12)), 6) AS DOUBLE) AS ann_mean_recall,
-         min(recall_at_k) AS ann_min_recall,
-         CAST(round(CAST(avg(recall_at_k) AS DECIMAL(28,12)), 6) AS DOUBLE)
-           < {V20_RECALL_FLOOR} AS ann_degraded
+         CAST(sum(n_hits) AS BIGINT) AS ann_hits_total,
+         CAST(min(n_hits) AS BIGINT) AS ann_min_hits,
+         (CAST(sum(n_hits) AS BIGINT) * 1000000)
+           // (count(*) * {V18_K}) AS ann_mean_recall_ppm,
+         sum(n_hits) * {V20_RECALL_FLOOR_DEN}
+           < count(*) * {V18_K} * {V20_RECALL_FLOOR_NUM} AS ann_degraded
   FROM v18_leg)
-SELECT c.source, c.n_a, c.n_b, c.retained, c.added, c.removed, c.churn,
-       c.churn > {V20_CHURN_ALERT} AS churn_alert,
-       idx.idx_cells, idx.idx_refit_cells, idx.idx_max_share,
+SELECT c.source, c.n_a, c.n_b, c.retained, c.added, c.removed, c.churn_ppm,
+       (c.added + c.removed) * {V20_CHURN_ALERT_DEN}
+         > (c.n_a + c.n_b) * {V20_CHURN_ALERT_NUM} AS churn_alert,
+       idx.idx_cells, idx.idx_refit_cells, idx.idx_max_share_ppm,
        idx.idx_max_mean_dist2, idx.idx_refit_due,
-       ann.ann_probes, ann.ann_mean_recall, ann.ann_min_recall,
-       ann.ann_degraded,
-       NOT (c.churn > {V20_CHURN_ALERT} OR idx.idx_refit_due
-            OR ann.ann_degraded) AS healthy
+       ann.ann_probes, ann.ann_hits_total, ann.ann_min_hits,
+       ann.ann_mean_recall_ppm, ann.ann_degraded,
+       NOT ((c.added + c.removed) * {V20_CHURN_ALERT_DEN}
+              > (c.n_a + c.n_b) * {V20_CHURN_ALERT_NUM}
+            OR idx.idx_refit_due OR ann.ann_degraded) AS healthy
 FROM churn_leg c CROSS JOIN idx CROSS JOIN ann"""
 
 
@@ -2285,7 +2306,7 @@ def q_store_health_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = q_index_maintenance_prod(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("idx_cells"),
         F.sum(F.col("refit").cast("long")).alias("idx_refit_cells"),
-        F.max("share").alias("idx_max_share"),
+        F.max("share_ppm").alias("idx_max_share_ppm"),
         F.max("mean_dist2").alias("idx_max_mean_dist2"),
         F.bool_or("refit").alias("idx_refit_due"),
     )
@@ -2293,18 +2314,29 @@ def q_store_health_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_recall_report_prod(spark, sf_dir)
         .agg(
             F.count(F.lit(1)).alias("ann_probes"),
-            tie_safe_round(F.avg("recall_at_k"), 6).alias("ann_mean_recall"),
-            F.min("recall_at_k").alias("ann_min_recall"),
+            F.sum("n_hits").alias("ann_hits_total"),
+            F.min("n_hits").alias("ann_min_hits"),
         )
         .withColumn(
-            "ann_degraded", F.col("ann_mean_recall") < F.lit(V20_RECALL_FLOOR)
+            "ann_mean_recall_ppm",
+            F.expr(f"(ann_hits_total * 1000000) div (ann_probes * {V18_K})"),
+        )
+        .withColumn(
+            "ann_degraded",
+            F.expr(
+                f"ann_hits_total * {V20_RECALL_FLOOR_DEN} < "
+                f"ann_probes * {V18_K} * {V20_RECALL_FLOOR_NUM}"
+            ),
         )
     )
     return (
         churn.select(
             "source",
-            "churn",
-            (F.col("churn") > F.lit(V20_CHURN_ALERT)).alias("churn_alert"),
+            "churn_ppm",
+            F.expr(
+                f"(added + removed) * {V20_CHURN_ALERT_DEN} > "
+                f"(n_a + n_b) * {V20_CHURN_ALERT_NUM}"
+            ).alias("churn_alert"),
         )
         .crossJoin(F.broadcast(idx))
         .crossJoin(F.broadcast(ann))

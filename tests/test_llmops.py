@@ -2641,7 +2641,7 @@ def test_index_maintenance_flags_planted_skew_and_drift(spark):
         for c in (2, 3):
             assert not rep[c].refit, f"exact={exact}: healthy cell {c} flagged"
         assert rep[0].n_vecs == 60 and rep[1].n_vecs == 10
-        assert abs(rep[0].share - 0.6) < 1e-9
+        assert rep[0].share_ppm == 600000  # exact ppm long, 60/100
 
 
 def test_joint_curation_stages_bite_and_provenance(spark, sf_dir):
@@ -2706,10 +2706,10 @@ def test_snapshot_churn_hand_computed(spark):
     out = {r.source: r for r in _snapshot_churn(df, F.col("text")).collect()}
     s0 = out["src0"]
     assert (s0.n_a, s0.n_b, s0.retained, s0.added, s0.removed) == (2, 2, 1, 1, 1)
-    assert s0.churn == 0.5
+    assert s0.churn_ppm == 500000  # exact ppm long, (1+1)/(2+2)
     s1 = out["src1"]
     assert (s1.n_a, s1.n_b, s1.retained, s1.added, s1.removed) == (1, 1, 1, 0, 0)
-    assert s1.churn == 0.0
+    assert s1.churn_ppm == 0
 
 
 def test_snapshot_churn_cert_prod_count_equal(spark, sf_dir):
@@ -2719,11 +2719,11 @@ def test_snapshot_churn_cert_prod_count_equal(spark, sf_dir):
     from nyc_taxi_etl_dashboard_spark.plans.llmops import BENCH_ONLY, QUERIES
 
     cert = {
-        r.source: (r.n_a, r.n_b, r.retained, r.added, r.removed, r.churn)
+        r.source: (r.n_a, r.n_b, r.retained, r.added, r.removed, r.churn_ppm)
         for r in QUERIES["dd17_snapshot_churn"](spark, sf_dir).collect()
     }
     prod = {
-        r.source: (r.n_a, r.n_b, r.retained, r.added, r.removed, r.churn)
+        r.source: (r.n_a, r.n_b, r.retained, r.added, r.removed, r.churn_ppm)
         for r in BENCH_ONLY["dd17_prod"](spark, sf_dir).collect()
     }
     assert cert == prod
@@ -2789,12 +2789,13 @@ def test_recall_report_planted_neighbor(spark):
     colocated = 0
     for qid in range(n_q):
         r = rep[qid]
-        assert 0.0 <= r.recall_at_k <= 1.0
+        assert 0 <= r.recall_ppm <= 1000000
+        assert r.recall_ppm == r.n_hits * 1000000 // V18_K
         assert r.n_returned <= V18_K
         assert r.n_returned <= r.n_candidates
         if cells[qid] == cells[n_q + qid]:
             colocated += 1
-            if r.recall_at_k > 0:
+            if r.n_hits > 0:
                 found_when_colocated += 1
     # a scaled twin always shares the cell (RHP is scale-invariant)
     assert colocated == n_q
@@ -2815,7 +2816,8 @@ def test_recall_report_prod_structure(spark, sf_dir):
     rows = {r.query_id: r for r in BENCH_ONLY["v18_prod"](spark, sf_dir).collect()}
     assert set(rows) == set(range(V18_QUERIES))
     for r in rows.values():
-        assert 0.0 <= r.recall_at_k <= 1.0
+        assert 0 <= r.recall_ppm <= 1000000
+        assert r.recall_ppm == r.n_hits * 1000000 // V18_K
         assert r.n_returned <= V18_K
 
 
@@ -3048,7 +3050,9 @@ def test_store_health_composes_the_three_kernels(spark, sf_dir):
     aggregates of the v17/v18 kernel outputs; the dashboard light is
     exactly the conjunction of the three alerts."""
     from nyc_taxi_etl_dashboard_spark.plans.llmops import (
-        V20_CHURN_ALERT,
+        V18_K,
+        V20_CHURN_ALERT_DEN,
+        V20_CHURN_ALERT_NUM,
         q_index_maintenance,
         q_recall_report,
         q_snapshot_churn,
@@ -3060,7 +3064,7 @@ def test_store_health_composes_the_three_kernels(spark, sf_dir):
     assert len(rows) == len(churn_rows) > 0
     # KPI columns are store-wide constants
     for col in ("idx_cells", "idx_refit_cells", "idx_refit_due",
-                "ann_probes", "ann_mean_recall", "ann_degraded"):
+                "ann_probes", "ann_mean_recall_ppm", "ann_degraded"):
         assert len({r[col] for r in rows}) == 1, col
     # and equal the kernel aggregates
     v17 = q_index_maintenance(spark, sf_dir).collect()
@@ -3070,12 +3074,18 @@ def test_store_health_composes_the_three_kernels(spark, sf_dir):
     assert r0.idx_refit_cells == sum(r.refit for r in v17)
     assert r0.idx_refit_due == any(r.refit for r in v17)
     assert r0.ann_probes == len(v18)
-    assert abs(r0.ann_mean_recall - sum(r.recall_at_k for r in v18) / len(v18)) < 1e-6
+    assert r0.ann_hits_total == sum(r.n_hits for r in v18)
+    assert r0.ann_mean_recall_ppm == (
+        sum(r.n_hits for r in v18) * 1000000 // (len(v18) * V18_K)
+    )
     # the light is the conjunction, and churn_alert matches the ledger
     by_src = {r.source: r for r in churn_rows}
     for r in rows:
-        assert r.churn == by_src[r.source].churn
-        assert r.churn_alert == (r.churn > V20_CHURN_ALERT)
+        assert r.churn_ppm == by_src[r.source].churn_ppm
+        assert r.churn_alert == (
+            (r.added + r.removed) * V20_CHURN_ALERT_DEN
+            > (r.n_a + r.n_b) * V20_CHURN_ALERT_NUM
+        )
         assert r.healthy == (not (r.churn_alert or r.idx_refit_due or r.ann_degraded))
 
 
@@ -3088,8 +3098,8 @@ def test_store_health_prod_structure(spark, sf_dir):
     rows = BENCH_ONLY["v20_prod"](spark, sf_dir).collect()
     assert len(rows) > 0
     cols = set(rows[0].asDict())
-    assert {"source", "churn", "churn_alert", "idx_refit_due",
-            "ann_mean_recall", "ann_degraded", "healthy"} <= cols
-    assert len({r.ann_mean_recall for r in rows}) == 1
+    assert {"source", "churn_ppm", "churn_alert", "idx_refit_due",
+            "ann_mean_recall_ppm", "ann_degraded", "healthy"} <= cols
+    assert len({r.ann_mean_recall_ppm for r in rows}) == 1
     for r in rows:
         assert r.healthy == (not (r.churn_alert or r.idx_refit_due or r.ann_degraded))
