@@ -575,7 +575,7 @@ def incremental_dedup(
     never corpus x corpus — then score each candidate by MinHash
     agreement (dd9: est = matching components / num_hashes; no text is
     ever fetched). Verdict per increment doc: ``n_corpus_matches``
-    (corpus docs with a shared band AND est >= threshold), ``best_est``
+    (corpus docs with a shared band AND est ≥ threshold), ``best_est_ppm``
     (max est over matches, NULL if none), ``is_dup``. Survivors'
     signatures are what callers append back to the table
     (``merge_parquet``) so the next increment sees them.
@@ -615,15 +615,29 @@ def incremental_dedup(
     agree = F.expr(
         "size(filter(zip_with(sig_i, sig_c, (a, b) -> a = b), x -> x))"
     )
+    # SURVEY §8 integer-contract rule (round 17): the agreement estimate
+    # is a pure integer ratio (agree/num_hashes) — exact ppm long, and
+    # the threshold gate is an integer cross-multiplication.
+    from fractions import Fraction
+
+    thr = Fraction(str(threshold))
     scored = (
         cand.join(inc_s, "inc_id")
         .join(cor_s, "cor_id")
-        .withColumn("est", F.round(agree / F.lit(float(num_hashes)), 6))
-        .filter(F.col("est") >= threshold)
+        .withColumn("__agree", agree.cast("long"))
+        .withColumn(
+            "est_ppm", F.expr(f"(__agree * 1000000) div {num_hashes}")
+        )
+        .filter(
+            F.expr(
+                f"__agree * {thr.denominator} >= "
+                f"{num_hashes} * {thr.numerator}"
+            )
+        )
     )
     verdicts = scored.groupBy("inc_id").agg(
         F.count(F.lit(1)).alias("n_corpus_matches"),
-        F.max("est").alias("best_est"),
+        F.max("est_ppm").alias("best_est_ppm"),
     )
     return (
         increment_sigs.select(F.col("doc_id"))
@@ -631,7 +645,7 @@ def incremental_dedup(
         .select(
             "doc_id",
             F.coalesce("n_corpus_matches", F.lit(0)).alias("n_corpus_matches"),
-            "best_est",
+            "best_est_ppm",
             (F.coalesce("n_corpus_matches", F.lit(0)) > 0).alias("is_dup"),
         )
     )
@@ -800,18 +814,26 @@ def containment_pairs(
     b = inv.select(
         F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), F.col("sh")
     )
+    # SURVEY §8 integer-contract rule (round 17): containments are pure
+    # integer ratios — exact ppm longs, and the threshold gate is an
+    # integer cross-multiplication (common·den ≥ n·num), identical in
+    # every engine. Fraction(str(x)) is exact for decimal literals.
+    from fractions import Fraction
+
+    thr = Fraction(str(threshold))
+    t_num, t_den = thr.numerator, thr.denominator
     out = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("common"))
-        # count ratios: decimal-bridged 6dp quantization (SURVEY §8)
-        .withColumn("c_a_in_b", tie_safe_round(F.col("common") / F.col("n_a"), 6))
-        .withColumn("c_b_in_a", tie_safe_round(F.col("common") / F.col("n_b"), 6))
+        .withColumn("c_a_in_b_ppm", F.expr("(common * 1000000) div n_a"))
+        .withColumn("c_b_in_a_ppm", F.expr("(common * 1000000) div n_b"))
         .filter(
-            (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
+            F.expr(f"common * {t_den} >= n_a * {t_num}")
+            | F.expr(f"common * {t_den} >= n_b * {t_num}")
         )
-        .select("id_a", "id_b", "c_a_in_b", "c_b_in_a")
+        .select("id_a", "id_b", "c_a_in_b_ppm", "c_b_in_a_ppm")
     )
     if unpersist_after:
         out = out.localCheckpoint(eager=True)
@@ -1025,7 +1047,7 @@ def source_overlap_matrix(
     exact legs and ship the sketch estimate alone (the same
     sketch-vs-exact split as dd9/t13).
 
-    Returns ``(grp_a, grp_b, est_jaccard, jaccard)`` for grp_a < grp_b.
+    Returns ``(grp_a, grp_b, est_jaccard_ppm, jaccard_ppm)`` for grp_a < grp_b.
     NEW vs reference (no counterpart)."""
     sets = scoped_persist(
         with_shingles(
@@ -1064,7 +1086,19 @@ def source_overlap_matrix(
             "grp_b",
             "n_a",
             "n_b",
-            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+            agree.cast("long").alias("__agree"),
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_a",
+            "n_b",
+            # SURVEY §8 integer-contract rule (round 17): sketch
+            # agreement is an integer ratio (agree/num_hashes) — exact
+            # ppm long via floor division.
+            F.expr(f"(__agree * 1000000) div {num_hashes}").alias(
+                "est_jaccard_ppm"
+            ),
         )
     )
     inter = (
@@ -1080,12 +1114,11 @@ def source_overlap_matrix(
         .select(
             "grp_a",
             "grp_b",
-            "est_jaccard",
-            # count ratio: decimal-bridged (SURVEY §8)
-            tie_safe_round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            "est_jaccard_ppm",
+            # exact set Jaccard: pure integer ratio — ppm long (the
+            # union n_a + n_b - n_inter ≥ 1 whenever the pair exists)
+            F.expr(
+                "(n_inter * 1000000) div (n_a + n_b - n_inter)"
+            ).alias("jaccard_ppm"),
         )
     )

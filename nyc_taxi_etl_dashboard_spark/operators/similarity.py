@@ -781,19 +781,35 @@ def knn_density_outliers(
     bounds the fold total at n^1.5 with per-cell work flat.
     """
     if exact:
+        from fractions import Fraction
+
+        dec_f = Fraction(str(decile))
         nn = knn_bruteforce(corpus, corpus, k=k, id_col=id_col, vec_col=vec_col)
         scored = nn.groupBy("query_id").agg(
             F.round(F.avg("cosine"), 6).alias("mean_knn_cos")
         )
         w = Window.orderBy("mean_knn_cos")
-        return scored.withColumn(
-            # integer-ratio quantization: decimal-bridged (SURVEY §8)
-            "pct", tie_safe_round(F.percent_rank().over(w), 6, dec="decimal(18,12)")
-        ).select(
-            F.col("query_id").alias(id_col),
-            "mean_knn_cos",
-            "pct",
-            (F.col("pct") <= decile).alias("is_outlier"),
+        # SURVEY §8 integer-contract rule (round 17): percent_rank is
+        # an integer ratio — exact ppm long; the decile gate is the
+        # integer cross-multiplication (rank-1)·den ≤ (n-1)·num.
+        return (
+            scored.withColumn("__rk", F.rank().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy()))
+            .select(
+                F.col("query_id").alias(id_col),
+                "mean_knn_cos",
+                F.when(
+                    F.col("__n") > 1,
+                    F.expr("((__rk - 1) * 1000000) div (__n - 1)"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("pct_ppm"),
+                F.expr(
+                    f"(__rk - 1) * {dec_f.denominator}"
+                    f" <= (__n - 1) * {dec_f.numerator}"
+                ).alias("is_outlier"),
+            )
         )
     nn = ivf_ann_trained(
         corpus,
@@ -1032,15 +1048,30 @@ def prototype_density_outliers(
         ).alias("proto_cosine"),
     )
     if exact:
+        from fractions import Fraction
+
+        dec_f = Fraction(str(decile))
         w = Window.orderBy("proto_cosine")
-        return scored.withColumn(
-            # integer-ratio quantization: decimal-bridged (SURVEY §8)
-            "pct", tie_safe_round(F.percent_rank().over(w), 6, dec="decimal(18,12)")
-        ).select(
-            id_col,
-            "proto_cosine",
-            "pct",
-            (F.col("pct") <= decile).alias("is_outlier"),
+        # SURVEY §8 integer-contract rule (round 17): see
+        # knn_density_outliers — same integer rank form.
+        return (
+            scored.withColumn("__rk", F.rank().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy()))
+            .select(
+                id_col,
+                "proto_cosine",
+                F.when(
+                    F.col("__n") > 1,
+                    F.expr("((__rk - 1) * 1000000) div (__n - 1)"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("pct_ppm"),
+                F.expr(
+                    f"(__rk - 1) * {dec_f.denominator}"
+                    f" <= (__n - 1) * {dec_f.numerator}"
+                ).alias("is_outlier"),
+            )
         )
     thr = scored.agg(
         F.percentile_approx("proto_cosine", decile, pa_accuracy).alias("__thr")
@@ -1114,7 +1145,7 @@ def density_gate(
         return out.select(
             id_col,
             F.col("mean_knn_cos").alias("density_score"),
-            *(["pct"] if exact else []),
+            *(["pct_ppm"] if exact else []),
             "is_outlier",
             F.lit("knn_density_audit").alias("method"),
         )
@@ -1130,7 +1161,7 @@ def density_gate(
     return out.select(
         id_col,
         F.col("proto_cosine").alias("density_score"),
-        *(["pct"] if exact else []),
+        *(["pct_ppm"] if exact else []),
         "is_outlier",
         F.lit("prototype_linear").alias("method"),
     )

@@ -55,11 +55,23 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile: doc counts, length stats, source
     coverage — the first-look census any corpus pipeline runs."""
     d = _docs(spark, sf_dir)
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        tie_safe_round(F.avg(F.array_size(tokens("text"))), 4).alias("avg_tokens"),
-        tie_safe_round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.countDistinct("source").alias("n_sources"),
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.array_size(tokens("text")).cast("long")).alias("__tok"),
+            F.sum(F.col("n_chars").cast("long")).alias("__chr"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            # SURVEY §8 integer-contract rule (round 17): corpus means
+            # of integer counts are integer ratios — exact ppm longs.
+            F.expr("(__tok * 1000000) div n_docs").alias("avg_tokens_ppm"),
+            F.expr("(__chr * 1000000) div n_docs").alias("avg_chars_ppm"),
+            "n_sources",
+        )
     )
 
 
@@ -395,8 +407,9 @@ _DOT = (
 ORACLES = {
     "t1_lang_profile": """
 SELECT lang, count(*) AS n_docs,
-       CAST(round(CAST(avg(len(string_split(text, ' '))) AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_tokens,
-       CAST(round(CAST(avg(n_chars) AS DECIMAL(28,12)), 4) AS DOUBLE) AS avg_chars,
+       (sum(CAST(len(string_split(text, ' ')) AS BIGINT)) * 1000000)
+         // count(*) AS avg_tokens_ppm,
+       (sum(CAST(n_chars AS BIGINT)) * 1000000) // count(*) AS avg_chars_ppm,
        count(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang""",
     "t2_quality_features": """
@@ -1778,7 +1791,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = t.withColumn("__ord", F.struct((-F.col("priority")).alias("np"), "doc_id"))
     return capped_keep_first(
         ranked, "lang", "__ord", F.lit(X13_PER_STRATUM)
-    ).select("doc_id", "lang", "w", tie_safe_round(F.col("priority"), 6).alias("priority"))
+    ).select(
+        "doc_id",
+        "lang",
+        "w",
+        # SURVEY §8 integer-contract rule (round 17): priority is the
+        # integer ratio (w·1000004)/h — the RANK runs on the raw IEEE
+        # double (bit-identical across engines), the emitted contract
+        # column is the exact ppm long.
+        F.expr("(w * 1000004 * 1000000) div h").alias("priority_ppm"),
+    )
 
 
 QUERIES["x13_weighted_sample"] = q_weighted_sample
@@ -1788,11 +1810,13 @@ WITH t AS (
          CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
          {_PRIO_SQL.format(v="doc_id")} + 1 AS h
   FROM documents),
-k AS (SELECT doc_id, lang, w, CAST(w AS DOUBLE) * 1000004.0 / h AS priority FROM t),
-r AS (SELECT doc_id, lang, w, priority,
+k AS (SELECT doc_id, lang, w, h, CAST(w AS DOUBLE) * 1000004.0 / h AS priority FROM t),
+r AS (SELECT doc_id, lang, w, h, priority,
              row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
       FROM k)
-SELECT doc_id, lang, w, CAST(round(CAST(priority AS DECIMAL(28,12)), 6) AS DOUBLE) AS priority FROM r WHERE rn <= {X13_PER_STRATUM}"""
+SELECT doc_id, lang, w,
+       (w * 1000004 * 1000000) // h AS priority_ppm
+FROM r WHERE rn <= {X13_PER_STRATUM}"""
 
 
 #: x15 config: shard count for the shuffle-shard layout (8 at fixture

@@ -114,27 +114,33 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale-brittle on this fixture (the eval slice's shingle coverage
     # grows with sf — at sf0.1 a 0.1 cutoff deleted 99.6% of the
     # corpus), while the relative gate bites ~10% at every scale.
-    # Overlap pre-rounded to 6 so rank ties are cross-engine identical;
-    # the window sorts slim (doc_id, ov) rows only — at 100 TB swap for
-    # an approx-quantile threshold broadcast into the same filter (the
-    # t12 note).
+    # Overlap and gate are ALL-INTEGER (SURVEY §8 integer-contract
+    # rule, round 17): the rank key is an exact ppm long and the 90th-
+    # percentile cut is the cross-multiplication (rk-1)·10 < (n-1)·9,
+    # so rank ties and the cut are cross-engine identical by
+    # construction; the window sorts slim (doc_id, ov_ppm) rows only —
+    # at 100 TB swap for an approx-quantile threshold broadcast into
+    # the same filter (the t12 note).
     from pyspark.sql import Window
 
     clean = (
         spine.join(hits, "doc_id", "left")
         .withColumn("n_bloom_hit", F.coalesce("n_bloom_hit", F.lit(0)))
         .withColumn(
-            "ov",
-            tie_safe_round(
-                F.when(
-                    F.col("n_sh") > 0, F.col("n_bloom_hit") / F.col("n_sh")
-                ).otherwise(F.lit(0.0)),
-                6,
-                dec="decimal(18,12)",  # overlap ratio in [0,1]
-            ),
+            "ov_ppm",
+            F.when(
+                F.col("n_sh") > 0,
+                F.expr("(n_bloom_hit * 1000000) div n_sh"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
         )
-        .withColumn("pct", F.percent_rank().over(Window.orderBy("ov")))
-        .filter(F.col("pct") < 0.9)
+        .withColumn("__rk", F.rank().over(Window.orderBy("ov_ppm")))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(
+            (F.col("__n") == 1)
+            | (((F.col("__rk") - 1) * 10) < ((F.col("__n") - 1) * 9))
+        )
         .select("doc_id")
     )
     # survivors MATERIALIZED once (slim metadata + text payload in
@@ -209,14 +215,15 @@ hits AS (
   FROM trh GROUP BY doc_id),
 ovr AS (
   SELECT d1.doc_id, d1.lang, d1.source, d1.text,
-         CAST(round(CAST(CASE WHEN len(d1.shingle) > 0
-                    THEN coalesce(h.nb, 0) * 1.0 / len(d1.shingle)
-                    ELSE 0.0 END AS DECIMAL(28,12)), 6) AS DOUBLE) AS ov
+         CASE WHEN len(d1.shingle) > 0
+              THEN (coalesce(h.nb, 0) * 1000000) // len(d1.shingle)
+              ELSE 0 END AS ov_ppm
   FROM d1 LEFT JOIN hits h ON d1.doc_id = h.doc_id),
 clean AS (
   SELECT doc_id, lang, source, text FROM (
-    SELECT *, percent_rank() OVER (ORDER BY ov) AS pct FROM ovr)
-  WHERE pct < 0.9),
+    SELECT *, CAST(rank() OVER (ORDER BY ov_ppm) AS BIGINT) AS rk,
+           CAST(count(*) OVER () AS BIGINT) AS n FROM ovr)
+  WHERE n = 1 OR (rk - 1) * 10 < (n - 1) * 9),
 k AS (SELECT doc_id, lang, source, text,
              CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000004.0
                / ({_PRIO_SQL.format(v="doc_id")} + 1) AS priority
@@ -377,34 +384,44 @@ def q_lm_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t12: the data-driven LM quality gate on top of t10's scores —
     drop the bottom decile PER LANGUAGE (a global cutoff would mostly
     delete whichever language the unigram LM likes least; per-stratum
-    percentile is the CCNet shape). Exact threshold via percent_rank
-    over the (lang, score) window; scores are pre-rounded to 6 so the
-    rank order (and every tie) is identical across engines.
+    percentile is the CCNet shape). Exact threshold via the integer
+    rank form of percent_rank — (rank-1)/(n-1) emitted as an exact ppm
+    long, the keep gate as the integer cross-multiplication
+    (rank-1)·10 ≥ (n-1) — so no engine can disagree (SURVEY §8
+    integer-contract rule, round 17); scores are pre-rounded to 6 so
+    the rank order (and every tie) is identical across engines.
 
     Scale shape: the window partitions by lang — a bounded-cardinality
     shuffle of slim (doc_id, lang, score) rows, NOT documents. At
     100 TB, swap the exact window for per-lang approx-quantile
     thresholds broadcast into the same keep-filter; the emitted
-    contract (score, pct_rank, keep) is unchanged."""
+    contract (score, pct_rank_ppm, keep) is unchanged."""
     scores = q_unigram_logprob(spark, sf_dir)
     d = _docs(spark, sf_dir).select("doc_id", "lang")
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy("avg_logprob")
+    n_w = Window.partitionBy("lang")
     return (
         scores.join(d, "doc_id")
-        .withColumn(
-            # percent_rank in [0,1]: decimal(18,12) is Long-backed in
-            # Spark (precision <= 18) — measurably cheaper per-row
-            "pct_rank",
-            tie_safe_round(F.percent_rank().over(w), 6, dec="decimal(18,12)"),
-        )
+        .withColumn("__rk", F.rank().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n_w))
         .select(
             "doc_id",
             "lang",
             "avg_logprob",
-            "pct_rank",
-            (F.col("pct_rank") >= 0.1).alias("keep"),
+            F.when(
+                F.col("__n") > 1,
+                F.expr("((__rk - 1) * 1000000) div (__n - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pct_rank_ppm"),
+            # keep ⇔ percent_rank ≥ 0.1 (exact; singletons pr=0 → drop)
+            (
+                (F.col("__n") > 1)
+                & (((F.col("__rk") - 1) * 10) >= (F.col("__n") - 1))
+            ).alias("keep"),
         )
     )
 
@@ -415,20 +432,24 @@ QUERIES["t12_lm_percentile_gate"] = q_lm_percentile_gate
 
 def lm_thresholds_exact(scores_with_lang: DataFrame) -> DataFrame:
     """Per-language exact decile cut as a ``(lang, thr)`` table: the
-    smallest score whose (6dp-rounded) percent_rank clears 0.1 —
-    exactly t12's keep semantics re-expressed as a threshold, so
-    ``score >= thr`` reproduces the window gate bit-for-bit. Pays a
-    per-language full sort: the CERTIFICATION shape. A language with
-    every row below the cut (singletons: percent_rank 0) yields no
-    row, matching t12's keep=false."""
+    smallest score whose percent_rank clears 0.1 — exactly t12's keep
+    semantics (the integer rank form: (rank-1)·10 ≥ (n-1), SURVEY §8
+    integer-contract rule) re-expressed as a threshold, so ``score >=
+    thr`` reproduces the window gate bit-for-bit. Pays a per-language
+    full sort: the CERTIFICATION shape. A language with every row
+    below the cut (singletons: percent_rank 0) yields no row, matching
+    t12's keep=false."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy("avg_logprob")
+    n_w = Window.partitionBy("lang")
     return (
-        scores_with_lang.withColumn(
-            "pr", tie_safe_round(F.percent_rank().over(w), 6, dec="decimal(18,12)")
+        scores_with_lang.withColumn("__rk", F.rank().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n_w))
+        .filter(
+            (F.col("__n") > 1)
+            & (((F.col("__rk") - 1) * 10) >= (F.col("__n") - 1))
         )
-        .filter(F.col("pr") >= 0.1)
         .groupBy("lang")
         .agg(F.min("avg_logprob").alias("thr"))
     )
@@ -543,9 +564,13 @@ s AS (
   GROUP BY t.doc_id),
 r AS (
   SELECT s.doc_id, d.lang, s.avg_logprob,
-         CAST(round(CAST(percent_rank() OVER (PARTITION BY d.lang ORDER BY s.avg_logprob) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct_rank
+         CAST(rank() OVER (PARTITION BY d.lang ORDER BY s.avg_logprob) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n
   FROM s JOIN documents d USING (doc_id))
-SELECT doc_id, lang, avg_logprob, pct_rank, pct_rank >= 0.1 AS keep FROM r"""
+SELECT doc_id, lang, avg_logprob,
+       CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1) ELSE 0 END AS pct_rank_ppm,
+       n > 1 AND (rk - 1) * 10 >= (n - 1) AS keep
+FROM r"""
 ORACLES["t10_unigram_logprob"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
@@ -608,11 +633,13 @@ BENCH_ONLY["dd12_prod"] = q_containment_pairs_prod
 ORACLES["dd12_containment_pairs"] = f"""
 WITH {_SHINGLES_CTE}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(round(CAST(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(a.shingle) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c_a_in_b,
-       CAST(round(CAST(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(b.shingle) AS DECIMAL(28,12)), 6) AS DOUBLE) AS c_b_in_a
+       (len(list_intersect(a.shingle, b.shingle)) * 1000000)
+         // len(a.shingle) AS c_a_in_b_ppm,
+       (len(list_intersect(a.shingle, b.shingle)) * 1000000)
+         // len(b.shingle) AS c_b_in_a_ppm
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(a.shingle), 6) >= 0.6
-   OR round(len(list_intersect(a.shingle, b.shingle)) * 1.0 / len(b.shingle), 6) >= 0.6"""
+WHERE len(list_intersect(a.shingle, b.shingle)) * 5 >= len(a.shingle) * 3
+   OR len(list_intersect(a.shingle, b.shingle)) * 5 >= len(b.shingle) * 3"""
 
 
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,9 +748,13 @@ top AS (SELECT query_id, cosine FROM (
   FROM scored) WHERE rnk <= 5),
 m AS (SELECT query_id, round(avg(cosine), 6) AS mean_knn_cos FROM top GROUP BY query_id),
 r AS (SELECT query_id AS vec_id, mean_knn_cos,
-             CAST(round(CAST(percent_rank() OVER (ORDER BY mean_knn_cos) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct
+             CAST(rank() OVER (ORDER BY mean_knn_cos) AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
       FROM m)
-SELECT vec_id, mean_knn_cos, pct, pct <= 0.1 AS is_outlier FROM r"""
+SELECT vec_id, mean_knn_cos,
+       CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1) ELSE 0 END AS pct_ppm,
+       (rk - 1) * 10 <= (n - 1) AS is_outlier
+FROM r"""
 
 
 def q_knn_outliers_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,7 +991,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature equi-join keyed on the raw hash slices (engine-portable,
     no Spark-specific band hash); each candidate is scored by signature
     agreement (the dd9 estimator) and the per-increment-doc verdict
-    (n_corpus_matches / best_est / is_dup) is exact given the
+    (n_corpus_matches / best_est_ppm / is_dup) is exact given the
     signatures, so the whole operator hash-certifies with no verdict
     scaffolding. The warehouse round-trip (write signatures, dedup two
     successive increments against the growing table via merge_parquet)
@@ -989,10 +1020,10 @@ cand AS (
     OR (i.h4 = b.h4 AND i.h5 = b.h5) OR (i.h6 = b.h6 AND i.h7 = b.h7))),
 m AS (
   SELECT inc_id, count(*) AS n_corpus_matches,
-         max(round(agree / 8.0, 6)) AS best_est
-  FROM cand WHERE round(agree / 8.0, 6) >= 0.5 GROUP BY inc_id)
+         max((CAST(agree AS BIGINT) * 1000000) // 8) AS best_est_ppm
+  FROM cand WHERE agree * 2 >= 8 GROUP BY inc_id)
 SELECT i.doc_id, coalesce(m.n_corpus_matches, 0) AS n_corpus_matches,
-       m.best_est, coalesce(m.n_corpus_matches, 0) > 0 AS is_dup
+       m.best_est_ppm, coalesce(m.n_corpus_matches, 0) > 0 AS is_dup
 FROM inc i LEFT JOIN m ON i.doc_id = m.inc_id"""
 
 
@@ -1122,9 +1153,10 @@ lmj AS (SELECT lms.doc_id, d.lang, lms.avg_logprob
 lmthr AS (
   SELECT lang, min(avg_logprob) AS thr FROM (
     SELECT lang, avg_logprob,
-           CAST(round(CAST(percent_rank() OVER (PARTITION BY lang ORDER BY avg_logprob) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pr
+           CAST(rank() OVER (PARTITION BY lang ORDER BY avg_logprob) AS BIGINT) AS rk,
+           CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
     FROM lmj)
-  WHERE pr >= 0.1 GROUP BY lang),
+  WHERE n > 1 AND (rk - 1) * 10 >= (n - 1) GROUP BY lang),
 lmkeep AS (SELECT lmj.doc_id FROM lmj JOIN lmthr USING (lang)
            WHERE avg_logprob >= thr),
 quality AS (SELECT q0.* FROM q0 JOIN lmkeep USING (doc_id)),
@@ -2199,9 +2231,12 @@ s AS (SELECT e.vec_id,
           / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
       FROM embeddings e JOIN c USING (label)),
 r AS (SELECT vec_id, density_score,
-             CAST(round(CAST(percent_rank() OVER (ORDER BY density_score) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct
+             CAST(rank() OVER (ORDER BY density_score) AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
       FROM s)
-SELECT vec_id, density_score, pct, pct <= 0.1 AS is_outlier,
+SELECT vec_id, density_score,
+       CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1) ELSE 0 END AS pct_ppm,
+       (rk - 1) * 10 <= (n - 1) AS is_outlier,
        'prototype_linear' AS method
 FROM r"""
 

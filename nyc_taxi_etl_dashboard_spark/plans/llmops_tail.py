@@ -93,7 +93,7 @@ def q_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         prototype_density_outliers(surv, decile=0.1, exact=True).select(
             "vec_id",
             F.col("proto_cosine").alias("density_score"),
-            "pct",
+            "pct_ppm",
             "is_outlier",
         )
     )
@@ -113,7 +113,7 @@ def q_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
             "kept_dedup",
             "density_score",
-            "pct",
+            "pct_ppm",
             "is_outlier",
             "rnk",
             F.coalesce(
@@ -160,17 +160,22 @@ s AS (SELECT sv.vec_id, sv.label,
           / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
       FROM surv sv JOIN c USING (label)),
 g AS (SELECT vec_id, label, density_score,
-             CAST(round(CAST(percent_rank() OVER (ORDER BY density_score) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct
+             CAST(rank() OVER (ORDER BY density_score) AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
       FROM s),
+g2 AS (SELECT vec_id, label, density_score,
+              CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1) ELSE 0 END AS pct_ppm,
+              (rk - 1) * 10 <= (n - 1) AS is_outlier
+       FROM g),
 r AS (SELECT vec_id,
              CAST(row_number() OVER (PARTITION BY label ORDER BY density_score, vec_id) AS INTEGER) AS rnk
-      FROM g WHERE pct > 0.1)
+      FROM g2 WHERE NOT is_outlier)
 SELECT b.vec_id, b.label, b.cluster_id, b.kept_dedup,
-       g.density_score, g.pct,
-       CASE WHEN g.pct IS NULL THEN NULL ELSE g.pct <= 0.1 END AS is_outlier,
+       g2.density_score, g2.pct_ppm,
+       g2.is_outlier,
        r.rnk,
-       coalesce(b.kept_dedup AND g.pct > 0.1 AND r.rnk <= {X26_CAP}, FALSE) AS kept
-FROM base b LEFT JOIN g USING (vec_id) LEFT JOIN r USING (vec_id)"""
+       coalesce(b.kept_dedup AND NOT g2.is_outlier AND r.rnk <= {X26_CAP}, FALSE) AS kept
+FROM base b LEFT JOIN g2 USING (vec_id) LEFT JOIN r USING (vec_id)"""
 
 
 def q_embedding_curation_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,6 +318,9 @@ BENCH_ONLY["v17_prod"] = q_index_maintenance_prod
 #: x27 density-gate decile: fraction of quality survivors flagged as
 #: embedding-space outliers (the v16 convention).
 X27_DECILE = 0.1
+#: X27_DECILE as an exact integer fraction for the cross-multiplied
+#: outlier gate (SURVEY §8 integer-contract rule, round 17)
+X27_DECILE_NUM, X27_DECILE_DEN = 1, 10
 
 
 def _x27_stages(spark: SparkSession, sf_dir: str):
@@ -398,7 +406,7 @@ def q_joint_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("proto_cosine").alias("density_score"),
-        "pct",
+        "pct_ppm",
         "is_outlier",
     )
     return (
@@ -411,7 +419,7 @@ def q_joint_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clean_tokens",
             "passed_quality",
             "density_score",
-            "pct",
+            "pct_ppm",
             "is_outlier",
             F.coalesce(
                 F.col("passed_quality") & ~F.col("is_outlier"), F.lit(False)
@@ -459,13 +467,18 @@ s AS (SELECT sv.doc_id,
           / (sqrt({_DOT.format(a='embedding', b='embedding')}) * sqrt({_DOT.format(a='centroid', b='centroid')})), 6) AS density_score
       FROM surv sv JOIN c USING (lang)),
 g AS (SELECT doc_id, density_score,
-             CAST(round(CAST(percent_rank() OVER (ORDER BY density_score) AS DECIMAL(28,12)), 6) AS DOUBLE) AS pct
-      FROM s)
+             CAST(rank() OVER (ORDER BY density_score) AS BIGINT) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM s),
+g2 AS (SELECT doc_id, density_score,
+              CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1) ELSE 0 END AS pct_ppm,
+              (rk - 1) * {X27_DECILE_DEN} <= (n - 1) * {X27_DECILE_NUM} AS is_outlier
+       FROM g)
 SELECT d.doc_id, d.lang, q.n_clean_tokens, q.passed_quality,
-       g.density_score, g.pct,
-       CASE WHEN g.pct IS NULL THEN NULL ELSE g.pct <= {X27_DECILE} END AS is_outlier,
-       coalesce(q.passed_quality AND g.pct > {X27_DECILE}, FALSE) AS kept
-FROM documents d JOIN q USING (doc_id) LEFT JOIN g USING (doc_id)"""
+       g2.density_score, g2.pct_ppm,
+       g2.is_outlier,
+       coalesce(q.passed_quality AND NOT g2.is_outlier, FALSE) AS kept
+FROM documents d JOIN q USING (doc_id) LEFT JOIN g2 USING (doc_id)"""
 
 
 def q_joint_curation_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1633,16 +1646,16 @@ sig AS (SELECT source, count(*) AS n_sh,
         )}
         FROM sh GROUP BY source),
 est AS (SELECT a.source AS grp_a, b.source AS grp_b, a.n_sh AS n_a, b.n_sh AS n_b,
-        round(({" + ".join(
+        (CAST(({" + ".join(
             f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(8)
-        )}) / 8.0, 6) AS est_jaccard
+        )}) AS BIGINT) * 1000000) // 8 AS est_jaccard_ppm
         FROM sig a JOIN sig b ON a.source < b.source),
 inter AS (SELECT a.source AS grp_a, b.source AS grp_b, count(*) AS n_inter
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
           GROUP BY a.source, b.source)
-SELECT e.grp_a, e.grp_b, e.est_jaccard,
-       CAST(round(CAST(coalesce(i.n_inter, 0) * 1.0
-             / (e.n_a + e.n_b - coalesce(i.n_inter, 0)) AS DECIMAL(28,12)), 6) AS DOUBLE) AS jaccard
+SELECT e.grp_a, e.grp_b, e.est_jaccard_ppm,
+       (coalesce(i.n_inter, 0) * 1000000)
+         // (e.n_a + e.n_b - coalesce(i.n_inter, 0)) AS jaccard_ppm
 FROM est e LEFT JOIN inter i ON e.grp_a = i.grp_a AND e.grp_b = i.grp_b"""
 
 
@@ -1752,13 +1765,21 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             "distinct_tokens",
-            tie_safe_round(F.col("distinct_tokens") / F.col("n_tokens"), 6).alias("ttr"),
-            tie_safe_round(F.col("distinct_bigrams") / F.col("n_bigrams"), 6).alias(
-                "bigram_ttr"
-            ),
-            tie_safe_round(F.col("distinct_trigrams") / F.col("n_trigrams"), 6).alias(
-                "trigram_ttr"
-            ),
+            # SURVEY §8 integer-contract rule (round 17): type-token
+            # ratios are pure integer ratios — exact ppm longs. A lang
+            # with zero tokens/bigrams/trigrams yields NULL (mirrored).
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(distinct_tokens * 1000000) div n_tokens"),
+            ).alias("ttr_ppm"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.expr("(distinct_bigrams * 1000000) div n_bigrams"),
+            ).alias("bigram_ttr_ppm"),
+            F.when(
+                F.col("n_trigrams") > 0,
+                F.expr("(distinct_trigrams * 1000000) div n_trigrams"),
+            ).alias("trigram_ttr_ppm"),
             "entropy",
         )
     )
@@ -1800,9 +1821,12 @@ ent AS (SELECT lang, round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         FROM e),
 nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
 SELECT nd.lang, nd.n_docs, ttr.n_tokens, ttr.distinct_tokens,
-       CAST(round(CAST(ttr.distinct_tokens * 1.0 / ttr.n_tokens AS DECIMAL(28,12)), 6) AS DOUBLE) AS ttr,
-       CAST(round(CAST(ttr.distinct_bigrams * 1.0 / ttr.n_bigrams AS DECIMAL(28,12)), 6) AS DOUBLE) AS bigram_ttr,
-       CAST(round(CAST(ttr.distinct_trigrams * 1.0 / ttr.n_trigrams AS DECIMAL(28,12)), 6) AS DOUBLE) AS trigram_ttr,
+       CASE WHEN ttr.n_tokens > 0
+            THEN (ttr.distinct_tokens * 1000000) // ttr.n_tokens END AS ttr_ppm,
+       CASE WHEN ttr.n_bigrams > 0
+            THEN (ttr.distinct_bigrams * 1000000) // ttr.n_bigrams END AS bigram_ttr_ppm,
+       CASE WHEN ttr.n_trigrams > 0
+            THEN (ttr.distinct_trigrams * 1000000) // ttr.n_trigrams END AS trigram_ttr_ppm,
        ent.entropy
 FROM nd JOIN ttr USING (lang) JOIN ent USING (lang)"""
 
@@ -1995,11 +2019,13 @@ def q_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # containing empty text)
         F.when(
             F.array_size(toks) > 0,
-            # bounded ratio (chars/pretoken ~ tens): Long-backed decimal
-            tie_safe_round(
-                F.length("text") / F.array_size(toks), 6, dec="decimal(18,12)"
+            # SURVEY §8 integer-contract rule (round 17): chars per
+            # pretoken is a pure integer ratio — exact ppm long.
+            F.expr(
+                "(cast(length(text) as bigint) * 1000000)"
+                f" div size(regexp_extract_all(text, '{BPE_PRETOKEN_RE}', 0))"
             ),
-        ).alias("chars_per_pretoken"),
+        ).alias("chars_per_pretoken_ppm"),
     )
 
 
@@ -2016,7 +2042,8 @@ SELECT doc_id,
             AND NOT regexp_matches(x, '^ ?[0-9]+$')
             AND NOT regexp_matches(x, '^ +$'))) AS INTEGER) AS n_punct,
        CASE WHEN len(toks) > 0
-            THEN CAST(round(CAST(n_chars * 1.0 / len(toks) AS DECIMAL(28,12)), 6) AS DOUBLE) END AS chars_per_pretoken
+            THEN (CAST(n_chars AS BIGINT) * 1000000) // len(toks)
+       END AS chars_per_pretoken_ppm
 FROM t"""
 
 

@@ -76,8 +76,8 @@ def test_incremental_dedup_across_two_increments(spark, tmp_path):
             minhash_signature_table(inc1), spark.read.parquet(table)
         ).collect()
     }
-    assert v1[10].is_dup and v1[10].n_corpus_matches >= 1 and v1[10].best_est >= 0.5
-    assert not v1[11].is_dup and v1[11].best_est is None
+    assert v1[10].is_dup and v1[10].n_corpus_matches >= 1 and v1[10].best_est_ppm >= 500000
+    assert not v1[11].is_dup and v1[11].best_est_ppm is None
     survivors1 = [i for i, r in v1.items() if not r.is_dup]
     merge_parquet(
         spark,

@@ -290,7 +290,7 @@ def test_lm_gate_drops_bottom_decile_per_lang(spark, sf_dir):
 
     rows = q_lm_percentile_gate(spark, sf_dir).collect()
     langs = {r.lang for r in rows}
-    assert langs and all(r.pct_rank is not None for r in rows)
+    assert langs and all(r.pct_rank_ppm is not None for r in rows)
     for lang in langs:
         grp = [r for r in rows if r.lang == lang]
         kept = [r for r in grp if r.keep]
@@ -1337,7 +1337,7 @@ def test_dd12_auto_cap_restores_recall_on_replica_heavy_corpus(spark):
                 & (F.col("id_a") < 2_000_000)
                 & (F.col("id_b") >= 2_000_000)
             )
-            .select("id_a", "id_b", "c_a_in_b")
+            .select("id_a", "id_b", "c_a_in_b_ppm")
             .collect()
         )
 
@@ -1346,7 +1346,7 @@ def test_dd12_auto_cap_restores_recall_on_replica_heavy_corpus(spark):
     # auto cap: all 55x55 short-in-long pairs found, containment exact
     found = short_long_pairs("auto")
     assert len(found) == 55 * 55
-    assert all(r.c_a_in_b == 1.0 for r in found)
+    assert all(r.c_a_in_b_ppm == 1000000 for r in found)
 
     # the production shape adds the exact-dedup collapse: verbatim
     # replica groups reduce to their lowest-id representative, so the
@@ -1359,11 +1359,11 @@ def test_dd12_auto_cap_restores_recall_on_replica_heavy_corpus(spark):
     )
     got = (
         collapsed.filter(F.col("id_a") >= 1_000_000)
-        .select("id_a", "id_b", "c_a_in_b")
+        .select("id_a", "id_b", "c_a_in_b_ppm")
         .collect()
     )
-    assert [(r.id_a, r.id_b, r.c_a_in_b) for r in got] == [
-        (1_000_000, 2_000_000, 1.0)
+    assert [(r.id_a, r.id_b, r.c_a_in_b_ppm) for r in got] == [
+        (1_000_000, 2_000_000, 1000000)
     ]
 
 
@@ -2200,15 +2200,15 @@ def test_source_overlap_matrix_exact_and_estimate(spark):
         "doc_id bigint, source string, text string",
     )
     out = {
-        (r.grp_a, r.grp_b): (r.est_jaccard, r.jaccard)
+        (r.grp_a, r.grp_b): (r.est_jaccard_ppm, r.jaccard_ppm)
         for r in source_overlap_matrix(docs).collect()
     }
     assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
-    assert out[("A", "B")][1] == round(1 / 3, 6)
-    assert out[("A", "C")][1] == 0.0
-    assert out[("B", "C")][1] == 0.0
+    assert out[("A", "B")][1] == 333333  # floor(1e6/3)
+    assert out[("A", "C")][1] == 0
+    assert out[("B", "C")][1] == 0
     for est, _ in out.values():
-        assert 0.0 <= est <= 1.0
+        assert 0 <= est <= 1000000
 
 
 def test_snapshot_overlap_matrix_hand_computed(spark, tmp_path):
@@ -2240,11 +2240,11 @@ def test_snapshot_overlap_matrix_hand_computed(spark, tmp_path):
     assert len(rows) == 1
     (r,) = rows
     assert (r.grp_a, r.grp_b) == ("snap0", "snap1")
-    assert r.jaccard == 0.2
-    assert 0.0 <= r.est_jaccard <= 1.0
+    assert r.jaccard_ppm == 200000  # 1/5 exactly
+    assert 0 <= r.est_jaccard_ppm <= 1000000
     # determinism of the MinHash estimate (fixed seeded params)
     (r2,) = q_source_overlap_snapshots(spark, d).collect()
-    assert r2.est_jaccard == r.est_jaccard
+    assert r2.est_jaccard_ppm == r.est_jaccard_ppm
 
 
 def test_curriculum_schedule_stage_and_pos_contract(spark, sf_dir, duck):
@@ -2380,7 +2380,7 @@ def test_bpe_pretokenize_categories_hand_computed(spark):
     d.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
     r = q_bpe_pretokenize(spark, tmp).collect()[0]
     assert (r.n_pretokens, r.n_word, r.n_num, r.n_punct) == (5, 2, 1, 2), r
-    assert r.chars_per_pretoken == 3.0  # 15 chars / 5 pretokens
+    assert r.chars_per_pretoken_ppm == 3000000  # 15 chars / 5 pretokens
 
 
 def test_langid_ngram_separates_distinct_alphabets(spark):
@@ -2422,8 +2422,8 @@ def test_bpe_pretokenize_empty_text_guarded(spark):
     tmp = tempfile.mkdtemp()
     d.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
     rows = {r.doc_id: r for r in q_bpe_pretokenize(spark, tmp).collect()}
-    assert rows[1].n_pretokens == 2 and rows[1].chars_per_pretoken == 5.5
-    assert rows[2].n_pretokens == 0 and rows[2].chars_per_pretoken is None
+    assert rows[1].n_pretokens == 2 and rows[1].chars_per_pretoken_ppm == 5500000
+    assert rows[2].n_pretokens == 0 and rows[2].chars_per_pretoken_ppm is None
 
 
 def test_dsir_target_steers_weights_by_language(spark):
@@ -2662,7 +2662,7 @@ def test_joint_curation_stages_bite_and_provenance(spark, sf_dir):
     for r in rows:
         gate_cols_null = r.density_score is None
         assert gate_cols_null == (not r.passed_quality)
-        assert (r.pct is None) == gate_cols_null
+        assert (r.pct_ppm is None) == gate_cols_null
         assert (r.is_outlier is None) == gate_cols_null
         assert r.kept == bool(r.passed_quality and not r.is_outlier)
 
