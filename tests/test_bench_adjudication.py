@@ -222,6 +222,31 @@ def test_adjudicate_batches_all_suspects_no_truncation(tmp_path, monkeypatch):
     assert {v["verdict"] for v in settled.values()} == {"unsettled_no_base_commit"}
 
 
+def test_adjudicate_truncates_loudly_past_the_sanity_cap(tmp_path, monkeypatch):
+    """VERDICT r16 item 4: fe6a0f1 raised AB_MAX_QUERIES 12 -> 24 with
+    no test change. A doctored reference flagging MORE suspects than
+    the cap must yield explicit verdicts for exactly AB_MAX_QUERIES of
+    them and the LOUD unsettled_truncated_by_ab_cap marker — never a
+    silent drop — for the rest."""
+    n = bench.AB_MAX_QUERIES + 4
+    queries = {f"q{i:02d}": 2.0 for i in range(n)}
+    (tmp_path / "BENCH_local.json").write_text(
+        json.dumps({"sf": 0.1, "queries": queries, "io_write_calibration_sec": 0.4})
+    )
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ADJUDICATE", "1")
+    now = {q: 9.0 for q in queries}  # all suspects, probes flat
+    suspects, settled, _ = bench._adjudicate(
+        str(tmp_path), {"headline": now}, {"io_write_calibration_sec": 0.4}
+    )
+    assert len(suspects) == n
+    assert set(settled) == set(suspects)  # every suspect gets SOME verdict
+    truncated = [q for q, v in settled.items()
+                 if v["verdict"] == "unsettled_truncated_by_ab_cap"]
+    assert len(truncated) == 4
+    assert len(settled) - len(truncated) == bench.AB_MAX_QUERIES
+
+
 def test_base_with_query_falls_back_to_introducing_commit():
     """The v17 shape: the previous-artifact commit predates the query.
     _base_with_query must return the commit that introduced the
