@@ -50,6 +50,44 @@ DEFAULT_QUERIES = [
 ]
 
 
+#: retention policy (VERDICT r16 item 5): keep at most this many .ab_*
+#: base checkouts; older-by-mtime ones are pruned when a new base is
+#: created. They are plain git worktrees of this repo's own past
+#: commits — reconstructible from git at any time.
+AB_WORKTREE_KEEP = 3
+
+
+def prune_worktrees(keep: int = AB_WORKTREE_KEEP) -> list[str]:
+    """Delete the oldest .ab_* worktrees beyond ``keep`` (by mtime —
+    mtime is touched on reuse, so recently-used bases survive).
+    Returns the pruned paths."""
+    import shutil
+
+    dirs = sorted(
+        (
+            os.path.join(HEAD_DIR, d)
+            for d in os.listdir(HEAD_DIR)
+            if d.startswith(".ab_") and os.path.isdir(os.path.join(HEAD_DIR, d))
+        ),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    pruned = []
+    for wt in dirs[keep:]:
+        subprocess.run(
+            ["git", "-C", HEAD_DIR, "worktree", "remove", "--force", wt],
+            check=False,
+        )
+        if os.path.isdir(wt):  # non-worktree leftovers
+            shutil.rmtree(wt, ignore_errors=True)
+        pruned.append(wt)
+    if pruned:
+        subprocess.run(
+            ["git", "-C", HEAD_DIR, "worktree", "prune"], check=False
+        )
+    return pruned
+
+
 def ensure_worktree(commit: str) -> tuple[str, str]:
     short = subprocess.run(
         ["git", "-C", HEAD_DIR, "rev-parse", "--short", commit],
@@ -61,6 +99,9 @@ def ensure_worktree(commit: str) -> tuple[str, str]:
             ["git", "-C", HEAD_DIR, "worktree", "add", wt, commit],
             check=True,
         )
+    else:
+        os.utime(wt)  # mark reuse so retention keeps hot bases
+    prune_worktrees()
     return wt, short
 
 
