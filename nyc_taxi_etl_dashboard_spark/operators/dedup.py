@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import POLY_MOD, tie_safe_round
+from ..functions import POLY_MOD
 from . import scale_out, scoped_persist
 from .text import with_shingles
 

@@ -21,7 +21,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import tie_safe_round
 from . import scoped_persist
 
 
@@ -793,7 +792,7 @@ def knn_density_outliers(
         # an integer ratio — exact ppm long; the decile gate is the
         # integer cross-multiplication (rank-1)·den ≤ (n-1)·num.
         return (
-            scored.withColumn("__rk", F.rank().over(w))
+            scored.withColumn("__rk", F.rank().over(w).cast("long"))
             .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy()))
             .select(
                 F.col("query_id").alias(id_col),
@@ -1055,7 +1054,7 @@ def prototype_density_outliers(
         # SURVEY §8 integer-contract rule (round 17): see
         # knn_density_outliers — same integer rank form.
         return (
-            scored.withColumn("__rk", F.rank().over(w))
+            scored.withColumn("__rk", F.rank().over(w).cast("long"))
             .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy()))
             .select(
                 id_col,

@@ -135,7 +135,7 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .cast("long"),
         )
-        .withColumn("__rk", F.rank().over(Window.orderBy("ov_ppm")))
+        .withColumn("__rk", F.rank().over(Window.orderBy("ov_ppm")).cast("long"))
         .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy()))
         .filter(
             (F.col("__n") == 1)
@@ -404,7 +404,7 @@ def q_lm_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_w = Window.partitionBy("lang")
     return (
         scores.join(d, "doc_id")
-        .withColumn("__rk", F.rank().over(w))
+        .withColumn("__rk", F.rank().over(w).cast("long"))
         .withColumn("__n", F.count(F.lit(1)).over(n_w))
         .select(
             "doc_id",
@@ -444,7 +444,7 @@ def lm_thresholds_exact(scores_with_lang: DataFrame) -> DataFrame:
     w = Window.partitionBy("lang").orderBy("avg_logprob")
     n_w = Window.partitionBy("lang")
     return (
-        scores_with_lang.withColumn("__rk", F.rank().over(w))
+        scores_with_lang.withColumn("__rk", F.rank().over(w).cast("long"))
         .withColumn("__n", F.count(F.lit(1)).over(n_w))
         .filter(
             (F.col("__n") > 1)

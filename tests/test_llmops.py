@@ -3103,3 +3103,42 @@ def test_store_health_prod_structure(spark, sf_dir):
     assert len({r.ann_mean_recall_ppm for r in rows}) == 1
     for r in rows:
         assert r.healthy == (not (r.churn_alert or r.idx_refit_due or r.ann_degraded))
+
+
+def test_ppm_rank_windows_survive_int32_overflow_scale(spark):
+    """Round-17 width pin: the integer rank form (rank-1)·10^6 div
+    (n-1) must run on LONG rank — F.rank() is IntegerType, and at
+    n > 2148 rows per window an INT multiplication by 10^6 overflows
+    int32, which ANSI mode turns into a runtime error (sf0.1 passed at
+    1,999 embeddings by 7% of headroom). 3,000 rows under ANSI must
+    produce the full exact ppm range, not throw."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        prototype_density_outliers,
+    )
+
+    d = spark.range(3000).select(
+        F.col("id").alias("vec_id"),
+        F.lit("g").alias("label"),
+        F.array(
+            (F.col("id") % 97).cast("float"),
+            F.lit(1.0).cast("float"),
+            ((F.col("id") * 31) % 89).cast("float"),
+            F.lit(2.0).cast("float"),
+        ).alias("embedding"),
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = prototype_density_outliers(d, exact=True).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert len(rows) == 3000
+    ppms = sorted(r.pct_ppm for r in rows)
+    assert ppms[0] == 0 and ppms[-1] == 1000000  # full exact range
+    n_out = sum(r.is_outlier for r in rows)
+    assert 0 < n_out <= 3000 * 0.2  # decile gate bites, rank-exact

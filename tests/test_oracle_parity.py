@@ -381,3 +381,50 @@ def test_no_rounded_percent_rank_or_bridged_ratio_in_oracles():
         if re.search(r"round\(\s*CAST\(\s*percent_rank", sql, re.I):
             bad.append((name, "rounded percent_rank"))
     assert not bad, bad
+
+
+def test_ppm_floor_division_agrees_cross_engine_and_with_fractions(spark, duck):
+    """SURVEY §8 integer-contract rule (round 17): the ppm form —
+    ``(num * 1000000) div den`` in Spark, ``// `` in DuckDB — must be
+    (a) identical across the two engines and (b) equal to exact
+    rational floor division (math.floor(Fraction)), for 500 seeded
+    pairs spanning the denominators the registry actually emits
+    (2,5-smooth, primes, corpus-sized counts) plus the tie shapes that
+    broke the rounded-double contracts. Also pins the integer
+    threshold gate (num·10 >= den, the pr >= 0.1 shape) against the
+    exact rational comparison."""
+    import random
+    from fractions import Fraction
+
+    rng = random.Random(17)
+    dens = [1, 2, 3, 5, 7, 8, 10, 16, 64, 128, 640, 2560, 9973, 10000,
+            123457, 1000003]
+    cases = [(1, 128), (129, 2560), (1, 3), (2, 3), (999999, 1000000)]
+    for i in range(495):
+        den = rng.choice(dens) if i % 2 else rng.randint(1, 10**6)
+        num = rng.randint(0, 2 * den)
+        cases.append((num, den))
+    sdf = spark.createDataFrame(cases, "num long, den long").select(
+        "num",
+        "den",
+        F.expr("(num * 1000000) div den").alias("ppm"),
+        F.expr("num * 10 >= den").alias("gate"),
+    )
+    got = {(r.num, r.den): (r.ppm, r.gate) for r in sdf.collect()}
+    values = ", ".join(f"({n}, {d})" for n, d in cases)
+    orows = duck.execute(
+        # CAST to BIGINT: VALUES literals are INT32 in DuckDB; registry
+        # oracles never hit this (count()/len()/sum() are already
+        # BIGINT+), but the fuzz harness must match that width
+        "SELECT num, den, (CAST(num AS BIGINT) * 1000000) // den,"
+        " num * 10 >= den"
+        f" FROM (VALUES {values}) v(num, den)"
+    ).fetchall()
+    assert len(orows) == len(cases)
+    for num, den, oppm, ogate in orows:
+        sppm, sgate = got[(num, den)]
+        exact = Fraction(num * 1000000, den)
+        assert sppm == int(oppm) == exact.numerator // exact.denominator, (
+            num, den, sppm, oppm)
+        assert sgate == bool(ogate) == (Fraction(num, den) >= Fraction(1, 10)), (
+            num, den)
