@@ -407,9 +407,10 @@ _DOT = (
 ORACLES = {
     "t1_lang_profile": """
 SELECT lang, count(*) AS n_docs,
-       (sum(CAST(len(string_split(text, ' ')) AS BIGINT)) * 1000000)
-         // count(*) AS avg_tokens_ppm,
-       (sum(CAST(n_chars AS BIGINT)) * 1000000) // count(*) AS avg_chars_ppm,
+       CAST((sum(CAST(len(string_split(text, ' ')) AS BIGINT)) * 1000000)
+         // count(*) AS BIGINT) AS avg_tokens_ppm,
+       CAST((sum(CAST(n_chars AS BIGINT)) * 1000000) // count(*)
+         AS BIGINT) AS avg_chars_ppm,
        count(DISTINCT source) AS n_sources
 FROM documents GROUP BY lang""",
     "t2_quality_features": """

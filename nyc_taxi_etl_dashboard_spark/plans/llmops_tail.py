@@ -282,7 +282,7 @@ tot AS (
          count(*) AS k_seen
   FROM pc)
 SELECT CAST(pc.cell AS INTEGER) AS cell, n_vecs,
-       (n_vecs * 1000000) // tot.n AS share_ppm,
+       CAST((n_vecs * 1000000) // tot.n AS BIGINT) AS share_ppm,
        round(mean_raw, 6) AS mean_dist2,
        n_vecs * 1.0 / tot.n > 2.0 / 8 AS high_skew,
        mean_raw > 1.5 * tot.sum_means / tot.k_seen AS high_error,
@@ -576,14 +576,17 @@ WITH pres AS (
          max(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS in_b
   FROM documents GROUP BY source, text)
 SELECT source,
-       sum(in_a) AS n_a,
-       sum(in_b) AS n_b,
-       sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS retained,
-       sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS added,
-       sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS removed,
-       ((sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
-         + sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)) * 1000000)
-           // (sum(in_a) + sum(in_b)) AS churn_ppm
+       CAST(sum(in_a) AS BIGINT) AS n_a,
+       CAST(sum(in_b) AS BIGINT) AS n_b,
+       CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS retained,
+       CAST(sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS added,
+       CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS removed,
+       CAST(((sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
+              + sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)) * 1000000)
+                // (sum(in_a) + sum(in_b)) AS BIGINT) AS churn_ppm
 FROM pres GROUP BY source"""
 
 
@@ -1181,13 +1184,13 @@ ags AS (SELECT source, count(*) AS n_docs, sum(eff) AS total_eff,
                max(bin_id) + 1 AS bins_stream
         FROM ps GROUP BY source),
 agf AS (SELECT source, max(bin_id) + 1 AS bins_ffd FROM pf GROUP BY source)
-SELECT ags.source, n_docs, total_eff,
-       (total_eff + {X28_CAP - 1}) // {X28_CAP} AS ideal_bins,
+SELECT ags.source, n_docs, CAST(total_eff AS BIGINT) AS total_eff,
+       CAST((total_eff + {X28_CAP - 1}) // {X28_CAP} AS BIGINT) AS ideal_bins,
        bins_stream, bins_ffd,
-       ((bins_stream * {X28_CAP} - total_eff) * 1000000)
-           // (bins_stream * {X28_CAP}) AS waste_stream_ppm,
-       ((bins_ffd * {X28_CAP} - total_eff) * 1000000)
-           // (bins_ffd * {X28_CAP}) AS waste_ffd_ppm,
+       CAST(((bins_stream * {X28_CAP} - total_eff) * 1000000)
+           // (bins_stream * {X28_CAP}) AS BIGINT) AS waste_stream_ppm,
+       CAST(((bins_ffd * {X28_CAP} - total_eff) * 1000000)
+           // (bins_ffd * {X28_CAP}) AS BIGINT) AS waste_ffd_ppm,
        bins_stream - bins_ffd AS bins_saved
 FROM ags JOIN agf USING (source)"""
 

@@ -368,12 +368,13 @@ def test_double_contract_columns_all_classified(duck):
     )
 
 
-def test_no_rounded_percent_rank_or_bridged_ratio_in_oracles():
-    """The specific constructs that produced the dd17/x29/v20 driver
-    divergence can never reappear in an oracle: no rounding of
-    percent_rank, and no decimal-bridge of a count ratio (the bridge
-    remains legitimate for money and float aggregates, matched by the
-    money/exp/ln/avg tokens this regex rejects)."""
+def test_no_rounded_percent_rank_in_oracles():
+    """No oracle may round a percent_rank — the rounded-window-ratio
+    construct from the r15-r16 float-parity war. (Decimal bridges on
+    count ratios are covered structurally: the HUGEINT/type-whitelist
+    audit below rejects any DECIMAL output column, and
+    ``test_double_contract_columns_all_classified`` forces every DOUBLE
+    contract through the classified allowlist.)"""
     import re
 
     bad = []
@@ -381,6 +382,44 @@ def test_no_rounded_percent_rank_or_bridged_ratio_in_oracles():
         if re.search(r"round\(\s*CAST\(\s*percent_rank", sql, re.I):
             bad.append((name, "rounded percent_rank"))
     assert not bad, bad
+
+
+#: The only DuckDB output types an oracle may produce. Anything outside
+#: this set fetches through pandas/Arrow as a DIFFERENT physical type
+#: than the Spark column it must hash-equal — HUGEINT (DuckDB's silent
+#: promotion of sum(INT/BIGINT) and large integer products to int128)
+#: fetches as float64/decimal128 and was the EXACT root cause of the
+#: dd17/v17/x29/v20 driver hash-reds in rounds 15-17 (VERDICT r17 item
+#: 1). DECIMAL would be the same hazard tomorrow; neither may appear.
+ORACLE_TYPE_WHITELIST = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+}
+
+
+def test_oracle_output_types_whitelisted_no_hugeint(duck):
+    """Derive every oracle's LIMIT-0 output schema in DuckDB and assert
+    every column type is in ORACLE_TYPE_WHITELIST — in particular that
+    no column is HUGEINT or DECIMAL. DuckDB promotes ``sum()`` over
+    integers to HUGEINT unless the aggregate is explicitly
+    ``CAST(... AS BIGINT)``; a HUGEINT column is numerically equal but
+    type-diverges under the driver's value-hash normalization. SURVEY
+    §8 rule: oracle aggregate/product columns are always explicitly
+    CAST to the Spark column's exact type."""
+    bad = {}
+    for name, sql in entrymod.oracle_sql().items():
+        rel = duck.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        exotic = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) not in ORACLE_TYPE_WHITELIST
+        ]
+        if exotic:
+            bad[name] = exotic
+    assert not bad, (
+        "oracle columns with non-whitelisted DuckDB types (HUGEINT/"
+        f"DECIMAL fetch-normalization hazard — CAST them): {bad}"
+    )
 
 
 def test_ppm_floor_division_agrees_cross_engine_and_with_fractions(spark, duck):
