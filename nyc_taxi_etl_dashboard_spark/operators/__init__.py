@@ -179,3 +179,26 @@ def cache_scope() -> Iterator[list[DataFrame]]:
                 df.unpersist()
             except Exception:  # pragma: no cover - session already gone
                 pass
+
+
+def exact_threshold(threshold) -> "Fraction":
+    """Normalize a user threshold to an exact Fraction whose
+    denominator is bounded at 10**6 (the ppm contract's resolution).
+
+    The integer cross-multiplication gates (SURVEY §8: ``common·den >=
+    n·num``) multiply a count by this denominator inside int64 Spark
+    expressions. ``Fraction(str(x))`` is exact for the short decimal
+    literals every registered query passes (0.7 -> 7/10, unchanged
+    here), but a COMPUTED float like 1/3 stringifies to ~17 significant
+    digits and yields a ~1e16 denominator — ``count * den`` then
+    silently wraps int64 in non-ANSI Spark for counts past ~900
+    (ADVICE r17). Bounding at 10**6 keeps the gate ppm-consistent and
+    the products inside int64 for counts up to ~9.2e12 — far past any
+    per-pair shingle count at 100 TB.
+    """
+    from fractions import Fraction
+
+    thr = Fraction(str(threshold))
+    if thr.denominator > 1_000_000:
+        thr = thr.limit_denominator(1_000_000)
+    return thr

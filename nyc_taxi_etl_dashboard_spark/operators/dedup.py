@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import POLY_MOD
-from . import scale_out, scoped_persist
+from . import exact_threshold, scale_out, scoped_persist
 from .text import with_shingles
 
 #: deterministic MinHash permutation parameters h_i(x) = (a_i*x + b_i) % P
@@ -617,10 +617,10 @@ def incremental_dedup(
     )
     # SURVEY §8 integer-contract rule (round 17): the agreement estimate
     # is a pure integer ratio (agree/num_hashes) — exact ppm long, and
-    # the threshold gate is an integer cross-multiplication.
-    from fractions import Fraction
-
-    thr = Fraction(str(threshold))
+    # the threshold gate is an integer cross-multiplication. The
+    # denominator is bounded at 10**6 so the products stay in int64
+    # (ADVICE r17 — a computed float threshold would otherwise wrap).
+    thr = exact_threshold(threshold)
     scored = (
         cand.join(inc_s, "inc_id")
         .join(cor_s, "cor_id")
@@ -817,10 +817,9 @@ def containment_pairs(
     # SURVEY §8 integer-contract rule (round 17): containments are pure
     # integer ratios — exact ppm longs, and the threshold gate is an
     # integer cross-multiplication (common·den ≥ n·num), identical in
-    # every engine. Fraction(str(x)) is exact for decimal literals.
-    from fractions import Fraction
-
-    thr = Fraction(str(threshold))
+    # every engine. exact_threshold bounds den at 10**6 so common·den
+    # stays in int64 even for computed thresholds (ADVICE r17).
+    thr = exact_threshold(threshold)
     t_num, t_den = thr.numerator, thr.denominator
     out = (
         a.join(b, "sh")

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from . import scoped_persist
+from . import exact_threshold, scoped_persist
 
 
 def _qident(name: str) -> str:
@@ -780,9 +780,7 @@ def knn_density_outliers(
     bounds the fold total at n^1.5 with per-cell work flat.
     """
     if exact:
-        from fractions import Fraction
-
-        dec_f = Fraction(str(decile))
+        dec_f = exact_threshold(decile)
         nn = knn_bruteforce(corpus, corpus, k=k, id_col=id_col, vec_col=vec_col)
         scored = nn.groupBy("query_id").agg(
             F.round(F.avg("cosine"), 6).alias("mean_knn_cos")
@@ -1047,9 +1045,7 @@ def prototype_density_outliers(
         ).alias("proto_cosine"),
     )
     if exact:
-        from fractions import Fraction
-
-        dec_f = Fraction(str(decile))
+        dec_f = exact_threshold(decile)
         w = Window.orderBy("proto_cosine")
         # SURVEY §8 integer-contract rule (round 17): see
         # knn_density_outliers — same integer rank form.

@@ -2155,6 +2155,34 @@ def test_cache_scope_is_per_thread(spark):
     spark.catalog.clearCache()
 
 
+def test_exact_threshold_bounds_denominator_ppm_consistent():
+    """ADVICE r17: the integer cross-multiplication gates multiply a
+    count by the threshold's denominator inside int64 expressions —
+    ``Fraction(str(1/3))`` would yield a ~1e16 denominator and the
+    product ``common * den`` silently wraps in non-ANSI Spark past
+    ~900 common shingles. :func:`exact_threshold` must (a) keep short
+    decimal literals exact, (b) bound every denominator at the ppm
+    resolution 10**6, and (c) recover simple rationals from their
+    float images (limit_denominator picks the best approximation,
+    which for 1/3's 17-digit image IS 1/3)."""
+    from fractions import Fraction
+
+    from nyc_taxi_etl_dashboard_spark.operators import exact_threshold
+
+    # short decimal literals stay exact — gate semantics unchanged
+    assert exact_threshold(0.7) == Fraction(7, 10)
+    assert exact_threshold(0.125) == Fraction(1, 8)
+    assert exact_threshold("0.333333") == Fraction(333333, 10**6)
+    # computed floats: denominator bounded, value within 1 ppm
+    for x in (1 / 3, 2 / 7, 1 / 9, 0.1 + 0.2):
+        t = exact_threshold(x)
+        assert t.denominator <= 10**6, (x, t)
+        assert abs(t - Fraction(x)) < Fraction(1, 10**6), (x, t)
+    assert exact_threshold(1 / 3) == Fraction(1, 3)
+    # int64 headroom: worst-case den 10**6 leaves counts up to ~9.2e12
+    assert (2**63 - 1) // 10**6 > 9_000_000_000_000
+
+
 def test_dsir_log_weights_prefers_target_like_docs(spark):
     """x23 kernel semantics: a candidate written in the target's
     vocabulary must out-score a candidate of off-target noise, docs

@@ -57,11 +57,31 @@ DEFAULT_QUERIES = [
 AB_WORKTREE_KEEP = 3
 
 
+#: Never force-remove a worktree whose mtime is within this window —
+#: a concurrent A/B run touches its base's mtime on reuse, so a young
+#: mtime means "possibly executing right now" (ADVICE r17: the touch
+#: narrows but does not close the race; this grace window closes it
+#: for any bench that re-touches at least this often).
+AB_PRUNE_GRACE_SEC = 600.0
+
+
+def _mtime_or_zero(path: str) -> float:
+    """Tolerant sort key: a dir can vanish between listdir and the
+    sort (concurrent prune / manual cleanup) — treat it as oldest
+    instead of raising (ADVICE r17)."""
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return 0.0
+
+
 def prune_worktrees(keep: int = AB_WORKTREE_KEEP) -> list[str]:
     """Delete the oldest .ab_* worktrees beyond ``keep`` (by mtime —
-    mtime is touched on reuse, so recently-used bases survive).
+    mtime is touched on reuse, so recently-used bases survive; dirs
+    modified within :data:`AB_PRUNE_GRACE_SEC` are never removed).
     Returns the pruned paths."""
     import shutil
+    import time
 
     dirs = sorted(
         (
@@ -69,11 +89,14 @@ def prune_worktrees(keep: int = AB_WORKTREE_KEEP) -> list[str]:
             for d in os.listdir(HEAD_DIR)
             if d.startswith(".ab_") and os.path.isdir(os.path.join(HEAD_DIR, d))
         ),
-        key=os.path.getmtime,
+        key=_mtime_or_zero,
         reverse=True,
     )
+    now = time.time()
     pruned = []
     for wt in dirs[keep:]:
+        if now - _mtime_or_zero(wt) < AB_PRUNE_GRACE_SEC:
+            continue  # possibly in use by a concurrent bench
         subprocess.run(
             ["git", "-C", HEAD_DIR, "worktree", "remove", "--force", wt],
             check=False,
