@@ -134,7 +134,11 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(qs))
         ]
     ).select(
-        F.lit(n).alias("n"),
+        # cast: F.lit of a Python int picks IntegerType while the count
+        # fits int32 and LongType after — a VALUE-dependent schema. Pin
+        # LONG so the contract is stable from sf0.001 to 100 TB (the
+        # oracle's count(*) is BIGINT; round-18 dtype audit).
+        F.lit(n).cast("long").alias("n"),
         *[
             (
                 (F.col(f"rank_{i}") >= F.lit(qs[i] * n - n / 1000.0 - 1))
@@ -259,8 +263,9 @@ FROM lineitem""",
 SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_3rsd
 FROM lineitem""",
     "a25_approx_quantiles": """
-SELECT count(*) AS n, TRUE AS p25_in_rank_window, TRUE AS p50_in_rank_window,
-       TRUE AS p75_in_rank_window, TRUE AS p95_in_rank_window
+SELECT CAST(count(*) AS BIGINT) AS n, TRUE AS p25_in_rank_window,
+       TRUE AS p50_in_rank_window, TRUE AS p75_in_rank_window,
+       TRUE AS p95_in_rank_window
 FROM lineitem""",
     "w3_moving_avg": """
 WITH daily AS (

@@ -380,8 +380,12 @@ sh AS (
     ELSE [] END) AS shingle
   FROM toks)"""
 
+# CAST ... AS INTEGER: the Spark leg emits int32 signature columns;
+# DuckDB's % arithmetic yields BIGINT — same values (< MINHASH_PRIME
+# < 2^31), but the pandas-fetch dtype audit (round 18) pins both legs
+# to the same physical width so no driver normalization is exercised.
 _MINHASH_COLS = ", ".join(
-    f"coalesce(list_min(list_transform(shingle, s -> ({a} * {_TV.format(v='s')} + {b}) % {MINHASH_PRIME})), {MINHASH_PRIME}) AS h{i}"
+    f"CAST(coalesce(list_min(list_transform(shingle, s -> ({a} * {_TV.format(v='s')} + {b}) % {MINHASH_PRIME})), {MINHASH_PRIME}) AS INTEGER) AS h{i}"
     for i, (a, b) in enumerate(minhash_params(8))
 )
 

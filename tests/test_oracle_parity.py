@@ -397,6 +397,46 @@ ORACLE_TYPE_WHITELIST = {
 }
 
 
+#: The exact Spark-simpleString ↔ DuckDB-type pairs a contract column
+#: may use. Audited round 18 across all 628 oracle-checked columns:
+#: exactly these five pairs occur — both legs always land on the SAME
+#: physical width, so no driver fetch-normalization is ever exercised
+#: (the dd3 int32-vs-BIGINT and a25 value-dependent-lit cases were
+#: aligned in the same audit).
+SPARK_DUCK_TYPE_PAIRS = {
+    ("bigint", "BIGINT"),
+    ("int", "INTEGER"),
+    ("double", "DOUBLE"),
+    ("string", "VARCHAR"),
+    ("boolean", "BOOLEAN"),
+}
+
+
+def test_oracle_types_map_one_to_one_to_spark_schema(spark, duck, sf_dir):
+    """VERDICT r17 item 2 (extended form): for every oracle-checked
+    query, each output column's Spark type and DuckDB type must form
+    one of the five exact pairs above — same column name, same
+    physical width, both legs. This is strictly stronger than the
+    HUGEINT whitelist: it catches a Spark-side width drift (e.g. a
+    lit() whose type depends on the VALUE, the a25 case) just as it
+    catches a DuckDB-side promotion. Cheap by construction: Spark
+    schema from plan analysis, DuckDB schema from a LIMIT-0 bind."""
+    oracles = entrymod.oracle_sql()
+    bad = {}
+    for name, q in entrymod.queries().items():
+        if name not in oracles:
+            continue
+        sdf = q(spark, sf_dir)
+        stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        rel = duck.sql(f"SELECT * FROM ({oracles[name]}) LIMIT 0")
+        otypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        for c, st in stypes.items():
+            ot = otypes.get(c)
+            if ot is not None and (st, ot) not in SPARK_DUCK_TYPE_PAIRS:
+                bad.setdefault(name, []).append((c, st, ot))
+    assert not bad, f"contract columns with mismatched physical types: {bad}"
+
+
 def test_oracle_output_types_whitelisted_no_hugeint(duck):
     """Derive every oracle's LIMIT-0 output schema in DuckDB and assert
     every column type is in ORACLE_TYPE_WHITELIST — in particular that
