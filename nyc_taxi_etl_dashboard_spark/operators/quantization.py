@@ -135,7 +135,13 @@ def pq_encode(
 
 
 def _lit_matrix(rows: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+    # one parsed SQL expression instead of rows x cols F.lit py4j round
+    # trips (optimization r18: the v11/v12/v19 codebooks cost seconds of
+    # driver time per plan build in the unrolled form; Literal values
+    # are bit-identical — see operators.lit_double_matrix)
+    from . import lit_double_matrix
+
+    return lit_double_matrix(rows)
 
 
 def pq_reconstruct(code_col: str, codebooks: list[list[list[float]]]) -> Column:
@@ -159,15 +165,23 @@ def pq_lut(qvec_col: str, codebooks: list[list[list[float]]]) -> Column:
     tables = []
     for s, cb in enumerate(codebooks):
         q_s = F.slice(F.col(qvec_col), s * dsub + 1, dsub)
-        entries = [
-            F.aggregate(
-                F.zip_with(q_s, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        # transform over the codebook as ONE literal matrix instead of
+        # ksub unrolled aggregate expressions (optimization r18): each
+        # entry still computes aggregate(zip_with(q_s, c, *), 0.0, +) in
+        # the same order over the same doubles, so every LUT value is
+        # bit-identical to the unrolled form — only the build cost
+        # (ksub x dsub py4j literal calls + ksub lambda registrations)
+        # and the plan's textual size shrink.
+        tables.append(
+            F.transform(
+                _lit_matrix(cb),
+                lambda c: F.aggregate(
+                    F.zip_with(q_s, c, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
             )
-            for c in cb
-        ]
-        tables.append(F.array(*entries))
+        )
     return F.array(*tables)
 
 

@@ -876,21 +876,23 @@ def index_maintenance_report(
     k = len(centroids)
     v = F.col(vec_col).cast("array<double>")
     if exact:
-        dist_cols = [
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
+        from . import lit_double_matrix
+
+        # transform over the centroid list as ONE literal matrix instead
+        # of k unrolled fold expressions (optimization r18): per-centroid
+        # fold order and values are bit-identical, only plan-build cost
+        # (k x dim F.lit py4j calls) drops.
+        dists = F.transform(
+            lit_double_matrix(centroids),
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
+            ),
+        )
         assigned = corpus.select(
             F.col(id_col).alias("id"),
-            F.array(*dist_cols).alias("dists"),
+            dists.alias("dists"),
         ).select(
             "id",
             (F.expr("array_position(dists, array_min(dists))") - 1)
@@ -919,7 +921,9 @@ def index_maintenance_report(
         assigned = corpus.select(
             F.col(id_col).alias("id"), v.alias("v")
         ).withColumn("cell", nearest_cells("v", centroids, 1).getItem(0))
-        C = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+        from . import lit_double_matrix
+
+        C = lit_double_matrix(centroids)
         # prod keeps the error fold JVM-side too, but a plain avg is
         # fine (telemetry, not a hash-certified value)
         assigned = assigned.withColumn(

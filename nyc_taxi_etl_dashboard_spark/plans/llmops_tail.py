@@ -830,10 +830,12 @@ def q_rerank_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         [list(r.v[s * V19_DSUB : (s + 1) * V19_DSUB]) for r in rows16]
         for s in range(V19_M)
     ]
-    mats = [
-        F.array(*[F.array(*[F.lit(float(x)) for x in code]) for code in cb_s])
-        for cb_s in cb
-    ]
+    # one parsed literal matrix per subspace instead of ksub x dsub
+    # F.lit py4j calls each (optimization r18; bit-identical Literals —
+    # operators.lit_double_matrix)
+    from ..operators import lit_double_matrix
+
+    mats = [lit_double_matrix(cb_s) for cb_s in cb]
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("c_vec"),

@@ -43,7 +43,22 @@ def main() -> None:
     from nyc_taxi_etl_dashboard_spark.session import get_spark
 
     spark = get_spark(app_name="profile")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # BENCH_ONLY prod paths profile too — wrap them the way bench.py runs
+    # them (cache + memo cleared per call)
+    from nyc_taxi_etl_dashboard_spark.operators import clear_nparts_memo
+    from nyc_taxi_etl_dashboard_spark.plans.llmops import BENCH_ONLY
+
+    def _wrap(fn):
+        def run(spark, sf_dir):
+            spark.catalog.clearCache()
+            clear_nparts_memo()
+            return fn(spark, sf_dir)
+
+        return run
+
+    for prod_name, prod_fn in BENCH_ONLY.items():
+        qs.setdefault(prod_name, _wrap(prod_fn))
     if not names:
         names = list(qs)
 
