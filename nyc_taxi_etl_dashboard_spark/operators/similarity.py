@@ -1251,8 +1251,9 @@ def embedding_candidate_pairs(
 
         n_planes = auto_n_planes(memo_count(df))
     if dim is None:
-        probe = df.select(F.array_size(vec_col).alias("d")).first()
-        dim = int(probe["d"]) if probe else 64
+        from . import memo_dim
+
+        dim = memo_dim(df, vec_col)
     # persist the slim (id, sig) projection: both join sides consume it,
     # so the signature fold computes ONCE per vector instead of once per
     # side — and the cache boundary stops Catalyst from inferring

@@ -38,11 +38,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bigint (a double would lose precision past 2^53 ns) and floors like
     other engines' ns→µs truncation.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # source tag: lets operators.scale_out/memo_count/memo_dim memoize
+    # their probe JOBS per (path, size, mtime) instead of re-paying them
+    # every query build (the per-query clear_nparts_memo blanket guard
+    # kept invalidating the plan-keyed memos; the stat key is
+    # self-invalidating on rewrite). Derived frames (.select/.filter)
+    # are new Python objects and deliberately lose the tag.
+    df._sg_src = (os.path.abspath(path),)
     return df
 
 

@@ -639,11 +639,125 @@ def test_auto_bucketing_memoizes_corpus_count(spark, sf_dir, monkeypatch):
     assert calls["n"] == 1
     assert memo_count(e) == orig(e.alias("twin"))  # value correct; alias shares hash
     assert calls["n"] == 1
-    # invalidation drops the memo: next resolution pays one fresh count
+    # read_table-tagged frames ride the STAT-keyed memo (optimization
+    # r18), which survives the blanket per-query clear — the count is a
+    # property of the FILES, and the key embeds their size/mtime, so a
+    # clear is neither needed nor paid (at 100 TB this count is a full
+    # scan per query batch otherwise)
     clear_nparts_memo()
     assert not _COUNT_MEMO
     knn_lsh(e, qs, k=5, n_planes="auto")
+    assert calls["n"] == 1
+    # UNTAGGED frames (anything derived — new Python object, no _sg_src)
+    # keep the original plan-keyed lifecycle: cleared -> one fresh count
+    e2 = e.filter(F.lit(True))
+    memo_count(e2)
     assert calls["n"] == 2
+    memo_count(e2)
+    assert calls["n"] == 2
+    clear_nparts_memo()
+    memo_count(e2)
+    assert calls["n"] == 3
+
+
+def test_stat_memo_invalidates_on_file_rewrite(spark, sf_dir, tmp_path):
+    """The stat-keyed probe memo (optimization r18) must be exactly as
+    safe as the clear-every-query regime it replaces: rewriting the
+    backing file changes its (size, mtime_ns) fingerprint, so the next
+    probe re-runs against the new data with NO clear call anywhere."""
+    import shutil
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from nyc_taxi_etl_dashboard_spark.operators import memo_count, memo_dim
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    src = f"{sf_dir}/embeddings.parquet"
+    work = tmp_path / "embeddings.parquet"
+    shutil.copyfile(src, work)
+
+    e = read_table(spark, str(tmp_path), "embeddings")
+    n1 = memo_count(e)
+    d1 = memo_dim(e, "embedding")
+    assert n1 == e.count() and d1 == 64
+    # cached: re-reading the same files is a memo hit
+    e_again = read_table(spark, str(tmp_path), "embeddings")
+    orig_count = DataFrame.count
+    calls = {"n": 0}
+
+    def spy(self):
+        calls["n"] += 1
+        return orig_count(self)
+
+    DataFrame.count = spy
+    try:
+        assert memo_count(e_again) == n1
+        assert calls["n"] == 0
+        # rewrite the file (half the rows -> different size and mtime):
+        # the fingerprint changes, the memo misses, the count re-runs
+        half = orig_count(spark.read.parquet(src)) // 2
+        spark.read.parquet(src).limit(half).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "tmp_out"))
+        part = next((tmp_path / "tmp_out").glob("*.parquet"))
+        shutil.copyfile(part, work)
+        e_new = read_table(spark, str(tmp_path), "embeddings")
+        assert memo_count(e_new) == half
+        assert calls["n"] == 1
+    finally:
+        DataFrame.count = orig_count
+
+
+def test_lit_double_helpers_bit_identical_to_unrolled_lits(spark):
+    """operators.lit_double_array/lit_double_matrix (optimization r18)
+    must produce Literals bit-identical to the unrolled F.lit form for
+    every representable double — including subnormals, -0.0, huge
+    exponents, and 17-significant-digit values — since certified
+    queries embed k-means/PQ models through them."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_dashboard_spark.operators import (
+        lit_double_array,
+        lit_double_matrix,
+    )
+
+    vals = [
+        0.5,
+        1e-07,
+        -3.4e22,
+        1.0,
+        0.1 + 0.2,
+        1 / 3,
+        5e-324,
+        1.7976931348623157e308,
+        -0.0,
+        2.2250738585072014e-308,
+        -1.2345678901234567e-100,
+    ]
+    row = (
+        spark.range(1)
+        .select(
+            F.array(*[F.lit(float(x)) for x in vals]).alias("o"),
+            lit_double_array(vals).alias("n"),
+        )
+        .first()
+    )
+    bits = lambda xs: [struct.pack("<d", x) for x in xs]  # noqa: E731
+    assert bits(row.o) == bits(row.n)
+    m = [vals[:4], vals[4:8]]
+    row2 = (
+        spark.range(1)
+        .select(
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in r]) for r in m]
+            ).alias("o"),
+            lit_double_matrix(m).alias("n"),
+        )
+        .first()
+    )
+    assert [bits(x) for x in row2.o] == [bits(x) for x in row2.n]
 
 
 def test_density_gate_linear_branch_plan_shape(spark, sf_dir):
