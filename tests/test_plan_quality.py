@@ -614,6 +614,7 @@ def test_auto_bucketing_memoizes_corpus_count(spark, sf_dir, monkeypatch):
 
     from nyc_taxi_etl_dashboard_spark.operators import (
         _COUNT_MEMO,
+        _STAT_MEMO,
         clear_nparts_memo,
         memo_count,
     )
@@ -621,6 +622,11 @@ def test_auto_bucketing_memoizes_corpus_count(spark, sf_dir, monkeypatch):
     from nyc_taxi_etl_dashboard_spark.sources import read_table
 
     clear_nparts_memo()
+    # the stat-keyed memo survives clear_nparts_memo BY DESIGN (it is
+    # keyed on file size/mtime, so it self-invalidates); earlier tests
+    # in the same process may already have probed this corpus — empty
+    # it so the count-call assertions below see a deterministic state
+    _STAT_MEMO.clear()
     calls = {"n": 0}
     orig = DataFrame.count
 
