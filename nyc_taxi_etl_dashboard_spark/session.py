@@ -51,6 +51,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # bounded limit+collect probes (connected_components' local-path
+        # head, capped-index heads) default to serial scale-up waves
+        # (1 -> 4 -> 16 partitions; spark.sql.limit.scaleUpFactor) that
+        # leave every other core idle while the probe's upstream — often
+        # a full candidate-pair pipeline — computes in partition-sized
+        # bites. One SCHEDULER WAVE is the right first bite at any
+        # cluster size: measured 4.2 -> 1.9 s on the v10/x26 CC probe at
+        # sf0.1 (optimization r18). Scale posture: the probe stays
+        # bounded (early-exits once the limit is satisfied); the first
+        # wave simply uses the parallelism the session already owns.
+        .config("spark.sql.limit.initialNumPartitions", DEFAULT_CPUS)
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
@@ -84,6 +95,12 @@ def pin_session(spark: SparkSession) -> SparkSession:
         # events.parquet stores TIMESTAMP(NANOS) which Spark rejects
         # outright; read the raw int64 and convert (sources.readers)
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # limit-probe first wave = one scheduler wave, not a single
+        # serial partition (see get_spark; value-neutral, perf-only)
+        (
+            "spark.sql.limit.initialNumPartitions",
+            str(spark.sparkContext.defaultParallelism),
+        ),
     ):
         try:
             spark.conf.set(k, v)
