@@ -1911,6 +1911,7 @@ def q_dsir_resample_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a single reducer. Output: the kept doc_ids with their
     weights (the keep-list the sampler ships), exact-equal to the cert
     query's ``keep = true`` slice by the kernel's pinned equivalence."""
+    from ..operators import scoped_persist
     from ..operators.skew import capped_keep_first
     from ..operators.text import dsir_log_weights
 
@@ -1920,7 +1921,14 @@ def q_dsir_resample_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = dsir_log_weights(cand, target, n_buckets=X23_BUCKETS).select(
         F.col("id").alias("doc_id"), "log_w"
     )
-    slim = (
+    # the quota kernel reads its input 3× (count + under + over
+    # branches — the x14 persist-at-the-kernel rule): unpersisted, the
+    # whole DSIR weight pipeline (gram explode + bucket aggs + weight
+    # fold) re-ran per branch — measured 5.2 s vs 2.7 s for the cert
+    # window form at sf0.1 (optimization r18). Persist the slim
+    # (doc_id, lang, log_w, __ord) rows so the kernel's three branches
+    # share one computation; bench/driver wrappers own cache cleanup.
+    slim = scoped_persist(
         w.join(d.select("doc_id", "lang"), "doc_id")
         .withColumn("__ord", F.struct((-F.col("log_w")).alias("nw"), "doc_id"))
     )
