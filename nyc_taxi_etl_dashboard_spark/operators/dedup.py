@@ -119,12 +119,22 @@ def minhash_signature(
     buckets quadratically.
     """
     base = _tv_sql("s") if portable else "xxhash64(s)"
+    # hash each shingle ONCE and bind the bigint array via the
+    # array-wrap trick (see simhash32): the previous form re-evaluated
+    # ``base`` inside every one of the num_hashes transforms — 32×
+    # xxhash64 (or 32× ascii+reverse+length) per shingle for identical
+    # values (optimization r18, guide §1.2 per-task work). The per-hash
+    # arithmetic abs((a·h + b) % P) is unchanged integer math on the
+    # same h, so every signature value is bit-identical.
     parts = []
     for a, b in minhash_params(num_hashes):
         parts.append(
-            f"coalesce(array_min(transform({shingle_col}, s -> abs(({a} * {base} + {b}) % {MINHASH_PRIME}))), {MINHASH_PRIME})"
+            f"coalesce(array_min(transform(hs, h -> abs(({a} * h + {b}) % {MINHASH_PRIME}))), {MINHASH_PRIME})"
         )
-    return F.expr("array(" + ", ".join(parts) + ")")
+    return F.expr(
+        f"element_at(transform(array(transform({shingle_col}, s -> {base})), "
+        f"hs -> array({', '.join(parts)})), 1)"
+    )
 
 
 def simhash32(text_col: str = "text", sep: str = " ") -> Column:
@@ -142,12 +152,19 @@ def simhash32(text_col: str = "text", sep: str = " ") -> Column:
     # parity), collapsing the corpus into a narrow hamming ball and making
     # hamming-based pairing quadratic. Still portable: DuckDB reproduces
     # the exact arithmetic (product < 2^53, no overflow either engine).
+    # mix each token ONCE (ascii + reverse + length + the Knuth
+    # multiply) and bind the bigint array via the same array-wrap
+    # trick: the previous form re-evaluated the whole token hash inside
+    # every one of the 32 bit aggregations — 32× string reversals per
+    # token for identical values (optimization r18, guide §1.2). The
+    # per-bit test shiftright(m, b) & 1 and the ±1 sum are unchanged
+    # integer math on the same m, so every sketch bit is identical.
     per_bit = (
-        "aggregate(toks, 0, (s, t) -> s + "
-        f"(CASE WHEN (shiftright({tv} * 2654435761, b) & 1) = 1 THEN 1 ELSE -1 END))"
+        "aggregate(mix, 0, (s, m) -> s + "
+        "(CASE WHEN (shiftright(m, b) & 1) = 1 THEN 1 ELSE -1 END))"
     )
     return F.expr(
-        f"transform(array(split({text_col}, '{sep}')), toks -> "
+        f"transform(array(transform(split({text_col}, '{sep}'), t -> {tv} * 2654435761)), mix -> "
         "aggregate(sequence(0, 31), cast(0 as bigint), "
         f"(acc, b) -> acc + (CASE WHEN {per_bit} > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)))[0]"
     )
