@@ -80,6 +80,19 @@ def pq_fit(
         .collect()
     )
     X = np.asarray([r.v for r in rows], dtype=np.float64)
+    return _pq_fit_matrix(X, m=m, ksub=ksub, dim=dim, n_iters=n_iters)
+
+
+def _pq_fit_matrix(
+    X: "np.ndarray", m: int, ksub: int, dim: int, n_iters: int = 5
+) -> list[list[list[float]]]:
+    """:func:`pq_fit`'s numpy Lloyd body over an in-memory training
+    matrix — shared by the DataFrame entry point above and the
+    sample-side IVFADC fit (:func:`ivfadc_topk`), so both produce
+    byte-identical codebooks from the same matrix."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
     codebooks: list[list[list[float]]] = []
     for s in range(m):
         Xs = X[:, s * dsub : (s + 1) * dsub]
@@ -357,7 +370,32 @@ def ivfadc_topk(
 
         c = c.withColumn("v", _residual("v", "cell"))
     if codebooks is None:
-        codebooks = pq_fit(c, m=m, ksub=ksub, dim=dim, id_col="id", vec_col="v")
+        # train on the SAMPLE's residuals computed from the sample's
+        # RAW vectors, never by collecting through the corpus-wide
+        # assign/residual kernels: pq_fit's TakeOrdered over `c` still
+        # evaluates those Python kernels on EVERY partition before the
+        # per-partition top-k — a full-corpus Arrow pass paid to train
+        # on sample_limit rows (optimization r18, guide §1.2/§4). The
+        # driver applies the SAME math to the same rows — _d2_matrix +
+        # first-min argmin (the _assign_kernel rule) and V − C[cell]
+        # (the _residual rule) on float64 — so the training matrix, and
+        # with it every codebook, is unchanged.
+        raw = (
+            corpus.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .orderBy("id")
+            .limit(100_000)
+            .collect()
+        )
+        Xs = np.asarray([r.v for r in raw], dtype=np.float64)
+        if by_residual:
+            from .similarity import _d2_matrix
+
+            cells_s = _d2_matrix(Xs, C).argmin(axis=1)
+            Xs = Xs - C[cells_s]
+        codebooks = _pq_fit_matrix(Xs, m=m, ksub=ksub, dim=dim)
     stored = pq_encode(c, codebooks, id_col="id", vec_col="v", extra_cols=["cell"])
 
     q_rows = (
