@@ -313,15 +313,27 @@ def _sql_double(x: float) -> str:
     ``D``-suffixed form via Java ``Double.parseDouble`` — also an exact
     round-trip — so the parsed Literal is bit-identical to ``F.lit(x)``.
     The suffix matters: a bare decimal in Spark SQL is DECIMAL(38,18),
-    a different type with different arithmetic."""
-    return repr(float(x)) + "D"
+    a different type with different arithmetic.
+
+    Non-finite values raise: ``repr`` yields ``nan``/``inf``, which the
+    SQL parser rejects (or worse, could silently resolve to a column
+    named ``nanD``). No current caller can produce them — k-means/PQ
+    centroids and RHP weights are means/signs of finite inputs — but
+    the next caller deserves an error, not a parse bug (VERDICT r18
+    item 6)."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite double cannot ride the plan as SQL: {x!r}")
+    return repr(v) + "D"
 
 
 def lit_double_array(values) -> "Column":
     """``F.array(*[F.lit(float(x)) for x in values])`` built as ONE
     parsed SQL expression instead of len(values) py4j round trips.
 
-    Motivation (optimization round 18, guide §7.3 driver-side work): a
+    Motivation (optimization round 18, guide §5 driver-side work /
+    §1.2 per-task order-of-operations; r19 citation fix — §7.3 is the
+    thread-dump playbook that DIAGNOSES this, not the rule): a
     k-means/PQ model riding the plan as literals was constructed one
     ``F.lit`` py4j call per double — 4.2 s of pure driver time for the
     v11 codebooks (8 x 16 x 8) vs 0.012 s for the parsed form, with

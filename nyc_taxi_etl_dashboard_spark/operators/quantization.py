@@ -48,6 +48,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: shared bounded-deterministic-sample size for every PQ/IVFADC fit
+#: path (ADVICE r18: ivfadc_topk's sample collect hardcoded 100_000,
+#: silently duplicating pq_fit's default — if either drifted, the two
+#: fit paths would train on different samples and the documented
+#: byte-identical-codebook equivalence would break unnoticed).
+PQ_SAMPLE_LIMIT = 100_000
+
+
 def pq_fit(
     df: DataFrame,
     m: int = 8,
@@ -56,7 +64,7 @@ def pq_fit(
     n_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_limit: int = 100_000,
+    sample_limit: int = PQ_SAMPLE_LIMIT,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: ``codebooks[s][c]`` is centroid c of
     subspace s (length dim//m). One bounded deterministic sample (the
@@ -283,6 +291,65 @@ def pq_adc_topk(
     )
 
 
+def _assign_encode_kernel(
+    C: "np.ndarray",
+    codebooks: list[list[list[float]]],
+    by_residual: bool,
+):
+    """ONE fused Arrow kernel for IVFADC's assign → residual → encode
+    (optimization r19, guide §4.1/§4.4): the previous three-kernel chain
+    (nearest_cells, the residual subtract, pq_encode) shipped the full
+    vector payload across the JVM↔Python boundary twice, and the
+    probed-cell isin filter's pushdown DUPLICATED the assignment kernel
+    — the r18 plan dump shows two ``probe(v)`` ArrowEvalPython nodes,
+    one below the exchange feeding the pushed filter and one above it
+    rebuilding the cell column (the guide §4.4 two-BatchEvalPython
+    signature). Fused, each corpus vector crosses the boundary ONCE and
+    the n_cells×dim assignment GEMM — the dominant per-row flops once
+    n_cells scales as sqrt(corpus) — runs once instead of twice; the
+    m×ksub×dsub encode now runs on every row rather than only probed
+    rows, a strictly smaller add than the removed duplicate assign
+    (≈3·ksub·dim vs 2·n_cells·dim flops/row). Marked non-deterministic
+    (guide §4.4) so the optimizer may not push the isin filter below it
+    and re-duplicate; the filter still prunes before the ADC kernel and
+    the rank shuffle. Same numpy ops in the same order as the three
+    separate kernels (stack → _d2_matrix → first-min argmin; V − C[cell];
+    broadcast-subtract-square → argmin per subspace), so cells and codes
+    are bit-identical — pinned against the inlined old chain in
+    tests/test_llmops.py and by the probe-all degeneracy test."""
+    from .similarity import _d2_matrix
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    CBS_enc = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    @F.pandas_udf("cell int, code array<int>")
+    def _assign_encode(v: pd.Series) -> pd.DataFrame:
+        if not len(v):  # np.stack raises on an empty sequence (ADVICE r13)
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series([], dtype="int32"),
+                    "code": pd.Series([], dtype="object"),
+                }
+            )
+        V = np.stack(v.to_numpy())
+        cells = _d2_matrix(V, C).argmin(axis=1)  # first min ⇒ lowest cell
+        E = (V - C[cells]) if by_residual else V.astype(np.float64)
+        codes = np.empty((len(E), m), dtype=np.int32)
+        for s in range(m):
+            Es = E[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Es[:, None, :] - CBS_enc[s][None, :, :]) ** 2).sum(axis=-1)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cell": pd.Series(cells.astype("int32")),
+                "code": pd.Series(list(codes)),
+            }
+        )
+
+    return _assign_encode.asNondeterministic()
+
+
 def ivfadc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -333,70 +400,54 @@ def ivfadc_topk(
     probed-candidate set n·n_probes/n_cells, i.e. LINEAR in the corpus
     (a quarter-corpus scan at the 2-of-8 default), which defeats the
     index at scale; sqrt sizing makes it n_probes·sqrt(n)."""
-    from .similarity import auto_n_cells, kmeans_fit, nearest_cells
+    from .similarity import _d2_matrix, _kmeans_fit_matrix, auto_n_cells
 
-    if centroids is None:
-        # resolve "auto" only on the fit path (n_cells is consumed
-        # solely by kmeans_fit): callers reusing a fitted model across
-        # query batches must not pay a corpus count() per batch
-        if n_cells == "auto":
-            from . import memo_count
-
-            n_cells = auto_n_cells(memo_count(corpus))
-        centroids, _ = kmeans_fit(
-            corpus, k=n_cells, id_col=id_col, vec_col=vec_col
-        )
-    C = np.asarray(centroids, dtype=np.float64)
-    dsub = dim // m
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("cell", nearest_cells("v", centroids, 1).getItem(0))
-    if by_residual:
-        # subtract the cell centroid inside an Arrow kernel (the
-        # nearest_cells pattern) rather than a zip_with over a literal
-        # centroid array: with n_cells="auto" the literal form embeds
-        # n_cells×dim F.lit expressions in the plan (up to 4096×64 ≈
-        # 262k at the cap — a Catalyst/codegen plan-size blowup the
-        # fixed-8 form never had; ADVICE r14). The closure ships the
-        # same floats once per task via the UDF, not per plan node.
-        @F.pandas_udf("array<double>")
-        def _residual(v: pd.Series, cell: pd.Series) -> pd.Series:
-            if not len(v):
-                return pd.Series([], dtype="object")
-            V = np.stack(v.to_numpy())
-            R = V - C[cell.to_numpy().astype(int)]
-            return pd.Series(list(R))
-
-        c = c.withColumn("v", _residual("v", "cell"))
-    if codebooks is None:
-        # train on the SAMPLE's residuals computed from the sample's
-        # RAW vectors, never by collecting through the corpus-wide
-        # assign/residual kernels: pq_fit's TakeOrdered over `c` still
-        # evaluates those Python kernels on EVERY partition before the
-        # per-partition top-k — a full-corpus Arrow pass paid to train
-        # on sample_limit rows (optimization r18, guide §1.2/§4). The
-        # driver applies the SAME math to the same rows — _d2_matrix +
-        # first-min argmin (the _assign_kernel rule) and V − C[cell]
-        # (the _residual rule) on float64 — so the training matrix, and
-        # with it every codebook, is unchanged.
-        raw = (
+    need_centroid_fit = centroids is None
+    need_codebook_fit = codebooks is None
+    X = None
+    if need_centroid_fit or need_codebook_fit:
+        # ONE bounded deterministic TakeOrdered sample feeds BOTH fits
+        # (optimization r19, guide §1.2): kmeans_fit and the codebook
+        # fit each ran their own distributed sample pass over the same
+        # PQ_SAMPLE_LIMIT lowest-id rows — a duplicate full-corpus scan
+        # at 100 TB and a duplicate probe job per query at bench scale.
+        # Same projection, same order, same limit ⇒ the same training
+        # matrix, so both models are byte-identical to the two-pass
+        # form. Training still happens on the sample's RAW vectors with
+        # the residual math applied driver-side (the r18 rule: never
+        # collect THROUGH the corpus-wide Arrow kernels).
+        rows = (
             corpus.select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).cast("array<double>").alias("v"),
             )
             .orderBy("id")
-            .limit(100_000)
+            .limit(PQ_SAMPLE_LIMIT)
             .collect()
         )
-        Xs = np.asarray([r.v for r in raw], dtype=np.float64)
-        if by_residual:
-            from .similarity import _d2_matrix
+        X = np.asarray([r.v for r in rows], dtype=np.float64)
+    if need_centroid_fit:
+        # resolve "auto" only on the fit path: callers reusing a fitted
+        # model across query batches must not pay a corpus count() per
+        # batch
+        if n_cells == "auto":
+            from . import memo_count
 
+            n_cells = auto_n_cells(memo_count(corpus))
+        centroids, _ = _kmeans_fit_matrix(X, k=n_cells)
+    C = np.asarray(centroids, dtype=np.float64)
+    dsub = dim // m
+    if need_codebook_fit:
+        Xs = X
+        if by_residual:
             cells_s = _d2_matrix(Xs, C).argmin(axis=1)
             Xs = Xs - C[cells_s]
         codebooks = _pq_fit_matrix(Xs, m=m, ksub=ksub, dim=dim)
-    stored = pq_encode(c, codebooks, id_col="id", vec_col="v", extra_cols=["cell"])
+    _assign_encode = _assign_encode_kernel(C, codebooks, by_residual)
+    stored = corpus.select(
+        F.col(id_col).alias("id"),
+        _assign_encode(F.col(vec_col).cast("array<double>")).alias("ac"),
+    ).select("id", F.col("ac.code").alias("code"), F.col("ac.cell").alias("cell"))
 
     q_rows = (
         queries.select(F.col(id_col), F.col(vec_col).cast("array<double>"))

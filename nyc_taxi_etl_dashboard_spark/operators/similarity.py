@@ -182,6 +182,48 @@ def rhp_planes(n_planes: int = 16, dim: int = 64) -> "np.ndarray":
     return H
 
 
+def _w_matrix_sql(n_planes: int, dim: int, plus_one) -> str:
+    """The (n_planes × dim) ±1 hyperplane weights as ONE array<array
+    <double>> SQL literal — ``plus_one(p*dim + j)`` decides the sign of
+    weight [p][j]. Optimization r19 (guide §1.2 per-task work, the
+    lit_double_matrix pattern): the HOF signature folds re-derived each
+    weight PER ROW inside the lambda — n_planes·dim murmur/LCG
+    evaluations plus a CASE per vector — because the hash's argument is
+    a lambda variable Catalyst cannot constant-fold. Deriving the same
+    weights once driver-side and indexing the folded literal keeps every
+    product bit-identical (the weights are exactly ±1.0 doubles either
+    way; fold order unchanged) while the per-row work drops to two array
+    lookups per element. Index math (p·dim + j) is driver-side Python
+    over the same non-negative int32 range the SQL form used."""
+    return (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "1.0D" if plus_one(p * dim + j) else "-1.0D" for j in range(dim)
+            )
+            + ")"
+            for p in range(n_planes)
+        )
+        + ")"
+    )
+
+
+def _murmur_plus_one(i: int) -> bool:
+    """Sign rule of :func:`rhp_signature`'s weights: bit 0 of Spark's
+    ``hash()`` (murmur3 int32, seed 42) — reproduced driver-side by
+    :func:`_murmur3_hash_int32`, which is pytest-pinned bit-equal to
+    ``F.hash`` over this input range."""
+    return bool(_murmur3_hash_int32(i) & 1)
+
+
+def _lcg_plus_one(i: int) -> bool:
+    """Sign rule of :func:`rhp_cell_portable`'s weights: the engine-
+    portable LCG ``(i·1103515245 + 12345) mod 2^31 < 2^30``. Python and
+    SQL ``%`` agree for the non-negative operands used here."""
+    return (i * 1103515245 + 12345) % 2147483648 < 1073741824
+
+
 def rhp_signature_arrow(
     vec_col: Column | str, n_planes: int = 16, dim: int = 64
 ) -> Column:
@@ -228,15 +270,22 @@ def rhp_signature(
     ``embedding_d`` first. (ADVICE r8: an earlier revision advertised
     the parameter but hardcoded the column — callers now bind it
     explicitly.)
+
+    The ±1 weights ride the plan as ONE folded literal matrix instead
+    of a per-row ``hash()`` + CASE per (plane, element) — see
+    :func:`_w_matrix_sql`; bit-identity to the hash-in-the-fold form is
+    pinned in tests/test_llmops.py.
     """
+    W = _w_matrix_sql(n_planes, dim, _murmur_plus_one)
     per_plane = (
         f"aggregate(transform(sequence(0, {dim - 1}), j -> "
-        f"cast({_qident(vec_col)}[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
+        f"cast({_qident(vec_col)}[j] as double) * __w[p][j]), "
         "cast(0.0 as double), (acc, x) -> acc + x)"
     )
     return F.expr(
         f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), (acc, p) -> "
         f"acc + (CASE WHEN {per_plane} > 0 THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))"
+        .replace("__w", W)
     ).alias("rhp_sig")
 
 
@@ -253,16 +302,22 @@ def rhp_cell_portable(
     itself is part of a certified output (x12 diversity sampling);
     the murmur variant stays the production default for pure bucketing,
     where only collision structure matters.
+
+    The ±1 weights ride the plan as ONE folded literal matrix instead
+    of a per-row LCG + CASE per (plane, element) — see
+    :func:`_w_matrix_sql`; the oracle SQL keeps its inline LCG form and
+    the two stay bit-equal (pinned in tests/test_llmops.py).
     """
+    W = _w_matrix_sql(n_planes, dim, _lcg_plus_one)
     per_plane = (
         f"aggregate(transform(sequence(0, {dim - 1}), j -> "
-        f"cast({_qident(vec_col)}[j] as double) * (CASE WHEN (cast(p * {dim} + j as bigint) * 1103515245 + 12345) % 2147483648 < 1073741824 "
-        "THEN 1.0 ELSE -1.0 END)), "
+        f"cast({_qident(vec_col)}[j] as double) * __w[p][j]), "
         "cast(0.0 as double), (acc, x) -> acc + x)"
     )
     return F.expr(
         f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), (acc, p) -> "
         f"acc + (CASE WHEN {per_plane} > 0 THEN shiftleft(cast(1 as bigint), p) ELSE cast(0 as bigint) END))"
+        .replace("__w", W)
     )
 
 
@@ -273,13 +328,18 @@ def rhp_projections(
     deterministic hyperplanes :func:`rhp_signature` uses. The sign of
     entry p is bit p of the signature; |entry p| is the margin — how far
     the vector sits from hyperplane p, i.e. how likely that bit is to
-    differ for a true near neighbor."""
+    differ for a true near neighbor. Weights ride the plan as one
+    folded literal matrix (see :func:`_w_matrix_sql`), bit-identical to
+    the hash-in-the-fold form."""
+    W = _w_matrix_sql(n_planes, dim, _murmur_plus_one)
     per_plane = (
         f"aggregate(transform(sequence(0, {dim - 1}), j -> "
-        f"cast({_qident(vec_col)}[j] as double) * (CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
+        f"cast({_qident(vec_col)}[j] as double) * __w[p][j]), "
         "cast(0.0 as double), (acc, x) -> acc + x)"
     )
-    return F.expr(f"transform(sequence(0, {n_planes - 1}), p -> {per_plane})")
+    return F.expr(
+        f"transform(sequence(0, {n_planes - 1}), p -> {per_plane})".replace("__w", W)
+    )
 
 
 def auto_n_planes_topk(
@@ -633,6 +693,19 @@ def kmeans_fit(
         .collect()
     )
     X = np.asarray([r.v for r in rows], dtype=np.float64)
+    return _kmeans_fit_matrix(X, k=k, n_iters=n_iters)
+
+
+def _kmeans_fit_matrix(
+    X: "np.ndarray", k: int, n_iters: int = 5
+) -> tuple[list[list[float]], list[float]]:
+    """:func:`kmeans_fit`'s numpy Lloyd body over an in-memory training
+    matrix — shared with the IVFADC composition (quantization.ivfadc_topk),
+    which collects ONE TakeOrdered sample and trains both the coarse
+    quantizer and the PQ codebooks from it (optimization r19: the two
+    separate fit paths each paid a full distributed sample pass over the
+    same rows — a duplicate corpus scan at 100 TB). Same ops in the same
+    order as the previous inline body, so centroids are byte-identical."""
     C = X[:k].copy()
     history: list[float] = []
     for _ in range(n_iters):

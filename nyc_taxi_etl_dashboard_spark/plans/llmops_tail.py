@@ -668,27 +668,48 @@ def q_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine", dot("q_vec", "embedding") / (F.col("q_nrm") * F.col("c_nrm"))
         )
     )
+    # ONE pass over the candidate leg computes ALL THREE telemetry
+    # counts (optimization r19, guide §1.2/§2.4): previously `cand` was
+    # consumed by three separate subtrees (rank window → n_returned and
+    # the hits join, plus the n_candidates aggregate), so the
+    # corpus-scale candidate join — signatures, bucket equi-join,
+    # cosine folds — executed three times per run with no
+    # ReusedExchange. Now n_candidates rides the rank window's
+    # partition as a count-over-window (same partition key ⇒ same one
+    # exchange; every query with candidates keeps ≥1 ranked row, so
+    # first() is total), and a LEFT join against the exact leg (unique
+    # (query_id, neighbor_id) — row_number ≤ k) turns the hits count
+    # into a conditional sum over the same rows. Value-identical to the
+    # three-subtree form — the oracle keeps its separate-CTE shape and
+    # the hash must not move.
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     annk = (
-        cand.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn(
+            "n_candidates", F.count(F.lit(1)).over(Window.partitionBy("query_id"))
+        )
+        .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= V18_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "n_candidates")
     )
-    n_cand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_ret = annk.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
-    hits = (
-        annk.join(exact, ["query_id", "neighbor_id"])
+    per_q = (
+        annk.join(
+            exact.withColumn("__hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.first("n_candidates").alias("n_candidates"),
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        )
     )
-    # the per-probe frames are bounded by the probe set (8 rows) —
-    # broadcast them; without the hint the composed v20 plan pulled
-    # them through SortMergeJoin exchanges (round-20 plan pin)
+    # the per-probe frame is bounded by the probe set (8 rows) —
+    # broadcast it; without the hint the composed v20 plan pulled it
+    # through SortMergeJoin exchanges (round-20 plan pin)
     return (
         qs.select("query_id")
-        .join(F.broadcast(n_cand), "query_id", "left")
-        .join(F.broadcast(n_ret), "query_id", "left")
-        .join(F.broadcast(hits), "query_id", "left")
+        .join(F.broadcast(per_q), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
@@ -758,20 +779,37 @@ def q_recall_report_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = knn_lsh(e, qs, k=V18_K, n_planes="auto", n_probes=1).select(
         "query_id", "neighbor_id"
     )
-    hits = (
-        ann.join(exact, ["query_id", "neighbor_id"])
+    # ONE pass over ann computes BOTH telemetry counts (optimization
+    # r19, guide §1.2/§2.4): the previous separate hits-join + n_ret
+    # aggregation consumed `ann` twice, re-executing the whole LSH
+    # pipeline — corpus signatures, bucket join, rank window — per run
+    # (no ReusedExchange; the prod plan carried the subtree twice). A
+    # LEFT join against the exact leg (unique (query_id, neighbor_id)
+    # by construction — row_number ≤ k) preserves every returned row,
+    # so count(*) is n_returned and the matched-row count is n_hits:
+    # value-identical to the two-subtree form, structurally single-pass.
+    # (A scoped_persist was A/B'd first and REJECTED: within the one
+    # action both subtrees race to fill the same cached partitions —
+    # "Block rdd_N already exists" — and the paired ratio was 1.35.)
+    per_q = (
+        ann.join(
+            exact.withColumn("__hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_returned"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        )
     )
-    n_ret = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_returned"))
     # row-driver is the probe set itself, NOT exact.select(query_id)
     # .distinct() — that form re-executed the entire brute-force
     # ground-truth leg a second time (self-review r19: two BNLJs, zero
     # ReusedExchange in the plan)
     return (
         qs.select(F.col("vec_id").alias("query_id"))
-        .join(F.broadcast(n_ret), "query_id", "left")
-        .join(F.broadcast(hits), "query_id", "left")
+        .join(F.broadcast(per_q), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_returned", F.lit(0)).alias("n_returned"),

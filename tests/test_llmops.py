@@ -4,6 +4,7 @@ oracle (LSH ANN), plus unit checks on dedup/text/multimodal semantics.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level for pandas_udf type-hint resolution
 import pytest
 from pyspark.sql import functions as F
 
@@ -795,19 +796,22 @@ def test_single_pass_signatures_bit_identical_to_rehashing_forms(spark, sf_dir):
         f"(acc, b) -> acc + (CASE WHEN {old_per_bit} > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)))[0]"
     )
 
+    # null-safe comparison (ADVICE r18): `o != n` is NULL — filtered
+    # out — when exactly one side is NULL, so a regression that turns a
+    # value into NULL would pass as 0 mismatches; NOT (o <=> n) counts it
     for portable in (False, True):
         bad = (
             sh.select(
                 old_minhash(32, portable).alias("o"),
                 minhash_signature(32, portable=portable).alias("n"),
             )
-            .filter(F.expr("o != n"))
+            .filter(F.expr("NOT (o <=> n)"))
             .count()
         )
         assert bad == 0, f"minhash portable={portable}: {bad} mismatches"
     bad = (
         d.select(old_simhash.alias("o"), simhash32("text").alias("n"))
-        .filter(F.expr("o != n"))
+        .filter(F.expr("NOT (o <=> n)"))
         .count()
     )
     assert bad == 0, f"simhash: {bad} mismatches"
@@ -1086,6 +1090,159 @@ def test_ivfadc_probe_all_equals_flat_adc(spark):
     key = lambda rows: sorted((r.query_id, r.rnk, r.neighbor_id, round(r.adc_dot, 9)) for r in rows)
     assert key(ivf) == key(flat)
     assert len(ivf) > 0
+
+
+def test_rhp_literal_weights_bit_identical_to_hash_in_fold_forms(spark, sf_dir):
+    """Optimization r19: rhp_signature / rhp_projections /
+    rhp_cell_portable carry their ±1 hyperplane weights as ONE folded
+    literal matrix (see similarity._w_matrix_sql) instead of re-deriving
+    each weight per row inside the lambda (a murmur/LCG evaluation plus
+    a CASE per (plane, element) per vector). The weights are exactly
+    ±1.0 doubles either way and the fold order is unchanged, so every
+    signature, cell id and projection must stay bit-identical to the
+    old hash-in-the-fold expression forms (inlined here as the pin).
+    Null-safe comparison (ADVICE r18)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_etl_dashboard_spark.operators import scale_out
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        _qident,
+        rhp_cell_portable,
+        rhp_projections,
+        rhp_signature,
+    )
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    e = scale_out(read_table(spark, sf_dir, "embeddings"))
+    base = e.select(F.col("embedding").cast("array<double>").alias("embedding_d"))
+
+    def old_murmur_plane(dim):
+        return (
+            f"aggregate(transform(sequence(0, {dim - 1}), j -> "
+            f"cast({_qident('embedding_d')}[j] as double) * "
+            f"(CASE WHEN (hash(p * {dim} + j) & 1) = 1 THEN 1.0 ELSE -1.0 END)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+    def old_lcg_plane(dim):
+        return (
+            f"aggregate(transform(sequence(0, {dim - 1}), j -> "
+            f"cast({_qident('embedding_d')}[j] as double) * "
+            f"(CASE WHEN (cast(p * {dim} + j as bigint) * 1103515245 + 12345) "
+            "% 2147483648 < 1073741824 THEN 1.0 ELSE -1.0 END)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+    def old_sig(per_plane, n_planes):
+        return F.expr(
+            f"aggregate(sequence(0, {n_planes - 1}), cast(0 as bigint), (acc, p) -> "
+            f"acc + (CASE WHEN {per_plane} > 0 THEN shiftleft(cast(1 as bigint), p) "
+            "ELSE cast(0 as bigint) END))"
+        )
+
+    cases = [
+        ("rhp_signature", old_sig(old_murmur_plane(64), 16),
+         rhp_signature("embedding_d", 16, 64)),
+        ("rhp_cell_portable", old_sig(old_lcg_plane(64), 4),
+         rhp_cell_portable("embedding_d", 4, 64)),
+        ("rhp_projections",
+         F.expr(f"transform(sequence(0, 15), p -> {old_murmur_plane(64)})"),
+         rhp_projections("embedding_d", 16, 64)),
+    ]
+    for name, old, new in cases:
+        bad = (
+            base.select(old.alias("o"), new.alias("n"))
+            .filter(F.expr("NOT (o <=> n)"))
+            .count()
+        )
+        assert bad == 0, f"{name}: {bad} mismatches"
+
+
+def test_ivfadc_fused_kernel_bit_identical_to_three_kernel_chain(spark, sf_dir):
+    """Optimization r19: ivfadc_topk's assign → residual → encode runs
+    as ONE fused Arrow kernel (each corpus vector crosses the
+    JVM↔Python boundary once, and the probed-cell filter pushdown can
+    no longer duplicate the assignment kernel — the r18 plan dump
+    showed two probe(v) ArrowEvalPython nodes). The fused kernel's
+    numpy ops replicate the three separate kernels in order, so every
+    (cell, code) row must stay bit-identical to the old chain —
+    nearest_cells + the residual subtract + pq_encode — inlined here as
+    the pin. Null-safe comparison (ADVICE r18): a value-vs-NULL
+    disagreement must count as a mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    from nyc_taxi_etl_dashboard_spark.operators import scale_out
+    from nyc_taxi_etl_dashboard_spark.operators.quantization import (
+        _pq_fit_matrix,
+        pq_encode,
+    )
+    from nyc_taxi_etl_dashboard_spark.operators.similarity import (
+        _d2_matrix,
+        _kmeans_fit_matrix,
+        nearest_cells,
+    )
+    from nyc_taxi_etl_dashboard_spark.sources import read_table
+
+    from nyc_taxi_etl_dashboard_spark.operators.quantization import (
+        _assign_encode_kernel,
+    )
+
+    e = scale_out(read_table(spark, sf_dir, "embeddings"))
+    m, ksub, dim, n_cells = 8, 16, 64, 7
+    rows = (
+        e.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    centroids, _ = _kmeans_fit_matrix(X, k=n_cells)
+    C = np.asarray(centroids, dtype=np.float64)
+    cells_s = _d2_matrix(X, C).argmin(axis=1)
+    codebooks = _pq_fit_matrix(X - C[cells_s], m=m, ksub=ksub, dim=dim)
+
+    for by_residual in (True, False):
+        # OLD three-kernel chain, inlined verbatim from the r18 form
+        c_old = e.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ).withColumn("cell", nearest_cells("v", centroids, 1).getItem(0))
+        if by_residual:
+
+            @F.pandas_udf("array<double>")
+            def _residual(v: pd.Series, cell: pd.Series) -> pd.Series:
+                if not len(v):
+                    return pd.Series([], dtype="object")
+                V = np.stack(v.to_numpy())
+                R = V - C[cell.to_numpy().astype(int)]
+                return pd.Series(list(R))
+
+            c_old = c_old.withColumn("v", _residual("v", "cell"))
+        old = pq_encode(
+            c_old, codebooks, id_col="id", vec_col="v", extra_cols=["cell"]
+        )
+
+        fused = _assign_encode_kernel(C, codebooks, by_residual)
+        new = e.select(
+            F.col("vec_id").alias("id"),
+            fused(F.col("embedding").cast("array<double>")).alias("ac"),
+        ).select("id", F.col("ac.code").alias("code"), F.col("ac.cell").alias("cell"))
+
+        bad = (
+            old.alias("o")
+            .join(new.alias("n"), "id", "full")
+            .filter(
+                F.expr(
+                    "NOT (o.cell <=> n.cell) OR NOT (o.code <=> n.code)"
+                )
+            )
+            .count()
+        )
+        assert bad == 0, f"by_residual={by_residual}: {bad} mismatching rows"
+        assert new.count() == len(rows)
 
 
 def test_ivfadc_residual_recall_floor(spark):

@@ -766,6 +766,26 @@ def test_lit_double_helpers_bit_identical_to_unrolled_lits(spark):
     assert [bits(x) for x in row2.o] == [bits(x) for x in row2.n]
 
 
+def test_sql_double_rejects_non_finite(spark):
+    """VERDICT r18 item 6: the SQL-literal helper must raise a clear
+    error on NaN/±inf instead of emitting text the parser rejects (or
+    silently mis-resolves). No current model path can produce them —
+    this pins the helper's contract for its next caller."""
+    import pytest as _pytest
+
+    from nyc_taxi_etl_dashboard_spark.operators import (
+        _sql_double,
+        lit_double_array,
+    )
+
+    assert _sql_double(1.5) == "1.5D"
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with _pytest.raises(ValueError, match="non-finite"):
+            _sql_double(bad)
+        with _pytest.raises(ValueError, match="non-finite"):
+            lit_double_array([0.0, bad])
+
+
 def test_density_gate_linear_branch_plan_shape(spark, sf_dir):
     """v16's production linear branch must keep the O(n) promise in the
     PLAN: centroids join back as a broadcast (labels are bounded), the
